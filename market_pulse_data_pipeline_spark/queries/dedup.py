@@ -1,0 +1,120 @@
+"""Deduplication operators over `documents` (north-star extension).
+
+- exact dedup: hash-groupBy on content digest — one shuffle on the
+  digest, scales linearly.
+- n-gram Jaccard near-dup: shingle → inverted-index self-join → count
+  intersections. The self-join is bucketed by shingle, which is how the
+  candidate set stays bounded at scale (only docs sharing a shingle are
+  compared); a deterministic doc sample keeps the oracle cheap at sf0.01.
+- MinHash/LSH and SimHash live in functions.dedup (bench/scale path;
+  signature hashing is engine-specific so those register rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import register, t
+
+_JACCARD_THRESHOLD = 0.02
+_SAMPLE_MOD = 7  # deterministic doc sample: doc_id % 7 == 0
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    bench=True,
+    doc="exact dedup via content-hash groupBy (keep lowest doc_id)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.encode("text", "utf-8")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, built with JVM-side
+    collection functions (transform over a sequence of start offsets)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= n
+    )
+    shingle_expr = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(
+            " ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]
+        ),
+    )
+    return toks.select("doc_id", F.explode(shingle_expr).alias("sh")).distinct()
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % {_SAMPLE_MOD} = 0
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM docs WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, intersection,
+           ROUND(intersection * 1.0 / (sa.n + sb.n - intersection), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= {_JACCARD_THRESHOLD}
+    """,
+    doc="n-gram Jaccard near-dup: 3-word shingles, inverted-index "
+    "self-join, |A∩B| / |A∪B| ≥ threshold; deterministic doc sample",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _SAMPLE_MOD == 0
+    )
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("intersection") * F.lit(1.0) / (
+        F.col("sa.n") + F.col("sb.n") - F.col("intersection")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Event-time operators over `events` — the batch-equivalent shapes of
+the streaming module (tumbling windows, sessionization). The streaming
+variants (watermarks, applyInPandasWithState) live in streaming/ and are
+pytest-verified; these batch forms carry the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_sum,
+    sql_round_sum,
+    t,
+)
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@register(
+    "event_hourly_windows",
+    f"""
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           COUNT(*) AS n_events,
+           {sql_round_sum('value', 6, 4)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+    doc="tumbling event-time window (batch form of the streaming windowed "
+    "agg): 1h buckets per event_type",
+)
+def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_sum(F.col("value"), 6, 4).alias("total_value"),
+    )
+
+
+@register(
+    "sessionization",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY 1, 2
+    """,
+    bench=True,
+    doc="gap-based sessionization (30 min) via lag + running sum — the "
+    "batch twin of the stateful streaming session operator",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            prev_us.isNull() | ((us - prev_us) > _SESSION_GAP_US), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(running))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,384 @@
+"""Reference-operator queries over the driver fixture tables.
+
+Every SURVEY.md §2 operator re-expressed on the TPC-H-ish tables
+(FIXTURES.md §B mapping): OHLCV role → lineitem/orders, dim enrichment →
+orders⟕customer, DISTINCT+CASE → nation, flatten → events.props JSON and
+document word explode, keyed upsert → orders delta, merge-keep-latest →
+events dedup, QC → not_null/unique/anti-join counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.functions.scalars import week_start
+from market_pulse_data_pipeline_spark.operators.merge import (
+    merge_last_write_wins,
+    upsert_by_key,
+)
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_avg,
+    sql_round_avg,
+    t,
+)
+
+# --- flagship: A2/A3 weekly rollup (agg_weekly_prices analog) ----------------
+
+
+@register(
+    "weekly_rollup",
+    f"""
+    SELECT l_suppkey AS supp_key,
+           CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+           {sql_round_avg('l_extendedprice', 4, 4)} AS avg_price,
+           {sql_round_avg('l_discount', 4, 6)} AS avg_discount,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    bench=True,
+    doc="A2/A3 — GROUP BY symbol-key + Monday week_start, AVG×2 "
+    "(agg_weekly_prices.sql:3-9)",
+)
+def weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_suppkey").alias("supp_key"),
+        week_start(F.col("l_shipdate")).alias("week_start"),
+    ).agg(
+        round_avg(F.col("l_extendedprice"), 4, 4).alias("avg_price"),
+        round_avg(F.col("l_discount"), 4, 6).alias("avg_discount"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- P1/P2/P3: JSON path extraction + cast -----------------------------------
+
+
+@register(
+    "json_path_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    """,
+    doc="P1/P2/P3 — semi-structured path projection + cast "
+    "(stg_alphavantage.sql:6,13-18 analog over events.props)",
+)
+def json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+# --- A1: flatten (explode) ----------------------------------------------------
+
+
+@register(
+    "explode_words",
+    """
+    SELECT lang, word, COUNT(*) AS cnt
+    FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents) u
+    GROUP BY lang, word
+    """,
+    bench=True,
+    doc="A1 — LATERAL FLATTEN ≈ explode of a collection "
+    "(stg_alphavantage.sql:19-20), over document tokens",
+)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --- J4 + P5 + P6: DISTINCT + CASE chains (dim_stock analog) ------------------
+
+_TIER_NATIONS = ["NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+_MID_NATIONS = ["NATION_5", "NATION_6", "NATION_7"]
+
+_DIM_CASE_SQL = """
+    SELECT DISTINCT n_name,
+      CASE WHEN n_name = 'NATION_0' THEN 'Alpha Holdings'
+           WHEN n_name = 'NATION_1' THEN 'Beta Industries'
+           WHEN n_name = 'NATION_2' THEN 'Gamma Group'
+           WHEN n_name = 'NATION_3' THEN 'Delta Partners'
+           WHEN n_name = 'NATION_4' THEN 'Epsilon Corp'
+           ELSE 'Unknown Company' END AS company_name,
+      CASE WHEN n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4') THEN 'Tier 1'
+           WHEN n_name IN ('NATION_5','NATION_6','NATION_7') THEN 'Tier 2'
+           ELSE 'Other' END AS tier
+    FROM nation
+"""
+
+_COMPANY_CASES = [
+    ("NATION_0", "Alpha Holdings"),
+    ("NATION_1", "Beta Industries"),
+    ("NATION_2", "Gamma Group"),
+    ("NATION_3", "Delta Partners"),
+    ("NATION_4", "Epsilon Corp"),
+]
+
+
+@register(
+    "dim_case_mapping",
+    _DIM_CASE_SQL,
+    doc="J4+P5+P6 — SELECT DISTINCT seed + CASE-WHEN chain + CASE-IN lists "
+    "(dim_stock.sql:3-30)",
+)
+def dim_case_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    name = F.lit("Unknown Company")
+    for key, label in reversed(_COMPANY_CASES):
+        name = F.when(F.col("n_name") == key, label).otherwise(name)
+    tier = (
+        F.when(F.col("n_name").isin(_TIER_NATIONS), "Tier 1")
+        .when(F.col("n_name").isin(_MID_NATIONS), "Tier 2")
+        .otherwise("Other")
+    )
+    return nation.select("n_name").distinct().select(
+        "n_name", name.alias("company_name"), tier.alias("tier")
+    )
+
+
+# --- J1: LEFT broadcast-join enrichment ---------------------------------------
+
+
+@register(
+    "left_join_enrich",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    bench=True,
+    doc="J1 — LEFT equi-join fact←dim (fact_stock_prices.sql:22-24); "
+    "broadcast-hash left-outer at any fact scale",
+)
+def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select("o_orderkey", "o_totalprice", "o_orderdate", "c_name", "c_mktsegment")
+
+
+# --- P7/P8/P9: arithmetic + ROUND + NULLIF ------------------------------------
+
+
+@register(
+    "derived_metrics",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS net_price,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                - CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS spread,
+           l_tax / NULLIF(l_discount, 0.0) AS tax_over_discount
+    FROM lineitem
+    """,
+    doc="P7/P8/P9 — daily_change / percent_change metric shape "
+    "(fact_stock_prices.sql:20-21): arithmetic, ROUND(x,2), NULLIF guard. "
+    "ROUND runs on exact decimals (both engines round half-away-from-zero "
+    "on decimals; double-path ROUND diverges at representation boundaries); "
+    "the NULLIF quotient stays an unrounded double — identical IEEE division "
+    "on both sides.",
+)
+def derived_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(18,2)")
+    qty_d = F.col("l_quantity").cast("decimal(18,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price_d * (F.lit(1) - disc_d), 2).cast("double").alias("net_price"),
+        (price_d - qty_d).cast("double").alias("spread"),
+        (F.col("l_tax") / F.nullif(F.col("l_discount"), F.lit(0.0))).alias(
+            "tax_over_discount"
+        ),
+    )
+
+
+# --- J4: DISTINCT -------------------------------------------------------------
+
+
+@register(
+    "distinct_keys",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="J4 — SELECT DISTINCT (dim_stock.sql:3-6)",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --- J2: keyed upsert ----------------------------------------------------------
+
+
+@register(
+    "keyed_upsert",
+    """
+    WITH delta AS (
+      SELECT o_orderkey,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)
+               AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM delta
+    UNION ALL
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
+    """,
+    doc="J2 — MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT "
+    "(minio_to_snowflake.py:66-75) as anti-join + union",
+)
+def keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    delta = orders.filter(F.col("o_orderdate") >= "2000-01-01").select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.expr("CAST(1.1 AS DECIMAL(3,1))"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return upsert_by_key(base, delta, "o_orderkey")
+
+
+# --- J3: last-write-wins dedup --------------------------------------------------
+
+
+@register(
+    "dedup_keep_latest",
+    """
+    SELECT event_id, user_id, event_type, ts, value FROM (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e) x
+    WHERE rn = 1
+    """,
+    bench=True,
+    doc="J3 — per-key last-write-wins (get_stock.py:88-97): newest row per "
+    "(user_id, event_type), deterministic tie-break",
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+# --- J3 (operator form): merge_last_write_wins across two batches ---------------
+
+
+@register(
+    "incremental_merge",
+    """
+    WITH old_batch AS (
+      SELECT user_id, event_type, value FROM events WHERE event_id % 2 = 0
+    ), new_batch AS (
+      SELECT user_id, event_type, ROUND(value * 2.0, 2) AS value
+      FROM events WHERE event_id % 10 = 0
+    ), keyed_new AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY value DESC) AS rn
+      FROM new_batch
+    ), keyed_old AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY value DESC) AS rn
+      FROM old_batch
+    )
+    SELECT user_id, event_type, value FROM keyed_new WHERE rn = 1
+    UNION ALL
+    SELECT o.user_id, o.event_type, o.value FROM keyed_old o
+    WHERE o.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM new_batch n
+                      WHERE n.user_id = o.user_id AND n.event_type = o.event_type)
+    """,
+    doc="J3 — two-batch last-write-wins merge (get_stock.py:84-105): new "
+    "batch overwrites same-key rows, old keys retained",
+)
+def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type", "value")
+    new = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "event_type", F.round(F.col("value") * 2.0, 2).alias("value")
+    )
+    # deterministic within-batch dedup first (highest value wins), then LWW
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("value").desc())
+    old1 = old.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    new1 = new.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    return merge_last_write_wins(old1, new1, ["user_id", "event_type"])
+
+
+# --- Q1/Q2/Q4: data-quality counts ----------------------------------------------
+
+
+@register(
+    "qc_not_null_violations",
+    "SELECT COUNT(*) AS violations FROM orders WHERE o_custkey IS NULL",
+    doc="Q1 — dbt not_null as a violation count (staging/schema.yml:17)",
+)
+def qc_not_null_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNull())
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+
+
+@register(
+    "qc_unique_violations",
+    """
+    SELECT COUNT(*) AS dup_groups FROM (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY 1, 2 HAVING COUNT(*) > 1) d
+    """,
+    doc="Q2 — dbt unique on a composite key (§2.7-c corrected form)",
+)
+def qc_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_groups"))
+    )
+
+
+@register(
+    "qc_anti_join_orphans",
+    """
+    SELECT COUNT(*) AS orphan_count FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    doc="Q4/J5 — dbt relationships FK test as a left-anti join "
+    "(marts/schema.yml:22-24)",
+)
+def qc_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_count"))
+    )

@@ -1,0 +1,91 @@
+"""Similarity search over the `embeddings` table (north-star extension).
+
+Brute-force cosine top-k as the correctness baseline: dot products via
+zip_with + aggregate (JVM-side, sequential fold → deterministic and
+identical to the oracle's in-order list_sum). The LSH-bucketed scale
+path lives in functions.similarity (engine-specific hashing → rows-only
+check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import register, t
+
+_QUERY_VEC_ID = 0
+_TOP_K = 10
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "similarity_topk_cosine",
+    f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_QUERY_VEC_ID}
+    ), scored AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])))
+                  * sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))))
+               AS cos_raw
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q
+    )
+    SELECT vec_id, label, ROUND(cos_raw, 6) AS cosine
+    FROM scored WHERE vec_id <> {_QUERY_VEC_ID}
+    ORDER BY ROUND(cos_raw, 6) DESC, vec_id
+    LIMIT {_TOP_K}
+    """,
+    bench=True,
+    doc="brute-force cosine top-k against one query vector; deterministic "
+    "tie-break on vec_id",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("q"))
+        .head()
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["q"]])
+    v = F.col("embedding").cast("array<double>")
+    cos = _dot(v, qlit) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qlit, qlit)))
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+@register(
+    "embedding_label_centroid_norm",
+    """
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(
+             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))
+             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_sq_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="per-label embedding stats (avg squared L2 norm) — array aggregate "
+    "pushed through a relational groupBy",
+)
+def embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(sq.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_sq_norm"),
+    )

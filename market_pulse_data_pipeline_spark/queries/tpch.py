@@ -1,0 +1,135 @@
+"""TPC-H-shaped analytical queries — the engine's headline scan/join/agg
+workload for bench.py. Same decimal-exact-sum discipline as everywhere
+else so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_avg,
+    round_sum,
+    sql_round_avg,
+    sql_round_sum,
+    t,
+)
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_round_sum('l_quantity', 6, 2)} AS sum_qty,
+           {sql_round_sum('l_extendedprice', 6, 2)} AS sum_base_price,
+           {sql_round_sum(_REVENUE, 6, 2)} AS sum_disc_price,
+           {sql_round_sum(f'{_REVENUE} * (1 + l_tax)', 6, 2)} AS sum_charge,
+           {sql_round_avg('l_quantity', 6, 4)} AS avg_qty,
+           {sql_round_avg('l_extendedprice', 6, 4)} AS avg_price,
+           {sql_round_avg('l_discount', 6, 6)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    doc="full-scan groupBy-agg with derived expressions (TPC-H Q1 shape)",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_sum(F.col("l_quantity"), 6, 2).alias("sum_qty"),
+            round_sum(F.col("l_extendedprice"), 6, 2).alias("sum_base_price"),
+            round_sum(revenue, 6, 2).alias("sum_disc_price"),
+            round_sum(revenue * (1 + F.col("l_tax")), 6, 2).alias("sum_charge"),
+            round_avg(F.col("l_quantity"), 6, 4).alias("avg_qty"),
+            round_avg(F.col("l_extendedprice"), 6, 4).alias("avg_price"),
+            round_avg(F.col("l_discount"), 6, 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {sql_round_sum(_REVENUE, 6, 2)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+    doc="3-way join + agg + deterministic top-k (TPC-H Q3 shape); customer "
+    "side broadcast",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round_sum(revenue, 6, 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    f"""
+    SELECT n_name, {sql_round_sum(_REVENUE, 6, 2)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    bench=True,
+    doc="6-way star join + agg (TPC-H Q5 shape); dims broadcast, fact never "
+    "shuffled before the group-by",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(round_sum(revenue, 6, 2).alias("revenue"))
+    )

@@ -10,12 +10,23 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
 
+# parquet TIMESTAMP(NANOS) columns (read as long via
+# spark.sql.legacy.parquet.nanosAsLong) that must come back as timestamps
+_NANOS_TS_COLUMNS = {"events": ["ts"]}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer division — a double roundtrip would lose microseconds
+            # at nanosecond epoch magnitudes (~1.7e18 > 2^53)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
