@@ -1,0 +1,226 @@
+"""Scale-path near-duplicate detection: MinHash+LSH and SimHash.
+
+Both are pure DataFrame/Column pipelines — signatures are computed with
+JVM-side hash functions (xxhash64) and per-permutation min-aggregations,
+so the whole thing stays inside whole-stage codegen; no Python UDFs.
+
+Design for 100 TB:
+- shingling + signature: narrow (one shuffle on doc_id for the
+  min-aggregation).
+- LSH banding: candidate generation is a self-join bucketed by
+  (band_index, band_hash) — only docs that collide in a band are ever
+  paired, so the pair count stays near-linear instead of quadratic.
+- verification: estimated Jaccard = fraction of matching minhash
+  components; optionally re-check exact Jaccard on the candidate set.
+
+The signature hash is engine-specific (xxhash64), so these register as
+rows-only driver checks; correctness is pytest-verified against exact
+n-gram Jaccard (queries/dedup.py) on planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: universal-hash products a*h stay < 2^62, inside int64 even with
+# ANSI overflow checking enabled
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sh) — distinct word n-grams, built JVM-side."""
+    toks = docs.select("doc_id", F.split(text_col, " ").alias("ws")).filter(
+        F.size("ws") >= n
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.col("ws")[i + j] for j in range(n)]
+        ),
+    )
+    return toks.select("doc_id", F.explode(sh).alias("sh")).distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) — one pass: xxhash64 each shingle, then
+    num_perm min-aggregations of (a*h+b) mod p (universal hashing).
+
+    ``pmod`` keeps the value non-negative (xxhash64 is signed)."""
+    h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
+    hashed = shingles.select("doc_id", h.alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+    ]
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b) candidates — docs whose signature slice collides in
+    at least one band. Bucketed self-join: the shuffle key is
+    (band, band_hash), never the full cross product."""
+    num_perm = len(signatures.select("sig").head()["sig"])
+    rows_per_band = rows_per_band or num_perm // bands
+    band_entries = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bucket")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — LSH candidates verified by the
+    estimated Jaccard (matching-component fraction ≥ threshold)."""
+    sig = minhash_signatures(word_shingles(docs, text_col), num_perm, seed)
+    cand = lsh_candidate_pairs(sig, bands)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint) — 64-bit SimHash over word tokens.
+
+    Per token: xxhash64 → contribute ±1 per bit; per doc: sign of the
+    per-bit sums. Implemented as 64 conditional-sum aggregations in one
+    hash-aggregate pass (JVM-side, no UDF).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(text_col, " ")).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    def bit_mask(i: int) -> int:
+        # bit 63 is the sign bit in a signed long: -2^63 has exactly that
+        # bit set, avoiding the 1<<63 overflow
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(bit_mask(i))) != 0, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0, F.lit(bit_mask(i)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs within a Hamming radius.
+
+    Candidate generation: pigeonhole over 4 16-bit chunks (any pair with
+    hamming ≤ 3 shares at least one exact chunk), so the join is bucketed
+    by (chunk_index, chunk_value); verification via bit_count(xor).
+    """
+    sig = simhash_signatures(docs, text_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.chunk", "e.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: brute-force baseline (exact; one scan + top-k).
+- ``lsh_ann_topk``: random-hyperplane LSH scale path — signature via
+  fixed deterministic planes, candidates from Hamming-near buckets,
+  exact cosine re-rank on the candidate set only. At 100 TB the bucket
+  join touches a small fraction of vectors instead of all of them.
+- ``embedding_near_duplicates``: cosine ≥ threshold pairs through the
+  same LSH bucketing (embedding-based near-dup for dedup pipelines).
+
+Plane projections use a Pandas UDF (Arrow-vectorized numpy matmul) —
+the one place Python beats JVM expression trees for wide arrays; the
+relational shell around it (bucketing, joins, re-rank) is plain
+DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact brute-force top-k against one query vector."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.select(id_col, F.round(cosine(v, qlit), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def add_lsh_signature(
+    emb: DataFrame, dim: int, n_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Adds ``lsh_sig`` (bigint): sign bits of projections onto fixed
+    random hyperplanes. Arrow-batched numpy matmul per partition."""
+    planes = _planes(dim, n_planes, seed)
+
+    @pandas_udf(T.LongType())
+    def sig_udf(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return emb.withColumn("lsh_sig", sig_udf(F.col("embedding")))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 6,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe buckets within a Hamming radius of the
+    query signature, exact cosine only on the survivors."""
+    planes = _planes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_sig = int(((planes @ q) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
+
+    with_sig = add_lsh_signature(emb, dim, n_planes, seed)
+    near = with_sig.filter(
+        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col("embedding").cast("array<double>")
+    return (
+        near.select(id_col, F.round(cosine(v, qlit), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — embedding-cosine near-dup pairs via LSH
+    chunk bucketing (pigeonhole: hamming ≤ 2 over 4 chunks → some chunk
+    equal) + exact cosine verification."""
+    with_sig = add_lsh_signature(emb, dim, n_planes, seed)
+    chunk_bits = n_planes // 4
+    mask = (1 << chunk_bits) - 1
+    chunks = with_sig.select(
+        F.col(id_col),
+        "embedding",
+        "lsh_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("lsh_sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col(id_col), "embedding", "lsh_sig", "e.chunk", "e.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pair_ok = (
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            F.bit_count(F.col("a.lsh_sig").bitwiseXOR(F.col("b.lsh_sig")))
+            <= max_hamming
+        )
+    )
+    # dedup candidate IDs FIRST (a pair can collide in up to 4 chunks), so
+    # the exact-cosine verification runs once per pair, not per collision
+    pairs = (
+        a.join(b, pair_ok)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("emb_b"))
+    va = F.col("emb_a").cast("array<double>")
+    vb = F.col("emb_b").cast("array<double>")
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cosine(va, vb), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -155,8 +155,8 @@ def default_fixture_docs(n_days: int = 60) -> dict[str, dict]:
         docs[sym] = make_fixture_doc(
             loaded,
             n_days=n_days,
-            zero_open_on=days[5] if sym == "AAPL" else None,
-            skip_dates=(days[10],) if sym == "MSFT" else (),
+            zero_open_on=days[5] if sym == "AAPL" and n_days > 5 else None,
+            skip_dates=(days[10],) if sym == "MSFT" and n_days > 10 else (),
         )
     return docs
 

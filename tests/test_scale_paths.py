@@ -1,0 +1,116 @@
+"""Semantics tests for the scale-path operators: MinHash-LSH vs exact
+Jaccard, SimHash, LSH-ANN recall vs brute force, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.functions.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from market_pulse_data_pipeline_spark.functions.multimodal import (
+    decode_media,
+    documents_to_media,
+)
+from market_pulse_data_pipeline_spark.functions.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+from market_pulse_data_pipeline_spark.sources.tables import load_table
+
+PLANT = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + PLANT).alias("doc_id"),
+        F.concat("text", F.lit(" planted")).alias("text"),
+    )
+    return docs.unionByName(mutated).cache()
+
+
+def test_minhash_finds_planted_dups(planted_docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(planted_docs, threshold=0.5).collect()
+    }
+    planted = {
+        (r.doc_id, r.doc_id + PLANT)
+        for r in planted_docs.filter(
+            (F.col("doc_id") % 11 == 0) & (F.col("doc_id") < PLANT)
+        ).collect()
+    }
+    # high estimated-Jaccard pairs: every planted pair must be found
+    missed = planted - pairs
+    assert len(missed) <= max(1, len(planted) // 10), f"missed {missed}"
+    # and nothing wildly dissimilar sneaks in: verify against exact Jaccard
+    sh = word_shingles(planted_docs)
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    shing = {}
+    for r in sh.collect():
+        shing.setdefault(r.doc_id, set()).add(r.sh)
+    for a, b in pairs:
+        inter = len(shing[a] & shing[b])
+        jac = inter / (sizes[a] + sizes[b] - inter)
+        assert jac >= 0.3, f"false positive pair ({a},{b}) exact jaccard={jac}"
+
+
+def test_simhash_finds_planted_dups(planted_docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_duplicates(planted_docs, max_hamming=3).collect()
+    }
+    planted = {
+        (r.doc_id, r.doc_id + PLANT)
+        for r in planted_docs.filter(
+            (F.col("doc_id") % 11 == 0) & (F.col("doc_id") < PLANT)
+        ).collect()
+    }
+    found = planted & pairs
+    # one appended token can flip >3 of 64 bits on short docs — SimHash
+    # recall at a tight Hamming radius is inherently partial; require a
+    # solid majority rather than perfection
+    assert len(found) >= len(planted) * 0.6, (
+        f"simhash found {len(found)}/{len(planted)} planted pairs"
+    )
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    others = emb.filter("vec_id <> 0")
+    exact = [r.vec_id for r in cosine_topk(others, q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in lsh_ann_topk(others, q, dim=len(q), k=10, max_hamming=8).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"ANN recall {recall} too low (exact={exact}, ann={approx})"
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    media = documents_to_media(load_table(spark, sf_dir, "documents"))
+    decoded = decode_media(media, feat_dim=16)
+    rows = decoded.collect()
+    assert len(rows) == media.count()
+    for r in rows[:20]:
+        assert len(r.feature) == 16
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+        if r.media_type == "image":
+            assert r.width is not None and r.n_frames == 1
+        if r.media_type == "audio":
+            assert r.width is None and r.n_frames >= 1
+    # deterministic: same input → same features
+    again = decode_media(media, feat_dim=16).collect()
+    assert {(r.media_id, tuple(r.feature)) for r in rows} == {
+        (r.media_id, tuple(r.feature)) for r in again
+    }
+
+
+def test_multimodal_real_decode_is_gated(spark, sf_dir):
+    media = documents_to_media(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError):
+        decode_media(media, real=True)

@@ -1,0 +1,114 @@
+"""Structured Streaming tests: availableNow runs compared against their
+batch twins, and the streaming ingest upsert chain."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.sources.alphavantage import (
+    default_fixture_docs,
+    make_fixture_doc,
+    write_fixture_landing,
+)
+from market_pulse_data_pipeline_spark.sources.tables import load_table
+from market_pulse_data_pipeline_spark.streaming.events import (
+    dedup_within_watermark,
+    session_windows,
+    windowed_counts,
+)
+from market_pulse_data_pipeline_spark.streaming.ingest import stream_landing_to_bronze
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events fixture rewritten as a micro-batched parquet directory with
+    µs timestamps (streaming file source input)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(spark, stream_df, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(f"mem_{os.path.basename(checkpoint)}")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM mem_{os.path.basename(checkpoint)}")
+
+
+def test_windowed_counts_matches_batch(spark, events_stream_dir, tmp_path):
+    ev_batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+
+    got = _run_stream(
+        spark, windowed_counts(stream, "1 hour"), str(tmp_path / "ck_win")
+    ).collect()
+    want = (
+        windowed_counts(ev_batch, "1 hour").collect()
+    )  # same function works on batch DataFrames
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_session_windows_stream(spark, events_stream_dir, tmp_path):
+    ev_batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    got = _run_stream(
+        spark, session_windows(stream, "30 minutes"), str(tmp_path / "ck_sess")
+    )
+    batch = session_windows(ev_batch, "30 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_dedup_within_watermark_stream(spark, events_stream_dir, tmp_path):
+    ev_batch = spark.read.parquet(events_stream_dir)
+    # duplicate the input: every event twice → dedup must halve it
+    dup_dir = str(tmp_path / "dup_events")
+    ev_batch.union(ev_batch).repartition(4).write.parquet(dup_dir)
+    stream = spark.readStream.schema(ev_batch.schema).parquet(dup_dir)
+    q = (
+        dedup_within_watermark(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("mem_dedup")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM mem_dedup").head()
+    assert got.n == ev_batch.count()
+    assert got.d == got.n
+
+
+def test_streaming_ingest_upsert(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "wh")
+    write_fixture_landing(landing, default_fixture_docs(n_days=10))
+    q = stream_landing_to_bronze(
+        spark, landing, warehouse, str(tmp_path / "ck_ingest")
+    )
+    q.awaitTermination(120)
+    bronze = spark.read.parquet(os.path.join(warehouse, "raw_alphavantage"))
+    assert bronze.count() == 10  # one row per symbol
+    assert {r.symbol for r in bronze.select("symbol").collect()} >= {"AAPL", "BRK-B"}
+
+    # second batch for one symbol → upsert keeps 10 rows, updates AAPL
+    write_fixture_landing(
+        landing, {"AAPL2": make_fixture_doc("AAPL", n_days=3, base_price=777.0)}
+    )
+    q2 = stream_landing_to_bronze(
+        spark, landing, warehouse, str(tmp_path / "ck_ingest")
+    )
+    q2.awaitTermination(120)
+    bronze2 = spark.read.parquet(os.path.join(warehouse, "raw_alphavantage"))
+    assert bronze2.count() == 10
+    aapl = bronze2.filter(F.col("symbol") == "AAPL").head()
+    assert len(aapl.data["Time Series (Daily)"]) == 3  # replaced wholesale (J2)
