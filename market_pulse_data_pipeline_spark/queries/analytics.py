@@ -1,0 +1,233 @@
+"""Analytical operator breadth: window frames, rollup, pivot, set ops,
+semi/anti subqueries, string & date scalar suites.
+
+The reference outsources all of this to Snowflake; a drop-in engine has
+to own it. Shapes chosen so the DuckDB oracle is exactly expressible
+(deterministic orders, decimal-exact window sums, tie-free ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import register, t
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "rolling_avg_7rows",
+    """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_suppkey, d, rev,
+           CAST(CAST(SUM(CAST(rev AS DECIMAL(20,2))) OVER w AS DOUBLE)
+                / COUNT(*) OVER w AS DOUBLE) AS rolling_avg
+    FROM daily
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    bench=True,
+    doc="rolling window frame (7-row moving average over per-day revenue); "
+    "pre-aggregated to daily so the frame ordering is unique → deterministic",
+)
+def rolling_avg_7rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    rolling = F.sum(F.col("rev").cast("decimal(20,2)")).over(w).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(w)
+    return daily.select(
+        "l_suppkey", "d", "rev", rolling.cast("double").alias("rolling_avg")
+    )
+
+
+@register(
+    "pivot_lang_counts",
+    f"""
+    SELECT source,
+           {', '.join(f"COUNT(CASE WHEN lang = '{lg}' THEN 1 END) AS n_{lg}" for lg in _LANGS)}
+    FROM documents GROUP BY source
+    """,
+    doc="pivot (long→wide) of per-source language counts; Spark-side uses "
+    "the native groupBy().pivot() operator",
+)
+def pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", _LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (source, lang) cell is empty; the CASE-count
+    # oracle yields 0 — align on 0
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).alias(f"n_{lg}") for lg in _LANGS],
+    )
+
+
+@register(
+    "rollup_qty",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(20,2))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (subtotals + grand total)",
+)
+def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "top3_per_supplier",
+    """
+    SELECT l_suppkey, l_extendedprice, rnk FROM (
+      SELECT l_suppkey, l_extendedprice,
+             DENSE_RANK() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC) AS rnk
+      FROM lineitem) x
+    WHERE rnk <= 3
+    """,
+    doc="top-N per group via dense_rank (value-determined, tie-stable)",
+)
+def top3_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("l_extendedprice").desc())
+    return (
+        li.select("l_suppkey", "l_extendedprice", F.dense_rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="EXISTS / left-semi join (beyond the reference's join surface)",
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "set_ops_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT set operation (nations with both customers and suppliers)",
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+@register(
+    "except_user_event_pairs",
+    """
+    SELECT user_id, event_type FROM events
+    EXCEPT
+    SELECT user_id, event_type FROM events WHERE value >= 50.0
+    """,
+    doc="EXCEPT set operation on a composite key: (user, event_type) "
+    "combinations that never carried a value ≥ 50",
+)
+def except_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").subtract(
+        ev.filter(F.col("value") >= 50.0).select("user_id", "event_type")
+    )
+
+
+@register(
+    "string_functions_suite",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 12)) AS head_upper,
+           length(text) AS n_chars_computed,
+           replace(substr(text, 1, 30), ' ', '_') AS head_snake,
+           concat(lang, ':', source) AS lang_source,
+           CAST(strpos(text, 'data') AS INTEGER) AS first_data_pos
+    FROM documents
+    """,
+    doc="string scalar suite: upper/substr/length/replace/concat/position "
+    "(1-based, identical across engines)",
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.length("text").alias("n_chars_computed"),
+        F.replace(
+            F.substring("text", 1, 30), F.lit(" "), F.lit("_")
+        ).alias("head_snake"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.instr(F.col("text"), "data").alias("first_data_pos"),
+    )
+
+
+@register(
+    "date_functions_suite",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    """,
+    doc="date scalar suite: year/month/day/quarter, date arithmetic, "
+    "month truncation",
+)
+def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    )
