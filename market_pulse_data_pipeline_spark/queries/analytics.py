@@ -178,6 +178,78 @@ def except_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_counts",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all subtotal combinations)",
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "lag_lead_weekly",
+    """
+    WITH weekly AS (
+      SELECT l_suppkey, CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_suppkey, wk, rev,
+           lag(rev) OVER w AS prev_rev,
+           lead(rev) OVER w AS next_rev,
+           CAST(rev - lag(rev) OVER w AS DOUBLE) AS wow_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY wk)
+    """,
+    doc="lag/lead window navigation over a unique-keyed weekly series "
+    "(week-over-week change)",
+)
+def lag_lead_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.scalars import week_start  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_suppkey", week_start(F.col("l_shipdate")).alias("wk")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("wk")
+    return weekly.select(
+        "l_suppkey",
+        "wk",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lead("rev").over(w).alias("next_rev"),
+        (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("wow_change"),
+    )
+
+
+@register(
+    "collect_sorted_event_types",
+    """
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+    FROM events GROUP BY user_id
+    """,
+    doc="array aggregation: per-user sorted distinct event-type list "
+    "(sort makes the multiset deterministic)",
+)
+def collect_sorted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types")
+    )
+
+
+@register(
     "string_functions_suite",
     """
     SELECT doc_id,

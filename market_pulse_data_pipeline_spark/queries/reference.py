@@ -367,6 +367,49 @@ def qc_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_explode_props",
+    """
+    SELECT event_id, 'k' AS map_key,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS map_value
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    doc="A1 exact form — MapType explode (Snowflake LATERAL FLATTEN of an "
+    "object): from_json to MAP<STRING,INT> then explode into (key, value) "
+    "rows (stg_alphavantage.sql:19-20)",
+)
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", T.MapType(T.StringType(), T.IntegerType())).alias("m"),
+    )
+    return parsed.select(
+        "event_id", F.explode("m").alias("map_key", "map_value")
+    ).filter(F.col("map_value").isNotNull())
+
+
+@register(
+    "variant_path_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_variant
+    FROM events
+    """,
+    doc="P1 on a true VARIANT column (Spark 4 VariantType): parse_json + "
+    "variant_get path access — the engine-native form of Snowflake "
+    "DATA:path (minio_to_snowflake.py:45)",
+)
+def variant_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k_variant"),
+    )
+
+
+@register(
     "qc_anti_join_orphans",
     """
     SELECT COUNT(*) AS orphan_count FROM lineitem l
