@@ -38,8 +38,14 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, sh) — distinct word n-grams, built JVM-side."""
+def word_shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, sh) — word n-grams, built JVM-side.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is multiset-invariant (MinHash: min over a multiset equals
+    min over its set)."""
     toks = docs.select("doc_id", F.split(text_col, " ").alias("ws")).filter(
         F.size("ws") >= n
     )
@@ -49,16 +55,17 @@ def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
             " ", *[F.col("ws")[i + j] for j in range(n)]
         ),
     )
-    return toks.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    out = toks.select("doc_id", F.explode(sh).alias("sh"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
     shingles: DataFrame, num_perm: int = 64, seed: int = 42
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>) — one pass: xxhash64 each shingle, then
-    num_perm min-aggregations of (a*h+b) mod p (universal hashing).
-
-    ``pmod`` keeps the value non-negative (xxhash64 is signed)."""
+    """(doc_id, sig array<bigint>) from exploded (doc_id, sh) rows:
+    xxhash64 each shingle, then num_perm min-aggregations of (a*h+b) mod p
+    (universal hashing). ``pmod`` keeps values non-negative (xxhash64 is
+    signed). One shuffle on doc_id."""
     h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
     hashed = shingles.select("doc_id", h.alias("h"))
     aggs = [
@@ -73,13 +80,58 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_maponly(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Shuffle-FREE signatures: the whole doc→signature computation is one
+    projection — shingle array → hash array → per-permutation
+    array_min(transform(...)). Identical output to minhash_signatures
+    (min over a multiset == min over its set), but map-only: at 100 TB
+    there is no exploded shingle shuffle at all."""
+    toks = docs.select("doc_id", F.split(text_col, " ").alias("ws")).filter(
+        F.size("ws") >= n
+    )
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(" ", *[F.col("ws")[i + j] for j in range(n)]),
+    )
+    hashes = toks.select(
+        "doc_id",
+        F.transform(
+            shingle_arr, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        ).alias("hs"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hs",
+                    lambda h: F.pmod(
+                        F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)
+                    ),
+                )
+            )
+            for (a, b) in _perm_params(num_perm, seed)
+        ]
+    )
+    return hashes.select("doc_id", sig.alias("sig"))
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int | None = None
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int | None = None,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidates — docs whose signature slice collides in
     at least one band. Bucketed self-join: the shuffle key is
     (band, band_hash), never the full cross product."""
-    num_perm = len(signatures.select("sig").head()["sig"])
+    if num_perm is None:  # fallback probe; callers should pass it
+        num_perm = len(signatures.select("sig").head()["sig"])
     rows_per_band = rows_per_band or num_perm // bands
     band_entries = signatures.select(
         "doc_id",
@@ -121,8 +173,11 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) — LSH candidates verified by the
     estimated Jaccard (matching-component fraction ≥ threshold)."""
-    sig = minhash_signatures(word_shingles(docs, text_col), num_perm, seed)
-    cand = lsh_candidate_pairs(sig, bands)
+    # cache: the signature table feeds three consumers (band entries and
+    # both sides of the verification join) — without it the map-only
+    # lineage recomputes per consumer
+    sig = minhash_signatures_maponly(docs, text_col, 3, num_perm, seed).cache()
+    cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
