@@ -61,13 +61,21 @@ def merge_last_write_wins(
     )
 
 
-def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
+def atomic_overwrite_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
     """Write-new-then-swap so readers never observe a half-written table
     (and so ``upsert_by_key(read(path), delta)`` can safely rewrite the
     very path it read from — Spark cannot overwrite an input in place).
+
+    ``partition_by`` hive-partitions the table — at scale, partition
+    pruning on those columns turns full scans into directory-pruned reads.
     """
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     if os.path.exists(path):
         old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
         os.rename(path, old)

@@ -57,6 +57,9 @@ def build_runner(spark: SparkSession, warehouse_dir: str) -> ModelRunner:
             "fact_stock_prices",
             ["stg_alphavantage", "dim_stock"],
             build_fact_stock_prices,
+            # symbol-partitioned: per-symbol reads (the dominant access
+            # pattern downstream) prune to one directory
+            partition_by=["symbol"],
         )
     )
     runner.add(Model("agg_weekly_prices", ["fact_stock_prices"], build_agg_weekly_prices))

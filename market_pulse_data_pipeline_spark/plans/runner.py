@@ -27,6 +27,7 @@ class Model:
     deps: list[str]
     build: Callable[..., DataFrame]  # receives dep DataFrames in deps order
     materialize: bool = True
+    partition_by: list[str] | None = None  # hive partitioning for pruning
 
 
 @dataclass
@@ -54,7 +55,7 @@ class ModelRunner:
             df = model.build(*[built[d] for d in model.deps])
             if model.materialize:
                 path = self.table_path(name)
-                atomic_overwrite_parquet(df, path)
+                atomic_overwrite_parquet(df, path, model.partition_by)
                 df = self.spark.read.parquet(path)
             built[name] = df
         return built
