@@ -19,7 +19,24 @@ from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
 _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions we didn't build (the driver
+    constructs its own): nanos-parquet readability and UTC semantics for
+    timestamp↔local conversions (matches the DuckDB oracle's naive
+    timestamps). Both are runtime-settable SQLConfs; idempotent."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(key, None) != val:
+                spark.conf.set(key, val)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
