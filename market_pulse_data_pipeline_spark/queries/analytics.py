@@ -178,6 +178,21 @@ def except_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_parts",
+    None,
+    doc="HyperLogLog approximate COUNT DISTINCT per supplier (sketch "
+    "aggregates are engine-specific → rows-only; pytest bounds the error "
+    "vs exact)",
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "cube_counts",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n

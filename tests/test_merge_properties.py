@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the upsert/merge operators —
+the reference's core stateful semantics (SURVEY §2.3 J2/J3):
+
+- upsert_by_key: keys(result) = keys(old) ∪ keys(new); new wins on
+  overlap; old-only rows pass through untouched; idempotent.
+- merge_last_write_wins: equals the dict-update semantics of the
+  reference's ``existing.update(new)`` (get_stock.py:88-97).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from market_pulse_data_pipeline_spark.operators.merge import (
+    merge_last_write_wins,
+    upsert_by_key,
+)
+
+KEYS = st.integers(min_value=0, max_value=20)
+VALS = st.integers(min_value=-1000, max_value=1000)
+BATCH = st.lists(st.tuples(KEYS, VALS), max_size=30)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v) for k, v in rows], "k int, v int"
+    )
+
+
+def _dedup_last(rows):
+    out = {}
+    for k, v in rows:
+        out[k] = v
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old=BATCH, new=BATCH)
+def test_upsert_by_key_is_dict_update(spark, old, new):
+    # upsert operates on unique-keyed tables (bronze invariant) — dedup
+    # inputs the same way the pipeline does before upserting
+    old_m, new_m = _dedup_last(old), _dedup_last(new)
+    result = upsert_by_key(
+        _df(spark, old_m.items()), _df(spark, new_m.items()), "k"
+    ).collect()
+    got = {r.k: r.v for r in result}
+    want = {**old_m, **new_m}  # dict-update: new wins
+    assert got == want
+    assert len(result) == len(want)  # key uniqueness preserved
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old=BATCH, new=BATCH)
+def test_upsert_idempotent(spark, old, new):
+    old_m, new_m = _dedup_last(old), _dedup_last(new)
+    old_df, new_df = _df(spark, old_m.items()), _df(spark, new_m.items())
+    once = upsert_by_key(old_df, new_df, "k")
+    twice = upsert_by_key(once, new_df, "k")
+    assert sorted((r.k, r.v) for r in once.collect()) == sorted(
+        (r.k, r.v) for r in twice.collect()
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old=BATCH, new=BATCH)
+def test_merge_last_write_wins_matches_dict_semantics(spark, old, new):
+    old_m, new_m = _dedup_last(old), _dedup_last(new)
+    got = {
+        r.k: r.v
+        for r in merge_last_write_wins(
+            _df(spark, old_m.items()), _df(spark, new_m.items()), ["k"]
+        ).collect()
+    }
+    assert got == {**old_m, **new_m}
