@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 31) - 1
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's parallelism when the
+    input arrived under-partitioned (e.g. one small parquet file): the
+    compute-heavy map-only stages (signatures, projections) otherwise run
+    on a single core. No-op when the input is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -176,7 +187,9 @@ def minhash_near_duplicates(
     # cache: the signature table feeds three consumers (band entries and
     # both sides of the verification join) — without it the map-only
     # lineage recomputes per consumer
-    sig = minhash_signatures_maponly(docs, text_col, 3, num_perm, seed).cache()
+    sig = minhash_signatures_maponly(
+        fan_out(docs), text_col, 3, num_perm, seed
+    ).cache()
     cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -207,7 +220,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-bit sums. Implemented as 64 conditional-sum aggregations in one
     hash-aggregate pass (JVM-side, no UDF).
     """
-    tok = docs.select(
+    tok = fan_out(docs).select(
         "doc_id", F.explode(F.split(text_col, " ")).alias("w")
     ).select("doc_id", F.xxhash64("w").alias("h"))
     def bit_mask(i: int) -> int:

@@ -58,6 +58,9 @@ def add_lsh_signature(
 ) -> DataFrame:
     """Adds ``lsh_sig`` (bigint): sign bits of projections onto fixed
     random hyperplanes. Arrow-batched numpy matmul per partition."""
+    from market_pulse_data_pipeline_spark.functions.dedup import fan_out  # noqa: PLC0415
+
+    emb = fan_out(emb)
     planes = _planes(dim, n_planes, seed)
 
     @pandas_udf(T.LongType())
