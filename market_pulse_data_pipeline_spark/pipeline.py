@@ -50,7 +50,14 @@ def build_runner(spark: SparkSession, warehouse_dir: str) -> ModelRunner:
     raw → stg_alphavantage → {dim_stock, fact_stock_prices} → agg_weekly_prices.
     """
     runner = ModelRunner(spark, warehouse_dir)
-    runner.add(Model("stg_alphavantage", ["raw_alphavantage"], stage_alphavantage))
+    runner.add(
+        Model(
+            "stg_alphavantage",
+            ["raw_alphavantage"],
+            stage_alphavantage,
+            schema="staging",
+        )
+    )
     runner.add(Model("dim_stock", ["stg_alphavantage"], build_dim_stock))
     runner.add(
         Model(

@@ -28,6 +28,10 @@ class Model:
     build: Callable[..., DataFrame]  # receives dep DataFrames in deps order
     materialize: bool = True
     partition_by: list[str] | None = None  # hive partitioning for pruning
+    # catalog schema when materializing as managed tables — mirrors the
+    # reference's dbt schema split: staging models → `staging`, marts →
+    # `analytics` (dbt_project.yml:4-10)
+    schema: str = "analytics"
 
 
 @dataclass
@@ -42,10 +46,18 @@ class ModelRunner:
     def table_path(self, name: str) -> str:
         return os.path.join(self.warehouse_dir, name)
 
-    def run(self, sources: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    def run(
+        self, sources: dict[str, DataFrame], to_catalog: bool = False
+    ) -> dict[str, DataFrame]:
         """Build every model in topological order; returns name → DataFrame
-        (re-read from parquet when materialized, so downstream models scan
-        columnar storage instead of recomputing lineage)."""
+        (re-read from storage when materialized, so downstream models scan
+        columnar storage instead of recomputing lineage).
+
+        ``to_catalog=True`` materializes as managed catalog tables
+        (``CREATE DATABASE IF NOT EXISTS`` + ``saveAsTable``, i.e. the
+        reference's warehouse-DDL + dbt CTAS path, S6/S7); otherwise
+        atomic parquet overwrite under ``warehouse_dir``.
+        """
         graph = {name: set(m.deps) for name, m in self.models.items()}
         built: dict[str, DataFrame] = dict(sources)
         for name in TopologicalSorter(graph).static_order():
@@ -53,7 +65,15 @@ class ModelRunner:
                 continue
             model = self.models[name]
             df = model.build(*[built[d] for d in model.deps])
-            if model.materialize:
+            if model.materialize and to_catalog:
+                fq = f"{model.schema}.{name}"
+                self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {model.schema}")
+                writer = df.write.mode("overwrite")
+                if model.partition_by:
+                    writer = writer.partitionBy(*model.partition_by)
+                writer.saveAsTable(fq)
+                df = self.spark.table(fq)
+            elif model.materialize:
                 path = self.table_path(name)
                 atomic_overwrite_parquet(df, path, model.partition_by)
                 df = self.spark.read.parquet(path)

@@ -178,6 +178,27 @@ def except_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentiles_by_event_type",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="exact interpolated percentiles (verified bit-identical to "
+    "DuckDB quantile_cont: same sort + linear interpolation)",
+)
+def percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@register(
     "approx_distinct_parts",
     None,
     doc="HyperLogLog approximate COUNT DISTINCT per supplier (sketch "

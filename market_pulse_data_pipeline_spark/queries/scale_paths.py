@@ -128,6 +128,31 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "market_pulse_end_to_end",
+    None,
+    doc="the reference pipeline itself, end-to-end on deterministic "
+    "Alpha Vantage fixtures: landing JSON → bronze upsert → stg (flatten"
+    "+cast) → dim (CASE) → fact (broadcast join + metrics) → weekly agg; "
+    "returns agg_weekly_prices — rows-only (fixtures are not DuckDB "
+    "views); golden-value assertions live in tests/test_pipeline.py",
+)
+def market_pulse_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+
+    from market_pulse_data_pipeline_spark.pipeline import run_pipeline  # noqa: PLC0415
+    from market_pulse_data_pipeline_spark.sources.alphavantage import (  # noqa: PLC0415
+        default_fixture_docs,
+        write_fixture_landing,
+    )
+
+    root = tempfile.mkdtemp(prefix="mp_e2e_")
+    landing = f"{root}/landing"
+    write_fixture_landing(landing, default_fixture_docs(n_days=60))
+    tables, _ = run_pipeline(spark, landing, f"{root}/warehouse")
+    return tables["agg_weekly_prices"]
+
+
+@register(
     "media_decode_features",
     None,
     doc="multimodal decode plumbing: binary → feature vector + dims via "
