@@ -68,6 +68,18 @@ class ModelRunner:
             if model.materialize and to_catalog:
                 fq = f"{model.schema}.{name}"
                 self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {model.schema}")
+                self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
+                # an in-memory catalog forgets managed tables across
+                # sessions while their warehouse locations persist; clear
+                # any orphaned location so saveAsTable is CREATE OR REPLACE
+                wh = self.spark.conf.get("spark.sql.warehouse.dir", "")
+                if wh.startswith(("file:", "/")):
+                    import shutil  # noqa: PLC0415
+
+                    loc = os.path.join(
+                        wh.removeprefix("file:"), f"{model.schema}.db", name
+                    )
+                    shutil.rmtree(loc, ignore_errors=True)
                 writer = df.write.mode("overwrite")
                 if model.partition_by:
                     writer = writer.partitionBy(*model.partition_by)
