@@ -106,6 +106,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND l.l_shipdate > o.o_orderdate)
     GROUP BY o_orderpriority
     """,
+    bench=True,
     doc="correlated EXISTS → left-semi join + agg (TPC-H Q4 shape)",
 )
 def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +171,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l_linestatus
     """,
+    bench=True,
     doc="join + conditional counts (TPC-H Q12 shape)",
 )
 def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
