@@ -65,10 +65,32 @@ def round_sum(col: Column, scale: int = 6, digits: int = 2) -> Column:
     return F.round(F.sum(col.cast(f"decimal(20,{scale})")), digits).cast("double")
 
 
+def round_div(numer: Column, denom: Column, digits: int = 4) -> Column:
+    """Deterministically rounded quotient of two identically-computed
+    operands.
+
+    The quotient itself is bit-identical across engines (same IEEE
+    division), but rounding it as a DOUBLE is not: when the divisor is a
+    power of two the quotient is EXACT with a terminating decimal
+    expansion, landing precisely on rounding ties — where Spark
+    (BigDecimal half-up) and DuckDB (x*10^d float path) disagree.
+    Routing through DECIMAL(28, digits+4) first makes the tie a decimal
+    tie, which both engines round half-away-from-zero identically.
+    """
+    q = (numer / denom).cast(f"decimal(28,{digits + 4})")
+    return F.round(q, digits).cast("double")
+
+
+def sql_round_div(numer: str, denom: str, digits: int = 4) -> str:
+    return (
+        f"CAST(ROUND(CAST(({numer}) / ({denom}) AS DECIMAL(28,{digits + 4})), "
+        f"{digits}) AS DOUBLE)"
+    )
+
+
 def round_avg(col: Column, scale: int = 6, digits: int = 4) -> Column:
-    """AVG as exact-sum / count — deterministic across engines (a single
-    IEEE division of identical operands)."""
-    return F.round(exact_sum(col, scale) / F.count(F.lit(1)), digits)
+    """AVG as exact-sum / count, rounded via the decimal-quotient route."""
+    return round_div(exact_sum(col, scale), F.count(F.lit(1)), digits)
 
 
 def sql_exact_sum(expr: str, scale: int = 6) -> str:
@@ -83,4 +105,4 @@ def sql_round_sum(expr: str, scale: int = 6, digits: int = 2) -> str:
 
 
 def sql_round_avg(expr: str, scale: int = 6, digits: int = 4) -> str:
-    return f"ROUND({sql_exact_sum(expr, scale)} / COUNT(*), {digits})"
+    return sql_round_div(sql_exact_sum(expr, scale), "COUNT(*)", digits)

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_pulse_data_pipeline_spark.queries.common import register, t
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_div,
+    sql_round_div,
+    t,
+)
 
 _JACCARD_THRESHOLD = 0.02
 _SAMPLE_MOD = 7  # deterministic doc sample: doc_id % 7 == 0
@@ -74,7 +79,8 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, intersection,
-           ROUND(intersection * 1.0 / (sa.n + sb.n - intersection), 6) AS jaccard
+           {sql_round_div('intersection * 1.0',
+                          'sa.n + sb.n - intersection', 6)} AS jaccard
     FROM pairs
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -115,6 +121,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "intersection",
-            F.round(jac, 6).alias("jaccard"),
+            round_div(
+                F.col("intersection") * F.lit(1.0),
+                F.col("sa.n") + F.col("sb.n") - F.col("intersection"),
+                6,
+            ).alias("jaccard"),
         )
     )

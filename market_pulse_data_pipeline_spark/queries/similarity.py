@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_pulse_data_pipeline_spark.queries.common import register, t
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_div,
+    sql_round_div,
+    t,
+)
 
 _QUERY_VEC_ID = 0
 _TOP_K = 10
@@ -67,11 +72,15 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_label_centroid_norm",
-    """
+    f"""
     SELECT label, COUNT(*) AS n_vectors,
-           ROUND(CAST(SUM(CAST(
-             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))
-             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_sq_norm
+           {sql_round_div(
+               "CAST(SUM(CAST(list_sum(list_transform("
+               "CAST(embedding AS DOUBLE[]), x -> x * x)) "
+               "AS DECIMAL(18,6))) AS DOUBLE)",
+               "COUNT(*)",
+               4,
+           )} AS avg_sq_norm
     FROM embeddings GROUP BY label
     """,
     doc="per-label embedding stats (avg squared L2 norm) — array aggregate "
@@ -85,7 +94,7 @@ def embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(
-            F.sum(sq.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        round_div(
+            F.sum(sq.cast("decimal(18,6)")).cast("double"), F.count(F.lit(1)), 4
         ).alias("avg_sq_norm"),
     )

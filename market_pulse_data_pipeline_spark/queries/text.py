@@ -10,11 +10,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_pulse_data_pipeline_spark.queries.common import register, t
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_div,
+    sql_round_div,
+    t,
+)
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _FP_MOD = 1_000_000_007
+_NTOK = "len(string_split(text, ' '))"
+_NSTOP = f"len(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL})))"
 
 
 @register(
@@ -34,16 +41,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     f"""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-           ROUND((length(text) - len(string_split(text, ' ')) + 1) * 1.0
-                 / len(string_split(text, ' ')), 4) AS avg_token_len,
-           ROUND(len(list_filter(string_split(text, ' '),
-                                 w -> w IN ({_SW_SQL}))) * 1.0
-                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
-           CASE WHEN len(string_split(text, ' ')) >= 20
-                 AND len(list_filter(string_split(text, ' '),
-                                     w -> w IN ({_SW_SQL}))) * 1.0
-                     / len(string_split(text, ' ')) >= 0.01
+           CAST({_NTOK} AS INTEGER) AS n_tokens,
+           {sql_round_div(f"(length(text) - {_NTOK} + 1) * 1.0", _NTOK, 4)}
+             AS avg_token_len,
+           {sql_round_div(f"{_NSTOP} * 1.0", _NTOK, 4)} AS stopword_ratio,
+           CASE WHEN {_NTOK} >= 20
+                 AND {_NSTOP} * 1.0 / {_NTOK} >= 0.01
                 THEN 'keep' ELSE 'filter' END AS quality_label
     FROM documents
     """,
@@ -55,8 +58,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
-    avg_len = F.round((F.length("text") - n_tokens + 1) * F.lit(1.0) / n_tokens, 4)
-    stop_ratio = F.round(n_stop * F.lit(1.0) / n_tokens, 4)
+    avg_len = round_div((F.length("text") - n_tokens + 1) * F.lit(1.0), n_tokens, 4)
+    stop_ratio = round_div(n_stop * F.lit(1.0), n_tokens, 4)
     label = F.when(
         (n_tokens >= 20) & (n_stop * F.lit(1.0) / n_tokens >= 0.01), "keep"
     ).otherwise("filter")
@@ -71,9 +74,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_lang_stats",
-    """
+    f"""
     SELECT lang, COUNT(*) AS n_docs,
-           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+           {sql_round_div('CAST(SUM(n_chars) AS DOUBLE)', 'COUNT(*)', 4)}
+             AS avg_chars
     FROM documents GROUP BY lang
     """,
     doc="per-language corpus stats (exact integer sums → deterministic avg)",
@@ -82,7 +86,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias(
+        round_div(F.sum("n_chars").cast("double"), F.count(F.lit(1)), 4).alias(
             "avg_chars"
         ),
     )
