@@ -128,6 +128,22 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_assignment",
+    None,
+    doc="iterative connected-components over the MinHash near-dup graph "
+    "→ (doc, cluster, size, kept-representative) — the cluster-and-keep "
+    "step of fuzzy dedup; label propagation with per-round lineage "
+    "truncation — rows-only (iterative, not SQL-expressible)",
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.graph import dedup_clusters  # noqa: PLC0415
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return dedup_clusters(pairs).orderBy("cluster_id", "doc_id")
+
+
+@register(
     "market_pulse_end_to_end",
     None,
     doc="the reference pipeline itself, end-to-end on deterministic "

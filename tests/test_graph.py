@@ -1,0 +1,57 @@
+"""Connected components / dedup clustering."""
+
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.functions.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_connected_components_basic(spark):
+    # two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21}
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)])
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # diameter > a few hops: 0-1-2-...-12 collapses to component 0
+    edges = _edges(spark, [(i, i + 1) for i in range(12)])
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_dedup_clusters_keep_one(spark):
+    edges = _edges(spark, [(5, 6), (6, 7), (30, 31)])
+    rows = dedup_clusters(edges, "src", "dst").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sorted(by_cluster) == [5, 30]
+    assert {r.doc_id for r in by_cluster[5]} == {5, 6, 7}
+    kept = [r.doc_id for r in rows if r.is_kept]
+    assert sorted(kept) == [5, 30]  # exactly one representative each
+    assert all(r.cluster_size == 3 for r in by_cluster[5])
+
+
+def test_dedup_clusters_on_planted_dups(spark, sf_dir):
+    from market_pulse_data_pipeline_spark.queries import all_queries
+
+    rows = all_queries()["dedup_cluster_assignment"].spark(spark, sf_dir).collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+    # every planted copy (doc_id >= 1e6) must share a cluster with its source
+    planted = [r.doc_id for r in rows if r.doc_id >= 1_000_000]
+    assert planted, "no planted docs clustered"
+    ok = sum(
+        1
+        for d in planted
+        if any(d in members and (d - 1_000_000) in members for members in clusters.values())
+    )
+    assert ok >= len(planted) * 0.9
