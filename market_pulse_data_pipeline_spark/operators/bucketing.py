@@ -1,0 +1,54 @@
+"""Bucketed tables for co-located joins.
+
+When two large tables are repeatedly joined on the same key (fact↔fact
+joins like lineitem↔orders, where neither side broadcasts), bucketing
+both sides by that key at write time pre-shuffles the data ONCE: every
+subsequent join is exchange-free — each task zips matching buckets.
+At 100 TB this converts a per-query multi-TB shuffle into a one-time
+layout cost.
+
+Buckets also bound file counts (``n_buckets`` files per write task
+group) and feed Spark's bucketed scan (`spark.sql.sources.bucketing.
+enabled`, on by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 8,
+    sort_cols: list[str] | str | None = None,
+) -> None:
+    """Materialize as a bucketed (optionally sorted) managed table.
+    Sorting within buckets additionally enables exchange-AND-sort-free
+    sort-merge joins."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle exchange — the
+    property bucketed joins eliminate (used by tests/benchmarks as the
+    co-location assertion)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str] | str
+) -> DataFrame:
+    """Join two same-bucketed tables — planner sees compatible output
+    partitionings and drops both exchanges."""
+    return spark.table(left_table).join(spark.table(right_table), on)
