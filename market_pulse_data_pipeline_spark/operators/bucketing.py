@@ -47,8 +47,22 @@ def plan_has_shuffle(df: DataFrame) -> bool:
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: list[str] | str
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str] | str,
+    force_smj: bool = False,
 ) -> DataFrame:
     """Join two same-bucketed tables — planner sees compatible output
-    partitionings and drops both exchanges."""
-    return spark.table(left_table).join(spark.table(right_table), on)
+    partitionings and drops both exchanges.
+
+    ``force_smj`` merge-hints both sides so the co-located sort-merge
+    path is demonstrable even when one side is small enough that the
+    planner would otherwise broadcast (which also avoids a shuffle, but
+    proves nothing about bucketing)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    if force_smj:
+        left = left.hint("merge")
+        right = right.hint("merge")
+    return left.join(right, on)

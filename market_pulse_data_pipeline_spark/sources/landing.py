@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.schemas import ALPHAVANTAGE_DOC_SCHEMA
@@ -65,7 +65,7 @@ def landing_to_raw(docs: DataFrame) -> DataFrame:
     default (minio_to_snowflake.py:46); it is excluded from oracle-checked
     output columns.
     """
-    return docs.select(
+    raw = docs.select(
         normalize_symbol_col(F.col("`Meta Data`").getField("2. Symbol")).alias("symbol"),
         F.struct(
             F.col("`Meta Data`").alias("Meta Data"),
@@ -79,4 +79,18 @@ def landing_to_raw(docs: DataFrame) -> DataFrame:
         # presence filter: keep only documents that actually carry the series
         # (reference get_stock.py:64-68)
         F.col("data").getField("Time Series (Daily)").isNotNull()
+    )
+    # two landed objects can normalize to the same symbol within one batch
+    # (reference processes objects serially, so the later MERGE wins,
+    # minio_to_snowflake.py:56-75); pick one deterministically: freshest
+    # "3. Last Refreshed", then the larger document
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("data").getField("Meta Data").getField("3. Last Refreshed").desc_nulls_last(),
+        F.length("data_json").desc(),
+        F.col("data_json"),
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -24,9 +24,14 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     write_bucketed(li, "bucketed.li_b", "l_orderkey", 8, "l_orderkey")
     write_bucketed(orders, "bucketed.ord_b", "l_orderkey", 8, "l_orderkey")
 
-    joined = bucketed_join(spark, "bucketed.li_b", "bucketed.ord_b", "l_orderkey")
-    # co-located: no exchange anywhere in the join plan
-    assert not plan_has_shuffle(joined), joined._jdf.queryExecution().executedPlan().toString()
+    joined = bucketed_join(
+        spark, "bucketed.li_b", "bucketed.ord_b", "l_orderkey", force_smj=True
+    )
+    # co-located: a sort-merge join with no exchange anywhere in the plan
+    # (force_smj rules out the trivially-shuffle-free broadcast path)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert not plan_has_shuffle(joined), plan
 
     # and the result is identical to the plain join
     got = joined.agg(

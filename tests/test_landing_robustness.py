@@ -53,3 +53,18 @@ def test_empty_doc_json_roundtrip(spark, tmp_path):
         json.dump({}, f)
     raw = landing_to_raw(read_landing_json(spark, landing))
     assert raw.count() == 0
+
+
+def test_same_symbol_twice_in_one_batch_is_deduped(spark, tmp_path):
+    """Two landed objects normalizing to the same symbol → one bronze row,
+    the fresher document winning (mirrors the reference's serial MERGE
+    order where the later object overwrites)."""
+    landing = str(tmp_path / "landing")
+    older = make_fixture_doc("AAPL", n_days=5, end="2025-10-10")
+    newer = make_fixture_doc("AAPL", n_days=5, end="2025-10-16", base_price=888.0)
+    write_landing_doc(landing, "AAPL", older)
+    write_landing_doc(landing, "AAPL_refetch", newer)
+    raw = landing_to_raw(read_landing_json(spark, landing))
+    rows = raw.collect()
+    assert len(rows) == 1
+    assert rows[0].data["Meta Data"]["3. Last Refreshed"] == "2025-10-16"
