@@ -178,6 +178,26 @@ def except_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regex_extract_props",
+    r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_regex,
+           regexp_matches(props, '"k": \d\d+') AS k_two_digits
+    FROM events
+    """,
+    doc="regex scalar surface: group extraction + boolean match (pattern "
+    "kept in the RE2∩Java-regex common subset)",
+)
+def regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_regex"),
+        F.col("props").rlike(r'"k": \d\d+').alias("k_two_digits"),
+    )
+
+
+@register(
     "percentiles_by_event_type",
     """
     SELECT event_type,

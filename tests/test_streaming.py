@@ -112,3 +112,27 @@ def test_streaming_ingest_upsert(spark, tmp_path):
     assert bronze2.count() == 10
     aapl = bronze2.filter(F.col("symbol") == "AAPL").head()
     assert len(aapl.data["Time Series (Daily)"]) == 3  # replaced wholesale (J2)
+
+
+def test_incremental_streaming_pipeline(spark, tmp_path):
+    """Full streaming twin of the DAG: two incremental cycles — the second
+    only ingests the new file and marts reflect the merged state."""
+    from market_pulse_data_pipeline_spark.streaming.pipeline import run_incremental
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "wh")
+    ck = str(tmp_path / "ck")
+    write_fixture_landing(landing, default_fixture_docs(n_days=10))
+    tables1, qc1 = run_incremental(spark, landing, wh, ck)
+    assert tables1["stg_alphavantage"].count() == 100  # 10 symbols x 10 days
+    assert all(r.passed for r in qc1)
+
+    # second cycle: one new file for a NEW symbol
+    write_fixture_landing(
+        landing, {"NEWCO": make_fixture_doc("NEWCO", n_days=10)}
+    )
+    tables2, qc2 = run_incremental(spark, landing, wh, ck)
+    assert tables2["raw_alphavantage"].count() == 11
+    assert tables2["stg_alphavantage"].count() == 110
+    assert tables2["dim_stock"].filter(F.col("symbol") == "NEWCO").count() == 1
+    assert all(r.passed for r in qc2)
