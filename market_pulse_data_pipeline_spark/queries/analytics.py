@@ -178,6 +178,55 @@ def except_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bool_aggregates",
+    """
+    SELECT event_type,
+           bool_and(value >= 0.0) AS all_nonneg,
+           bool_or(value > 99.0) AS any_high,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="boolean aggregates (bool_and / bool_or)",
+)
+def bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99.0).alias("any_high"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "variance_by_event_type",
+    """
+    SELECT event_type,
+           CAST(ROUND(CAST(
+             (CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+              - CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS var_value
+    FROM events GROUP BY event_type
+    """,
+    doc="sample variance via the explicit sum-of-squares formula over "
+    "exact decimal sums — deterministic where the built-in stddev's "
+    "order-dependent double accumulation is not",
+)
+def variance_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    s = F.sum((F.col("value")).cast("decimal(28,8)")).cast("double")
+    sq = F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)")).cast(
+        "double"
+    )
+    n = F.count(F.lit(1))
+    var = (sq - s * s / n) / (n - 1)
+    return ev.groupBy("event_type").agg(
+        F.round(var.cast("decimal(28,8)"), 4).cast("double").alias("var_value")
+    )
+
+
+@register(
     "regex_extract_props",
     r"""
     SELECT event_id,
