@@ -178,6 +178,52 @@ def except_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekly_ohlc",
+    """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_suppkey, CAST(date_trunc('week', d) AS DATE) AS week_start,
+           arg_min(rev, d) AS open_rev,
+           max(rev) AS high_rev,
+           min(rev) AS low_rev,
+           arg_max(rev, d) AS close_rev,
+           CAST(ROUND(SUM(CAST(rev AS DECIMAL(20,2))), 2) AS DOUBLE) AS total_rev
+    FROM daily GROUP BY 1, 2
+    """,
+    bench=True,
+    doc="OHLC candlestick resampling (the market-data engine's signature "
+    "shape): first/last-by-date via min_by/max_by over a unique daily "
+    "grid, plus high/low/total — all one hash-aggregate pass",
+)
+def weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.scalars import week_start  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    return daily.groupBy(
+        "l_suppkey", week_start(F.col("d")).alias("week_start")
+    ).agg(
+        F.min_by("rev", "d").alias("open_rev"),
+        F.max("rev").alias("high_rev"),
+        F.min("rev").alias("low_rev"),
+        F.max_by("rev", "d").alias("close_rev"),
+        F.round(F.sum(F.col("rev").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("total_rev"),
+    )
+
+
+@register(
     "bool_aggregates",
     """
     SELECT event_type,
