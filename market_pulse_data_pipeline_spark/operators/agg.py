@@ -28,3 +28,22 @@ def build_agg_weekly_prices(fact: DataFrame) -> DataFrame:
             F.avg("percent_change").alias("avg_percent_change"),
         )
     )
+
+
+def build_agg_weekly_ohlc(fact: DataFrame) -> DataFrame:
+    """Weekly OHLC candlesticks — an additive mart beyond the reference's
+    avg-only rollup (the natural resample for market data): week open =
+    first trading day's open, close = last day's close, high/low =
+    extremes, volume = total. first/last via min_by/max_by on
+    trading_date, which is unique per (symbol, week) — one hash-aggregate
+    pass, no window shuffle."""
+    return fact.groupBy(
+        "symbol", week_start(F.col("trading_date")).alias("week_start")
+    ).agg(
+        F.min_by("open", "trading_date").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "trading_date").alias("close"),
+        F.sum("volume").alias("volume"),
+        F.count(F.lit(1)).alias("n_trading_days"),
+    )

@@ -12,7 +12,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from market_pulse_data_pipeline_spark.operators.agg import build_agg_weekly_prices
+from market_pulse_data_pipeline_spark.operators.agg import (
+    build_agg_weekly_ohlc,
+    build_agg_weekly_prices,
+)
 from market_pulse_data_pipeline_spark.operators.dim import build_dim_stock
 from market_pulse_data_pipeline_spark.operators.fact import build_fact_stock_prices
 from market_pulse_data_pipeline_spark.operators.merge import (
@@ -70,6 +73,8 @@ def build_runner(spark: SparkSession, warehouse_dir: str) -> ModelRunner:
         )
     )
     runner.add(Model("agg_weekly_prices", ["fact_stock_prices"], build_agg_weekly_prices))
+    # additive mart (not in the reference): weekly OHLC candlesticks
+    runner.add(Model("agg_weekly_ohlc", ["fact_stock_prices"], build_agg_weekly_ohlc))
     return runner
 
 

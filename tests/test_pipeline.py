@@ -107,3 +107,35 @@ def test_upsert_idempotent_and_last_write_wins(spark, pipeline_out):
     # other symbols untouched
     assert stg2.count() == before + 5
     assert [r for r in qc2 if not r.passed] == []
+
+
+def test_agg_weekly_ohlc(spark, pipeline_out):
+    """Weekly OHLC: open = first day's open, close = last day's close,
+    high/low bracket them, volume sums.
+
+    Reads from the warehouse path (not the fixture's DataFrames): the
+    upsert test re-runs the pipeline, which atomically swaps the table
+    directories out from under the fixture's cached references."""
+    _, _, _, warehouse = pipeline_out
+    ohlc = spark.read.parquet(f"{warehouse}/agg_weekly_ohlc")
+    stg = spark.read.parquet(f"{warehouse}/stg_alphavantage")
+    row = (
+        ohlc.filter((F.col("symbol") == "GOOGL"))
+        .orderBy("week_start")
+        .collect()[1]  # a full Mon-Fri week
+    )
+    days = (
+        stg.filter(
+            (F.col("symbol") == "GOOGL")
+            & (F.col("trading_date") >= row.week_start)
+            & (F.col("trading_date") < row.week_start + datetime.timedelta(days=7))
+        )
+        .orderBy("trading_date")
+        .collect()
+    )
+    assert row.n_trading_days == len(days)
+    assert row.open == days[0].open
+    assert row.close == days[-1].close
+    assert row.high == max(d.high for d in days)
+    assert row.low == min(d.low for d in days)
+    assert row.volume == sum(d.volume for d in days)
