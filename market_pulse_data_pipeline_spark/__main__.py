@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     tables, qc = run_pipeline(spark, args.landing, args.warehouse)
 
     for name in ("raw_alphavantage", "stg_alphavantage", "dim_stock",
-                 "fact_stock_prices", "agg_weekly_prices"):
+                 "fact_stock_prices", "agg_weekly_prices", "agg_weekly_ohlc"):
         print(f"{name:22s} rows={tables[name].count()}")
     print()
     failed = 0

@@ -224,6 +224,76 @@ def weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "numeric_functions_suite",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - l_quantity * 1000) AS abs_spread,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(sign(l_extendedprice - 50000.0) AS DOUBLE) AS above_mid,
+           sqrt(l_extendedprice) AS price_sqrt,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+    FROM lineitem
+    """,
+    doc="numeric scalar suite: abs/ceil/floor/sign/sqrt/modulo — all "
+    "correctly-rounded IEEE ops, identical across engines (exp/ln "
+    "excluded: libm-dependent)",
+)
+def numeric_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000).alias(
+            "abs_spread"
+        ),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_bucket"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct"),
+        F.signum(F.col("l_extendedprice") - 50000.0).alias("above_mid"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS mean_v,
+             sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+                   - CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+                     * CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1)) AS std_v
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs(value - mean_v) > 2.0 * std_v
+    """,
+    doc="z-score outlier detection (quality filtering): per-group mean/std "
+    "from exact decimal sums, broadcast back, |x-μ| > 2σ — deterministic "
+    "end to end",
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast("decimal(28,8)")).cast("double")
+    sq = F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)")).cast(
+        "double"
+    )
+    n = F.count(F.lit(1))
+    stats = ev.groupBy("event_type").agg(
+        (s / n).alias("mean_v"),
+        F.sqrt((sq - s * s / n) / (n - 1)).alias("std_v"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean_v")) > 2.0 * F.col("std_v"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@register(
     "bool_aggregates",
     """
     SELECT event_type,

@@ -143,6 +143,36 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = r"[a-z]+|[A-Z][a-z]*|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_estimate",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INTEGER)
+             AS bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token estimation via a subword regex (word pieces, "
+    "number chunks, punctuation) next to the whitespace count — pattern "
+    "kept in the RE2∩Java common subset",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    # pattern passed as a Column literal, NOT through F.expr — Spark SQL
+    # string literals process backslash escapes ('\s' → 's'), silently
+    # corrupting the regex; DuckDB literals don't
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+        ).alias("bpe_tokens"),
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+    )
+
+
 @register(
     "multimodal_meta",
     """
