@@ -43,6 +43,46 @@ def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_sliding_windows",
+    f"""
+    WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    exploded AS (
+      SELECT event_type, value,
+             UNNEST([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+             ts
+      FROM ev
+    )
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events,
+           {sql_round_sum('value', 6, 4)} AS total_value
+    FROM exploded
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 2 HOUR
+    GROUP BY 1, 2, 3
+    """,
+    doc="sliding event-time windows (2h size, 1h slide): each event lands "
+    "in two overlapping buckets — Spark's window() generator vs an "
+    "explicit UNNEST-over-offsets oracle",
+)
+def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_sum(F.col("value"), 6, 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "sessionization",
     f"""
     WITH ev AS (
