@@ -36,7 +36,13 @@ def fan_out(df: DataFrame) -> DataFrame:
     compute-heavy map-only stages (signatures, projections) otherwise run
     on a single core. No-op when the input is already wide."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side RDD handle: partition count without building the Python
+    # serializer RDD (df.rdd) for a mere probe
+    try:
+        n_parts = df._jdf.rdd().getNumPartitions()
+    except Exception:  # pragma: no cover - private-API fallback
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 
@@ -134,15 +140,16 @@ def minhash_signatures_maponly(
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
+    num_perm: int,
     bands: int = 16,
     rows_per_band: int | None = None,
-    num_perm: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidates — docs whose signature slice collides in
     at least one band. Bucketed self-join: the shuffle key is
-    (band, band_hash), never the full cross product."""
-    if num_perm is None:  # fallback probe; callers should pass it
-        num_perm = len(signatures.select("sig").head()["sig"])
+    (band, band_hash), never the full cross product.
+
+    ``num_perm`` is required: probing it from the data would be a driver
+    action (``head()``) hidden inside a transformation."""
     rows_per_band = rows_per_band or num_perm // bands
     band_entries = signatures.select(
         "doc_id",
@@ -190,7 +197,7 @@ def minhash_near_duplicates(
     sig = minhash_signatures_maponly(
         fan_out(docs), text_col, 3, num_perm, seed
     ).cache()
-    cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
+    cand = lsh_candidate_pairs(sig, num_perm, bands)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -253,7 +260,17 @@ def simhash_near_duplicates(
     Candidate generation: pigeonhole over 4 16-bit chunks (any pair with
     hamming ≤ 3 shares at least one exact chunk), so the join is bucketed
     by (chunk_index, chunk_value); verification via bit_count(xor).
+
+    INVARIANT: 4 chunks make candidate generation complete only for
+    ``max_hamming`` ≤ 3 (k+1 chunks cover radius k) — a larger radius
+    would silently miss pairs whose differing bits span all four chunks.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the radius the 4-chunk "
+            "pigeonhole covers (≤ 3); add chunks (k+1 chunks for radius k) "
+            "before raising the threshold"
+        )
     sig = simhash_signatures(docs, text_col)
     chunks = sig.select(
         "doc_id",

@@ -113,7 +113,17 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """(id_a, id_b, cosine) — embedding-cosine near-dup pairs via LSH
     chunk bucketing (pigeonhole: hamming ≤ 2 over 4 chunks → some chunk
-    equal) + exact cosine verification."""
+    equal) + exact cosine verification.
+
+    INVARIANT: 4 chunks keep the candidate stage complete only for
+    ``max_hamming`` ≤ 3 (k+1 chunks cover radius k); a larger radius
+    would silently miss signature pairs differing in all four chunks."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the radius the 4-chunk "
+            "pigeonhole covers (≤ 3); add chunks (k+1 chunks for radius k) "
+            "before raising the threshold"
+        )
     with_sig = add_lsh_signature(emb, dim, n_planes, seed)
     chunk_bits = n_planes // 4
     mask = (1 << chunk_bits) - 1

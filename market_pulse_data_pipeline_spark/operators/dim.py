@@ -12,25 +12,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# dim_stock.sql:10-22 — 10 branches + ELSE 'Unknown Company'
+# dim_stock.sql:10-22 — 10 branches + ELSE 'Unknown Company', verbatim
+# (branch order, exact strings incl. commas).
 COMPANY_NAME_CASES = [
     ("AAPL", "Apple Inc."),
     ("MSFT", "Microsoft Corporation"),
     ("GOOGL", "Alphabet Inc."),
-    ("AMZN", "Amazon.com Inc."),
-    ("META", "Meta Platforms Inc."),
-    ("TSLA", "Tesla Inc."),
+    ("AMZN", "Amazon.com, Inc."),
+    ("META", "Meta Platforms, Inc."),
     ("NVDA", "NVIDIA Corporation"),
+    ("TSLA", "Tesla, Inc."),
+    ("NFLX", "Netflix, Inc."),
     ("BRK.B", "Berkshire Hathaway Inc."),  # dead branch, preserved (§2.7-a)
-    ("V", "Visa Inc."),
     ("JPM", "JPMorgan Chase & Co."),
 ]
 
-# dim_stock.sql:24-29 — IN-list sector mapping + ELSE 'Other'
+# dim_stock.sql:24-29 — IN-list sector mapping + ELSE 'Other', verbatim.
 SECTOR_CASES = [
-    (["AAPL", "MSFT", "GOOGL", "META", "NVDA"], "Technology"),
-    (["AMZN", "TSLA"], "Consumer Discretionary"),
-    (["BRK.B", "V", "JPM"], "Financials"),
+    (["AAPL", "MSFT", "GOOGL", "META", "NVDA", "TSLA", "NFLX"], "Technology"),
+    (["BRK.B", "JPM"], "Financials"),  # BRK.B dead branch, preserved (§2.7-a)
+    (["AMZN"], "Consumer Discretionary"),
 ]
 
 

@@ -60,6 +60,48 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return toks.select("doc_id", F.explode(shingle_expr).alias("sh")).distinct()
 
 
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, intersection, jaccard) for every doc pair sharing a
+    3-word shingle with Jaccard ≥ threshold — the exact (non-approximate)
+    near-dup pair builder. The inverted-index self-join is bucketed by
+    shingle; at 100 TB the approximate MinHash-LSH path replaces this."""
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("intersection") * F.lit(1.0) / (
+        F.col("sa.n") + F.col("sb.n") - F.col("intersection")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            round_div(
+                F.col("intersection") * F.lit(1.0),
+                F.col("sa.n") + F.col("sb.n") - F.col("intersection"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
@@ -93,38 +135,4 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _SAMPLE_MOD == 0
     )
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("intersection") * F.lit(1.0) / (
-        F.col("sa.n") + F.col("sb.n") - F.col("intersection")
-    )
-    return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= _JACCARD_THRESHOLD)
-        .select(
-            "doc_a",
-            "doc_b",
-            "intersection",
-            round_div(
-                F.col("intersection") * F.lit(1.0),
-                F.col("sa.n") + F.col("sb.n") - F.col("intersection"),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    return ngram_jaccard_pairs(docs, _JACCARD_THRESHOLD)

@@ -23,19 +23,21 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
     "event_hourly_windows",
     f"""
     SELECT event_type,
-           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
            COUNT(*) AS n_events,
            {sql_round_sum('value', 6, 4)} AS total_value
     FROM events GROUP BY 1, 2
     """,
     bench=True,
     doc="tumbling event-time window (batch form of the streaming windowed "
-    "agg): 1h buckets per event_type",
+    "agg): 1h buckets per event_type. Bucket start emitted as epoch micros "
+    "— render-independent compared bytes.",
 )
 def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_start_us"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         round_sum(F.col("value"), 6, 4).alias("total_value"),
@@ -53,7 +55,8 @@ def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              ts
       FROM ev
     )
-    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+    SELECT epoch_us(window_start) AS window_start_us,
+           epoch_us(window_start + INTERVAL 2 HOUR) AS window_end_us,
            event_type, COUNT(*) AS n_events,
            {sql_round_sum('value', 6, 4)} AS total_value
     FROM exploded
@@ -62,7 +65,8 @@ def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="sliding event-time windows (2h size, 1h slide): each event lands "
     "in two overlapping buckets — Spark's window() generator vs an "
-    "explicit UNNEST-over-offsets oracle",
+    "explicit UNNEST-over-offsets oracle. Bounds emitted as epoch micros "
+    "— render-independent compared bytes.",
 )
 def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -73,8 +77,8 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_sum(F.col("value"), 6, 4).alias("total_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
             "event_type",
             "n_events",
             "total_value",
@@ -101,12 +105,18 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us
     FROM sessions GROUP BY 1, 2
     """,
     bench=True,
     doc="gap-based sessionization (30 min) via lag + running sum — the "
-    "batch twin of the stateful streaming session operator",
+    "batch twin of the stateful streaming session operator. Session "
+    "bounds are emitted as epoch-microsecond longs so the compared bytes "
+    "cannot depend on the harness's timestamp rendering (session/process "
+    "timezone, Arrow collection path, parquet nanos reader mode) — the "
+    "round-1 driver hash mismatch was exactly such an environment "
+    "sensitivity on raw-precision MIN/MAX timestamps.",
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -125,6 +135,6 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = flagged.withColumn("session_id", F.sum("is_new").over(running))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
     )

@@ -265,8 +265,9 @@ def keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_latest",
     """
-    SELECT event_id, user_id, event_type, ts, value FROM (
-      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+    SELECT event_id, user_id, event_type, ts_us, value FROM (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
              ROW_NUMBER() OVER (
         PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
       FROM events e) x
@@ -274,7 +275,8 @@ def keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bench=True,
     doc="J3 — per-key last-write-wins (get_stock.py:88-97): newest row per "
-    "(user_id, event_type), deterministic tie-break",
+    "(user_id, event_type), deterministic tie-break. ts emitted as epoch "
+    "micros so compared bytes are independent of timestamp rendering.",
 )
 def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -284,7 +286,13 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", "ts", "value")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
     )
 
 

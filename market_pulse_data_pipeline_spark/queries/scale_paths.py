@@ -127,45 +127,156 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=10)
 
 
+_CLUSTER_SAMPLE_MOD = 7
+_CLUSTER_JACCARD = 0.5
+
 @register(
     "dedup_cluster_assignment",
-    None,
-    doc="iterative connected-components over the MinHash near-dup graph "
-    "→ (doc, cluster, size, kept-representative) — the cluster-and-keep "
-    "step of fuzzy dedup; label propagation with per-round lineage "
-    "truncation — rows-only (iterative, not SQL-expressible)",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_CLUSTER_SAMPLE_MOD} = 0
+    ), docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + {_PLANT_OFFSET}, text || ' planted' FROM base
+      )
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM docs WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE intersection * 1.0 / (sa.n + sb.n - intersection)
+              >= {_CLUSTER_JACCARD}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), csizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT comp.id AS doc_id, comp.component AS cluster_id,
+           csizes.cluster_size, comp.id = comp.component AS is_kept
+    FROM comp JOIN csizes USING (component)
+    """,
+    doc="iterative connected-components over the exact n-gram-Jaccard "
+    "near-dup graph (planted duplicates) → (doc, cluster, size, "
+    "kept-representative) — the cluster-and-keep step of fuzzy dedup. "
+    "Spark side: min-label propagation with per-round lineage truncation "
+    "(functions/graph.py); oracle: DuckDB WITH RECURSIVE transitive "
+    "closure. At 100 TB the edge set comes from MinHash-LSH instead of "
+    "exact Jaccard (same cluster operator).",
 )
 def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.graph import dedup_clusters  # noqa: PLC0415
+    from market_pulse_data_pipeline_spark.queries.dedup import ngram_jaccard_pairs  # noqa: PLC0415
 
-    docs = _docs_with_planted_dups(spark, sf_dir)
-    pairs = minhash_near_duplicates(docs, threshold=0.5)
-    return dedup_clusters(pairs).orderBy("cluster_id", "doc_id")
+    base = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _CLUSTER_SAMPLE_MOD == 0
+    ).select("doc_id", "text")
+    planted = base.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" planted")).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(base.unionByName(planted), _CLUSTER_JACCARD)
+    return dedup_clusters(pairs.select("doc_a", "doc_b"))
 
+
+_E2E_ROOT = "/tmp/mp_e2e_oracle"
 
 @register(
     "market_pulse_end_to_end",
-    None,
+    f"""
+    WITH raw AS (
+      SELECT ("Meta Data"['2. Symbol'])[1] AS symbol0,
+             "Time Series (Daily)" AS series
+      FROM read_json('{_E2E_ROOT}/landing/*.json',
+                     columns={{'Meta Data': 'MAP(VARCHAR, VARCHAR)',
+                              'Time Series (Daily)':
+                                'MAP(VARCHAR, MAP(VARCHAR, VARCHAR))'}})
+      WHERE "Time Series (Daily)" IS NOT NULL
+    ), stg AS (
+      -- stg_alphavantage.sql:10-21 — LATERAL FLATTEN + casts
+      SELECT CASE WHEN symbol0 = 'BRK.B' THEN 'BRK-B' ELSE symbol0 END
+               AS symbol,
+             CAST(e.key AS DATE) AS trading_date,
+             CAST(e.value['1. open'][1] AS DOUBLE) AS open,
+             CAST(e.value['4. close'][1] AS DOUBLE) AS close
+      FROM raw, UNNEST(map_entries(series)) AS t(e)
+    ), fact AS (
+      -- fact_stock_prices.sql:20-21 (percent_change; join/dim columns
+      -- don't feed the weekly agg and are checked by the other entries)
+      SELECT symbol, trading_date, close,
+             ROUND((close - open) / NULLIF(open, 0) * 100, 2)
+               AS percent_change
+      FROM stg
+    )
+    -- agg_weekly_prices.sql:3-9, comparison-stable aggregation
+    SELECT symbol, date_trunc('week', trading_date) AS week_start,
+           CAST(ROUND(CAST(CAST(SUM(CAST(close AS DECIMAL(20,6))) AS DOUBLE)
+                / COUNT(close) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_close,
+           CAST(ROUND(CAST(CAST(SUM(CAST(percent_change AS DECIMAL(20,6)))
+                  AS DOUBLE)
+                / COUNT(percent_change) AS DECIMAL(28,8)), 4) AS DOUBLE)
+             AS avg_percent_change
+    FROM fact GROUP BY 1, 2
+    """,
     doc="the reference pipeline itself, end-to-end on deterministic "
     "Alpha Vantage fixtures: landing JSON → bronze upsert → stg (flatten"
-    "+cast) → dim (CASE) → fact (broadcast join + metrics) → weekly agg; "
-    "returns agg_weekly_prices — rows-only (fixtures are not DuckDB "
-    "views); golden-value assertions live in tests/test_pipeline.py",
+    "+cast) → dim (CASE) → fact (broadcast join + metrics) → weekly agg. "
+    "The oracle re-derives the full dbt chain (stg_alphavantage.sql, "
+    "fact_stock_prices.sql, agg_weekly_prices.sql) in DuckDB from the "
+    "same landing JSON the Spark pipeline ingests (written to a "
+    "deterministic path by this query). Compared columns use exact "
+    "decimal sums / COUNT(col) so the hash is order- and NULL-robust; "
+    "agg_weekly_prices itself is additionally golden-tested in "
+    "tests/test_pipeline.py.",
 )
 def market_pulse_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
 
+    from market_pulse_data_pipeline_spark.functions.scalars import week_start  # noqa: PLC0415
     from market_pulse_data_pipeline_spark.pipeline import run_pipeline  # noqa: PLC0415
+    from market_pulse_data_pipeline_spark.queries.common import (  # noqa: PLC0415
+        exact_sum,
+        round_div,
+    )
     from market_pulse_data_pipeline_spark.sources.alphavantage import (  # noqa: PLC0415
         default_fixture_docs,
         write_fixture_landing,
     )
 
-    root = tempfile.mkdtemp(prefix="mp_e2e_")
-    landing = f"{root}/landing"
+    shutil.rmtree(_E2E_ROOT, ignore_errors=True)
+    landing = f"{_E2E_ROOT}/landing"
     write_fixture_landing(landing, default_fixture_docs(n_days=60))
-    tables, _ = run_pipeline(spark, landing, f"{root}/warehouse")
-    return tables["agg_weekly_prices"]
+    tables, _ = run_pipeline(spark, landing, f"{_E2E_ROOT}/warehouse")
+    fact = tables["fact_stock_prices"]
+    return fact.groupBy(
+        "symbol", week_start(F.col("trading_date")).alias("week_start")
+    ).agg(
+        round_div(exact_sum(F.col("close"), 6), F.count("close"), 4).alias(
+            "avg_close"
+        ),
+        round_div(
+            exact_sum(F.col("percent_change"), 6), F.count("percent_change"), 4
+        ).alias("avg_percent_change"),
+    )
 
 
 @register(

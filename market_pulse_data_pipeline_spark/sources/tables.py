@@ -28,11 +28,15 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
     ):
-        try:
-            if spark.conf.get(key, None) != val:
-                spark.conf.set(key, val)
-        except Exception:
-            pass
+        if spark.conf.get(key, None) != val:
+            spark.conf.set(key, val)
+        # loud, not silent: a session where these can't stick would read
+        # nanos parquet wrong / emit tz-shifted timestamps downstream
+        got = spark.conf.get(key, None)
+        if got != val:
+            raise RuntimeError(
+                f"required session conf {key}={val!r} did not stick (got {got!r})"
+            )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -53,6 +53,17 @@ def test_dim_stock_quirk_preserved(pipeline_out):
     # the BRK.B CASE branch never matches the loaded BRK-B (§2.7-a)
     assert dim["BRK-B"].company_name == "Unknown Company"
     assert dim["BRK-B"].sector == "Other"
+    # verbatim reference CASE strings (dim_stock.sql:14-17,25-27):
+    # commas in names, TSLA under Technology, AMZN alone in Cons. Disc.
+    assert dim["AMZN"].company_name == "Amazon.com, Inc."
+    assert dim["AMZN"].sector == "Consumer Discretionary"
+    assert dim["META"].company_name == "Meta Platforms, Inc."
+    assert dim["TSLA"].company_name == "Tesla, Inc."
+    assert dim["TSLA"].sector == "Technology"
+    # loaded V has no CASE branch (dim_stock.sql has NFLX instead, which
+    # is never loaded — a second dead branch alongside BRK.B)
+    assert dim["V"].company_name == "Unknown Company"
+    assert dim["V"].sector == "Other"
 
 
 def test_fact_derived_metrics(pipeline_out):

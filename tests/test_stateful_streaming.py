@@ -53,3 +53,67 @@ def test_running_user_stats_matches_batch(spark, sf_dir, tmp_path):
         or abs(r.total_value - want[r.user_id][1]) > 1e-6
     ]
     assert mismatches == [], mismatches[:5]
+
+
+def test_state_ttl_evicts_and_restarts(spark, tmp_path):
+    """With state_ttl, a quiet user's state is evicted once the watermark
+    passes last_event + ttl; a later event starts a fresh accumulator."""
+    import os
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+
+    def write_batch(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(u, (t0 + dt).to_pydatetime(), v) for u, dt, v in rows], schema
+        )
+        path = str(src / name)
+        df.coalesce(1).write.parquet(path)
+        for root, _, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+
+    # batch order via mtime: A+B early; B later batches advance the
+    # watermark past A's ttl while A is quiet (timeouts only fire for
+    # keys with no data in the batch); then A returns in its own batch
+    write_batch("b0", [(1, 0 * h, 1.0), (1, 0 * h, 2.0), (2, 0 * h, 1.0)], 1000)
+    write_batch("b1", [(2, 10 * h, 1.0)], 2000)
+    write_batch("b2", [(2, 20 * h, 1.0)], 3000)
+    write_batch("b3", [(1, 21 * h, 5.0)], 4000)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        running_user_stats(stream, watermark="1 hour", state_ttl="2 hours")
+        .writeStream.format("memory")
+        .queryName("mem_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM mem_ttl ORDER BY user_id, n_events").collect()
+    a_counts = [r.n_events for r in rows if r.user_id == 1]
+    b_counts = [r.n_events for r in rows if r.user_id == 2]
+    # user 1: first batch accumulates 2 events; after eviction the late
+    # event restarts at 1 (NOT 3 — that would mean state survived the ttl)
+    assert 2 in a_counts and 1 in a_counts and 3 not in a_counts
+    # user 2 has data in every batch, so it never times out (timeouts
+    # fire only for quiet keys) and keeps accumulating
+    assert sorted(b_counts) == [1, 2, 3]
