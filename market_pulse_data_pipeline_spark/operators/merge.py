@@ -64,9 +64,16 @@ def merge_last_write_wins(
 def atomic_overwrite_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:
-    """Write-new-then-swap so readers never observe a half-written table
-    (and so ``upsert_by_key(read(path), delta)`` can safely rewrite the
-    very path it read from — Spark cannot overwrite an input in place).
+    """Write-new-then-swap (local-filesystem variant): readers never see a
+    TORN table — but the swap is two renames, so a reader can briefly
+    observe ``path`` missing between them; and ``os.rename`` requires a
+    POSIX filesystem (same mount). Single-writer assumed. For object
+    storage / concurrent readers use ``commit_pointer_swap`` below (or a
+    transactional table format — Delta/Iceberg — in production); see
+    SCALING.md "Materialization".
+
+    Also lets ``upsert_by_key(read(path), delta)`` safely rewrite the very
+    path it read from — Spark cannot overwrite an input in place.
 
     ``partition_by`` hive-partitions the table — at scale, partition
     pruning on those columns turns full scans into directory-pruned reads.
@@ -75,7 +82,11 @@ def atomic_overwrite_parquet(
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+    try:
+        writer.parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # don't leak a partial dir
+        raise
     if os.path.exists(path):
         old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
         os.rename(path, old)
@@ -83,3 +94,78 @@ def atomic_overwrite_parquet(
         shutil.rmtree(old, ignore_errors=True)
     else:
         os.rename(tmp, path)
+
+
+# --- pointer-swap commit protocol (object-store-safe shape) -------------------
+
+_POINTER = "_CURRENT"
+
+
+def commit_pointer_swap(
+    df: DataFrame, table_root: str, partition_by: list[str] | None = None
+) -> str:
+    """Cloud-commit-protocol table write: data lands under an immutable
+    versioned prefix, then ONE tiny pointer object is atomically replaced.
+
+    Layout::
+
+        table_root/_CURRENT          <- holds the current version name
+        table_root/v_<uuid>/...      <- immutable parquet snapshots
+
+    Readers resolve the pointer first (``read_current``), then read only
+    that prefix — they can never observe a torn or missing table, because
+    data prefixes are never mutated and the pointer flip is a single
+    atomic replace (``os.replace`` locally; a single PUT on object
+    stores, which is atomic on S3/GCS). Old versions remain readable by
+    in-flight readers until vacuumed. This is the manual core of what
+    Delta/Iceberg do with a transaction log — the production answer at
+    100 TB; this variant keeps the engine dependency-free.
+
+    Returns the committed version prefix.
+    """
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    data_path = os.path.join(table_root, version)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.parquet(data_path)
+    except BaseException:
+        shutil.rmtree(data_path, ignore_errors=True)
+        raise
+    os.makedirs(table_root, exist_ok=True)
+    pointer_tmp = os.path.join(table_root, f".{_POINTER}.{uuid.uuid4().hex[:8]}")
+    with open(pointer_tmp, "w") as f:
+        f.write(version)
+    os.replace(pointer_tmp, os.path.join(table_root, _POINTER))  # atomic flip
+    return data_path
+
+
+def read_current(spark, table_root: str) -> DataFrame:
+    """Resolve the pointer, read that immutable snapshot."""
+    with open(os.path.join(table_root, _POINTER)) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(table_root, version))
+
+
+def vacuum_versions(table_root: str, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` version prefixes (never the one
+    the pointer names). Returns removed paths. Run out-of-band, after a
+    retention window long enough for in-flight readers to finish."""
+    with open(os.path.join(table_root, _POINTER)) as f:
+        current = f.read().strip()
+    versions = sorted(
+        (
+            n
+            for n in os.listdir(table_root)
+            if n.startswith("v_") and os.path.isdir(os.path.join(table_root, n))
+        ),
+        key=lambda n: os.path.getmtime(os.path.join(table_root, n)),
+    )
+    doomed = [n for n in versions[:-keep] if n != current]
+    removed = []
+    for n in doomed:
+        p = os.path.join(table_root, n)
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed

@@ -88,6 +88,9 @@ class ModelRunner:
             elif model.materialize:
                 path = self.table_path(name)
                 atomic_overwrite_parquet(df, path, model.partition_by)
-                df = self.spark.read.parquet(path)
+                # explicit schema: skips inference (a listing+footer pass)
+                # and keeps an EMPTY materialization readable — a write
+                # of 0 rows leaves no schema-bearing part files
+                df = self.spark.read.schema(df.schema).parquet(path)
             built[name] = df
         return built

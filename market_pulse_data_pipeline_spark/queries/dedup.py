@@ -24,6 +24,7 @@ from market_pulse_data_pipeline_spark.queries.common import (
 
 _JACCARD_THRESHOLD = 0.02
 _SAMPLE_MOD = 7  # deterministic doc sample: doc_id % 7 == 0
+_MAX_SHINGLE_DF = 20  # stop-phrase cap: shingles in > N docs leave the index
 
 
 @register(
@@ -60,12 +61,29 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return toks.select("doc_id", F.explode(shingle_expr).alias("sh")).distinct()
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, max_df: int = 20
+) -> DataFrame:
     """(doc_a, doc_b, intersection, jaccard) for every doc pair sharing a
     3-word shingle with Jaccard ≥ threshold — the exact (non-approximate)
     near-dup pair builder. The inverted-index self-join is bucketed by
-    shingle; at 100 TB the approximate MinHash-LSH path replaces this."""
+    shingle; at 100 TB the approximate MinHash-LSH path replaces this.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    BEFORE the self-join (standard stop-phrase removal): a shingle shared
+    by k docs emits k² candidate rows, so one hot stop-phrase is a
+    quadratic scale-killer. Jaccard is computed over the df-capped
+    shingle universe (sizes and intersections consistently), keeping the
+    operator exactly oracle-expressible. See SCALING.md."""
     sh = _shingles(docs)
+    # hot shingles are few by definition → broadcast the anti-join side
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -108,11 +126,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     WITH docs AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       WHERE doc_id % {_SAMPLE_MOD} = 0
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              UNNEST(list_transform(range(1, len(ws) - 1),
                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
       FROM docs WHERE len(ws) >= 3
+    ), sh AS (
+      SELECT * FROM sh0 WHERE sh NOT IN (
+        SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > {_MAX_SHINGLE_DF})
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pairs AS (
@@ -128,11 +149,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= {_JACCARD_THRESHOLD}
     """,
-    doc="n-gram Jaccard near-dup: 3-word shingles, inverted-index "
-    "self-join, |A∩B| / |A∪B| ≥ threshold; deterministic doc sample",
+    doc="n-gram Jaccard near-dup: 3-word shingles, df-capped inverted-"
+    "index self-join (stop-phrase shingles with df > 20 dropped on both "
+    "sides — the k² hot-shingle guard), |A∩B| / |A∪B| ≥ threshold; "
+    "deterministic doc sample",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _SAMPLE_MOD == 0
     )
-    return ngram_jaccard_pairs(docs, _JACCARD_THRESHOLD)
+    return ngram_jaccard_pairs(docs, _JACCARD_THRESHOLD, _MAX_SHINGLE_DF)

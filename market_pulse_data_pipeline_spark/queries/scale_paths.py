@@ -141,11 +141,14 @@ _CLUSTER_JACCARD = 0.5
         UNION ALL
         SELECT doc_id + {_PLANT_OFFSET}, text || ' planted' FROM base
       )
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              UNNEST(list_transform(range(1, len(ws) - 1),
                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
       FROM docs WHERE len(ws) >= 3
+    ), sh AS (
+      SELECT * FROM sh0 WHERE sh NOT IN (
+        SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 20)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), cand AS (
@@ -300,4 +303,52 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("feature_sum"),
+    )
+
+
+@register(
+    "ann_recall_at_10",
+    None,
+    doc="recall@10 of the LSH-ANN path against brute-force cosine, "
+    "computed inside Spark (deterministic: fixed planes/seed) — emits "
+    "(k, n_matched, recall, n_candidates, n_vectors). Hamming radius 10 "
+    "of 16 planes: the fixture embeddings are isotropic random vectors, "
+    "where sign-LSH carries little signal, so a generous probe radius is "
+    "required for high recall; on real clustered embeddings the same "
+    "operator prunes hard at small radii. Rows-only (engine-specific "
+    "hashing).",
+)
+def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.similarity import (  # noqa: PLC0415
+        add_lsh_signature,
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow["embedding"]]
+    others = emb.filter(F.col("vec_id") != 0)
+    k, max_hamming = 10, 10
+    exact = cosine_topk(others, q, k=k).select("vec_id")
+    approx = lsh_ann_topk(
+        others, q, dim=len(q), k=k, max_hamming=max_hamming
+    ).select("vec_id")
+    # candidate count: how many vectors the probe actually re-ranked
+    import numpy as np  # noqa: PLC0415
+
+    from market_pulse_data_pipeline_spark.functions.similarity import _planes  # noqa: PLC0415
+
+    planes = _planes(len(q), 16)
+    qv = np.asarray(q)
+    q_sig = int(((planes @ qv) > 0).astype(np.int64) @ (1 << np.arange(16)))
+    with_sig = add_lsh_signature(others, dim=len(q))
+    n_cand = with_sig.filter(
+        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming
+    ).count()
+    n_total = others.count()
+    n_matched = exact.join(approx, "vec_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(k, n_matched, n_matched / k, n_cand, n_total)],
+        "k int, n_matched int, recall double, n_candidates bigint, n_vectors bigint",
     )

@@ -304,3 +304,118 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(round_sum(revenue, 6, 2).alias("revenue"))
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    bench=True,
+    doc="left outer join + two-level count distribution (TPC-H Q13 shape): "
+    "orders per customer including zero-order customers, then how many "
+    "customers have each count. The outer join keeps customers with no "
+    "(qualifying) orders; COUNT(o_orderkey) counts non-nulls. The "
+    "comment-based exclusion of the original is stood in by an "
+    "orderpriority predicate (fixture has no o_comment).",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="distinct-aggregate + NOT IN exclusion subquery (TPC-H Q16 shape): "
+    "distinct suppliers per (brand, type, size) over the lineitem "
+    "part-supplier relation (fixture has no partsupp), excluding "
+    "suppliers flagged by the subquery (negative acctbal stands in for "
+    "the original's complaint-comment filter). NOT IN over a non-null "
+    "key plans as a left-anti join on the small broadcast side.",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q22_dormant_rich_customers",
+    f"""
+    WITH thr AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS s, COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {sql_round_sum('c_acctbal', 6, 2)} AS totacctbal
+    FROM customer, thr
+    WHERE CAST(c_acctbal AS DECIMAL(20,6)) * cnt > s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c_nationkey
+    """,
+    doc="anti-join + scalar aggregate subquery (TPC-H Q22 shape): "
+    "customers with above-average positive balance and no recent (1998+) "
+    "orders, grouped by nation (fixture has no phone prefix). The boundary "
+    "predicate is evaluated as c_acctbal * cnt > sum on exact decimals "
+    "— algebraically identical to c_acctbal > avg but immune to "
+    "engine-specific float summation order at the comparison boundary. "
+    "The 1-row aggregate is broadcast; the anti-join is the plan's only "
+    "shuffle on customer.",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-01-01"
+    )
+    dec = F.col("c_acctbal").cast("decimal(20,6)")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(dec).alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    dormant = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        dormant.crossJoin(F.broadcast(thr))
+        .filter(dec * F.col("cnt") > F.col("s"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round_sum(F.col("c_acctbal"), 6, 2).alias("totacctbal"),
+        )
+    )

@@ -32,10 +32,26 @@ def run_incremental(
     query = stream_landing_to_bronze(
         spark, landing_dir, warehouse_dir, checkpoint_dir
     )
-    query.awaitTermination(timeout_s)
+    finished = query.awaitTermination(timeout_s)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"landing ingest did not finish within {timeout_s}s — refusing "
+            "to rebuild marts from possibly-stale bronze"
+        )
 
     bronze_path = os.path.join(warehouse_dir, "raw_alphavantage")
-    raw = spark.read.parquet(bronze_path)
+    if os.path.exists(bronze_path):
+        raw = spark.read.parquet(bronze_path)
+    else:
+        # empty landing: the availableNow stream produced no batch and
+        # bronze was never written — mirror pipeline.load_bronze's
+        # empty-schema behavior instead of raising on the missing path
+        from market_pulse_data_pipeline_spark.schemas import (  # noqa: PLC0415
+            RAW_ALPHAVANTAGE_SCHEMA,
+        )
+
+        raw = spark.createDataFrame([], RAW_ALPHAVANTAGE_SCHEMA)
     runner = build_runner(spark, warehouse_dir)
     tables = runner.run({"raw_alphavantage": raw})
     qc = run_reference_suite(

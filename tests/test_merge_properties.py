@@ -74,3 +74,34 @@ def test_merge_last_write_wins_matches_dict_semantics(spark, old, new):
         ).collect()
     }
     assert got == {**old_m, **new_m}
+
+
+def test_pointer_swap_commit_roundtrip(spark, tmp_path):
+    """commit_pointer_swap: reader always resolves a complete snapshot;
+    re-commit flips the pointer; vacuum never removes the current one."""
+    from market_pulse_data_pipeline_spark.operators.merge import (
+        commit_pointer_swap,
+        read_current,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    df1 = _df(spark, [(1, 10), (2, 20)])
+    commit_pointer_swap(df1, root)
+    got1 = sorted((r.k, r.v) for r in read_current(spark, root).collect())
+    assert got1 == [(1, 10), (2, 20)]
+
+    df2 = _df(spark, [(1, 90)])
+    p2 = commit_pointer_swap(df2, root)
+    got2 = sorted((r.k, r.v) for r in read_current(spark, root).collect())
+    assert got2 == [(1, 90)]
+
+    df3 = _df(spark, [(3, 30)])
+    commit_pointer_swap(df3, root)
+    removed = vacuum_versions(root, keep=2)
+    # oldest version vacuumed; current still readable
+    assert len(removed) == 1
+    assert p2 not in removed  # keep=2 retains the previous version too
+    assert sorted((r.k, r.v) for r in read_current(spark, root).collect()) == [
+        (3, 30)
+    ]

@@ -114,3 +114,13 @@ def test_multimodal_real_decode_is_gated(spark, sf_dir):
     media = documents_to_media(load_table(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
         decode_media(media, real=True)
+
+
+def test_ann_recall_at_10_registered(spark, sf_dir):
+    """The registry's recall@10 row: ≥ 0.8 at the registered radius."""
+    from market_pulse_data_pipeline_spark.queries import all_queries
+
+    row = all_queries()["ann_recall_at_10"].spark(spark, sf_dir).collect()[0]
+    assert row.k == 10
+    assert row.recall >= 0.8, f"registered ANN recall {row.recall} < 0.8"
+    assert 0 < row.n_candidates <= row.n_vectors

@@ -136,3 +136,19 @@ def test_incremental_streaming_pipeline(spark, tmp_path):
     assert tables2["stg_alphavantage"].count() == 110
     assert tables2["dim_stock"].filter(F.col("symbol") == "NEWCO").count() == 1
     assert all(r.passed for r in qc2)
+
+
+def test_run_incremental_empty_landing(spark, tmp_path):
+    """Empty landing dir: no batch, no bronze — run_incremental must fall
+    back to an empty-schema bronze instead of raising AnalysisException."""
+    from market_pulse_data_pipeline_spark.streaming.pipeline import run_incremental
+
+    landing = str(tmp_path / "landing_empty")
+    import os
+
+    os.makedirs(landing)
+    tables, qc = run_incremental(
+        spark, landing, str(tmp_path / "wh"), str(tmp_path / "ck")
+    )
+    assert tables["raw_alphavantage"].count() == 0
+    assert tables["stg_alphavantage"].count() == 0
