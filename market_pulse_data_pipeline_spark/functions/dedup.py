@@ -217,6 +217,103 @@ def minhash_near_duplicates(
     )
 
 
+# --- portable-hash MinHash (oracle-checkable twin) -----------------------------
+
+
+def portable_hash60(col) -> "F.Column":
+    """Engine-portable 60-bit hash: first 15 hex digits of md5, as a
+    long. md5 over UTF-8 bytes and hex→decimal conversion produce
+    identical values in Spark (``conv``) and DuckDB (``'0x'||…::BIGINT``)
+    — unlike xxhash64, which is engine-specific. Slower than xxhash64
+    (md5 + string slicing per shingle); exists so the FULL MinHash+LSH
+    pipeline has a hash-checkable oracle twin."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_near_duplicates_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — same algorithm as
+    ``minhash_near_duplicates`` but built on ``portable_hash60`` and with
+    band buckets keyed by the raw signature slice (array equality) rather
+    than an engine hash of it, so every intermediate value — signatures,
+    band membership, candidate set, estimate — is bit-reproducible in
+    DuckDB SQL. The xxhash64 pipeline remains the production scale path
+    (faster hash, 64 perms)."""
+    rows_per_band = num_perm // bands
+    toks = docs.select("doc_id", F.split(text_col, " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 3),
+        lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
+    )
+    hashes = toks.select(
+        "doc_id",
+        F.transform(
+            shingle_arr, lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE))
+        ).alias("hs"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hs", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE))
+                )
+            )
+            for (a, b) in _perm_params(num_perm, seed)
+        ]
+    )
+    sigs = hashes.select("doc_id", sig.alias("sig")).cache()
+    band_entries = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).alias(
+                        "bh"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+        )
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 # --- SimHash -------------------------------------------------------------------
 
 

@@ -176,3 +176,94 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round(cosine(va, vb), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------------
+
+
+def ivf_build_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic k-means-lite codebook: init from evenly-strided
+    vectors (no RNG), then ``iters`` Lloyd rounds. Assignment runs as an
+    Arrow-batched pandas_udf (numpy matmul); the per-round centroid
+    update is a (cid, pos) groupBy-avg — a shuffle bounded by
+    n_centroids × dim rows, independent of corpus size. The codebook
+    (n_centroids × dim floats) is the ONLY data collected to the driver
+    — tiny and bounded, like the ANN query vector.
+
+    At 100 TB: train on a sample, broadcast the codebook; assignment
+    stays map-only."""
+    first = (
+        emb.orderBy(id_col)
+        .limit(n_centroids * 8)
+        .select(id_col, "embedding")
+        .collect()
+    )
+    init = [r["embedding"] for r in first[:: max(1, len(first) // n_centroids)]]
+    centroids = np.asarray(init[:n_centroids], dtype=np.float64)
+
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids, id_col)
+        sums = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        for cid, comp in by_cid.items():
+            new[cid] = [comp[p] for p in range(centroids.shape[1])]
+        centroids = new
+    return centroids
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id") -> DataFrame:
+    """Adds ``cid``: index of the nearest centroid (squared-L2) — one
+    Arrow-batched matmul per partition, map-only."""
+    cents = centroids.astype(np.float64)
+
+    @pandas_udf(T.IntegerType())
+    def assign_udf(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        # argmin ||x-c||² = argmin (||c||² - 2 x·c)
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return emb.withColumn("cid", assign_udf(F.col("embedding")))
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: assign vectors to coarse clusters, probe only the
+    ``nprobe`` clusters nearest the query, exact cosine re-rank inside
+    them. Pass a prebuilt ``centroids`` codebook to skip training."""
+    if centroids is None:
+        centroids = ivf_build_centroids(emb, dim, n_centroids, id_col=id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ q)
+    probe = sorted(int(i) for i in np.argsort(d)[:nprobe])
+    assigned = ivf_assign(emb, centroids, id_col)
+    near = assigned.filter(F.col("cid").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col("embedding").cast("array<double>")
+    return (
+        near.select(id_col, F.round(cosine(v, qlit), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )

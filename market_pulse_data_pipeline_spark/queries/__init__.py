@@ -21,6 +21,7 @@ from market_pulse_data_pipeline_spark.queries import similarity  # noqa: F401, E
 from market_pulse_data_pipeline_spark.queries import events  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import scale_paths  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import analytics  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import asof  # noqa: F401, E402
 
 
 def all_queries():

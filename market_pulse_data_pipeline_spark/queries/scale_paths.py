@@ -352,3 +352,110 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, n_matched, n_matched / k, n_cand, n_total)],
         "k int, n_matched int, recall double, n_candidates bigint, n_vectors bigint",
     )
+
+
+def _portable_minhash_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Generate the DuckDB twin of minhash_near_duplicates_portable from
+    the SAME permutation parameters (functions.dedup._perm_params)."""
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+        _perm_params,
+    )
+
+    params = _perm_params(num_perm)
+    rows_per_band = num_perm // bands
+    mins = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MERSENNE})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, [{ms}] AS bh FROM sigs".format(
+            b=b,
+            ms=", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(num_perm))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_CLUSTER_SAMPLE_MOD} = 0
+    ), alldocs AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + {_PLANT_OFFSET}, text || ' planted' FROM base
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM alldocs
+      WHERE len(string_split(text, ' ')) >= 3
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws) - 1),
+               i -> ('0x' || substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT
+                    % {_MERSENNE}) AS hs
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM hs
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(({eq_sum}) / {float(num_perm)}, 6) AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    WHERE ({eq_sum}) / {float(num_perm)} >= {threshold}
+    """
+
+
+@register(
+    "minhash_lsh_portable",
+    _portable_minhash_sql(),
+    doc="the FULL MinHash+LSH near-dup pipeline with a hash-checkable "
+    "oracle: portable md5-derived 60-bit shingle hashes + the same "
+    "universal-hash permutations on both engines, band buckets keyed by "
+    "raw signature slices, banded candidate join, matching-component "
+    "Jaccard estimate — every intermediate is bit-reproducible in DuckDB "
+    "(16 perms / 4 bands; the xxhash64 64-perm pipeline stays the "
+    "production path and its bench entry).",
+)
+def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        minhash_near_duplicates_portable,
+    )
+
+    base = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _CLUSTER_SAMPLE_MOD == 0
+    ).select("doc_id", "text")
+    planted = base.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" planted")).alias("text"),
+    )
+    return minhash_near_duplicates_portable(base.unionByName(planted))
+
+
+@register(
+    "ann_ivf_topk",
+    None,
+    doc="IVF-ANN top-10: deterministic k-means-lite codebook (strided "
+    "init, 2 Lloyd rounds), map-only Arrow-batched cluster assignment, "
+    "probe the 6 clusters nearest the query, exact cosine re-rank inside "
+    "them — the inverted-file counterpart of the LSH probe path. "
+    "Rows-only (float codebook); exact-equivalence at nprobe=n_centroids "
+    "and recall are pytest-verified.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.similarity import (  # noqa: PLC0415
+        ivf_ann_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow["embedding"]]
+    # cache: codebook training + assignment + re-rank make several passes
+    others = emb.filter(F.col("vec_id") != 0).cache()
+    return ivf_ann_topk(others, q, dim=len(q), k=10, nprobe=6)

@@ -124,3 +124,40 @@ def test_ann_recall_at_10_registered(spark, sf_dir):
     assert row.k == 10
     assert row.recall >= 0.8, f"registered ANN recall {row.recall} < 0.8"
     assert 0 < row.n_candidates <= row.n_vectors
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """Probing every cluster must reproduce brute force EXACTLY — the
+    partition-into-clusters step loses nothing, only the probe prunes."""
+    from market_pulse_data_pipeline_spark.functions.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    others = emb.filter("vec_id <> 0")
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(others, q, k=10).collect()]
+    full = [
+        (r.vec_id, r.cosine)
+        for r in ivf_ann_topk(
+            others, q, dim=len(q), k=10, n_centroids=8, nprobe=8
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_probe_recall(spark, sf_dir):
+    from market_pulse_data_pipeline_spark.functions.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    others = emb.filter("vec_id <> 0")
+    exact = {r.vec_id for r in cosine_topk(others, q, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_ann_topk(
+            others, q, dim=len(q), k=10, n_centroids=16, nprobe=6
+        ).collect()
+    }
+    recall = len(exact & approx) / 10
+    # isotropic random embeddings: coarse clusters carry weak signal, so
+    # probing 6/16 clusters finds a solid majority, not everything
+    assert recall >= 0.5, f"IVF recall {recall}"
