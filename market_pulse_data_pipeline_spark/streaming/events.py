@@ -73,3 +73,34 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "30 minutes",
+    bound: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: each left
+    row pairs with right rows for the same key whose time lies in
+    [left.ts, left.ts + bound]. Both sides carry watermarks and the join
+    condition carries the time bound, so each side's buffered state is
+    bounded by watermark + bound — the requirement for a stream-stream
+    join to be runnable at all (unbounded joins would buffer forever).
+
+    Typical use: attribute conversions (right) to the triggering event
+    (left) within an attribution window.
+    """
+    left_wm = left.withWatermark("ts", watermark).alias("l")
+    right_wm = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + interval {bound}"
+    )
+    return left_wm.join(right_wm, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.ts").alias("right_ts"),
+    )

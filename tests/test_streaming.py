@@ -152,3 +152,57 @@ def test_run_incremental_empty_landing(spark, tmp_path):
     )
     assert tables["raw_alphavantage"].count() == 0
     assert tables["stg_alphavantage"].count() == 0
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (clicks -> purchases within 15 min)
+    over an availableNow run equals the batch interval join."""
+    from market_pulse_data_pipeline_spark.sources.tables import load_table
+    from market_pulse_data_pipeline_spark.streaming.events import (
+        stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "ij_src")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_interval_join(clicks, buys)
+        .writeStream.format("memory")
+        .queryName("mem_ij")
+        .option("checkpointLocation", str(tmp_path / "ck_ij"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.left_event_id, r.right_event_id)
+        for r in spark.sql("SELECT * FROM mem_ij").collect()
+    }
+    bc = ev.filter(F.col("event_type") == "click").alias("l")
+    bp = ev.filter(F.col("event_type") == "purchase").alias("r")
+    want = {
+        (r.lid, r.rid)
+        for r in bc.join(
+            bp,
+            F.expr(
+                "l.user_id = r.user_id AND r.ts >= l.ts "
+                "AND r.ts <= l.ts + interval 15 minutes"
+            ),
+        )
+        .select(F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid"))
+        .collect()
+    }
+    assert want, "batch twin found no pairs — fixture too sparse for the test"
+    assert got == want
