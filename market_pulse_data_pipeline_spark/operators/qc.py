@@ -47,6 +47,21 @@ def check_unique(df: DataFrame, table: str, columns: list[str]) -> QCResult:
     return QCResult("unique", table, tuple(columns), n)
 
 
+def check_accepted_values(
+    df: DataFrame, table: str, column: str, values: list
+) -> QCResult:
+    """dbt's fourth standard schema test, ``accepted_values`` — not used
+    by the reference's schema.yml but part of the standard dbt quartet
+    (not_null/unique/relationships/accepted_values); included so a dbt
+    user's full test surface ports. Violations = rows whose value is
+    neither NULL nor in the accepted list (dbt counts NULLs via
+    not_null, not here)."""
+    n = df.filter(
+        F.col(column).isNotNull() & ~F.col(column).isin(values)
+    ).count()
+    return QCResult("accepted_values", table, (column,), n)
+
+
 def check_relationships(
     child: DataFrame, parent: DataFrame, table: str, column: str, parent_column: str
 ) -> QCResult:

@@ -433,3 +433,79 @@ def qc_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("orphan_count"))
     )
+
+
+@register(
+    "qc_accepted_values_violations",
+    """
+    SELECT COUNT(*) AS violation_count FROM events
+    WHERE event_type IS NOT NULL
+      AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+    """,
+    doc="dbt accepted_values schema test (the fourth standard dbt test; "
+    "not declared by the reference's schema.yml but part of the dbt "
+    "quartet a user's project ports) — rows outside the accepted domain; "
+    "NULLs are not counted (that is not_null's job). The 'error' type is "
+    "deliberately excluded so the check exercises a non-zero count.",
+)
+def qc_accepted_values_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.operators.qc import check_accepted_values  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    res = check_accepted_values(
+        ev, "events", "event_type", ["click", "view", "purchase", "signup"]
+    )
+    return spark.createDataFrame(
+        [(res.violations,)], "violation_count bigint"
+    )
+
+
+@register(
+    "argmin_unit_price_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / NULLIF(l_quantity, 0) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+    ), mins AS (
+      SELECT l_partkey, MIN(unit_price) AS min_price
+      FROM unit GROUP BY l_partkey
+    )
+    SELECT u.l_partkey, u.l_suppkey,
+           CAST(ROUND(CAST(m.min_price AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS min_unit_price
+    FROM unit u JOIN mins m
+      ON u.l_partkey = m.l_partkey AND u.unit_price = m.min_price
+    """,
+    doc="argmin-per-group via aggregate + join-back (the cheapest "
+    "supplier for every part): two-phase min then an equality join on "
+    "the raw double (identical IEEE division and MIN on both engines) — "
+    "the no-window-shuffle alternative to ranking when only the extreme "
+    "row is wanted; ties all kept, deterministically. At scale both "
+    "sides hash-partition on l_partkey (AQE picks the join side).",
+)
+def argmin_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0.0))).alias(
+            "unit_price"
+        ),
+    )
+    mins = unit.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
+    return (
+        unit.alias("u")
+        .join(
+            mins.alias("m"),
+            (F.col("u.l_partkey") == F.col("m.l_partkey"))
+            & (F.col("u.unit_price") == F.col("m.min_price")),
+        )
+        .select(
+            F.col("u.l_partkey").alias("l_partkey"),
+            F.col("u.l_suppkey").alias("l_suppkey"),
+            F.round(F.col("m.min_price").cast("decimal(28,10)"), 6)
+            .cast("double")
+            .alias("min_unit_price"),
+        )
+    )
