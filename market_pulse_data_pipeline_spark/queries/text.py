@@ -193,3 +193,163 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(binary).alias("n_bytes"),
         F.sha2(binary, 256).alias("content_sha"),
     )
+
+
+# --- repetition / contamination / PII (LLM-pipeline quality operators) --------
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    ), agg AS (
+      SELECT doc_id, MAX(c) AS top_freq, COUNT(*) AS n_distinct,
+             SUM(c) AS n_tokens
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           {sql_round_div('top_freq * 1.0', 'n_tokens', 4)} AS top_token_ratio,
+           {sql_round_div('n_distinct * 1.0', 'n_tokens', 4)} AS distinct_ratio,
+           CASE WHEN top_freq * 1.0 / n_tokens > 0.2
+                  OR n_distinct * 1.0 / n_tokens < 0.3
+                THEN 'repetitive' ELSE 'ok' END AS repetition_label
+    FROM agg
+    """,
+    doc="repetition-based quality scoring (the Gopher-rule family): "
+    "most-frequent-token ratio and distinct-token ratio per document, "
+    "with a keep/filter label. One explode + two hash aggregations, all "
+    "JVM-side; at scale the (doc, word) partial aggregation combines "
+    "map-side so the shuffle carries per-doc distinct words only.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = freq.groupBy("doc_id").agg(
+        F.max("c").alias("top_freq"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("n_tokens"),
+    )
+    rep = (F.col("top_freq") * 1.0 / F.col("n_tokens") > 0.2) | (
+        F.col("n_distinct") * 1.0 / F.col("n_tokens") < 0.3
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        round_div(F.col("top_freq") * 1.0, F.col("n_tokens"), 4).alias(
+            "top_token_ratio"
+        ),
+        round_div(F.col("n_distinct") * 1.0, F.col("n_tokens"), 4).alias(
+            "distinct_ratio"
+        ),
+        F.when(rep, "repetitive").otherwise("ok").alias("repetition_label"),
+    )
+
+
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PII_ID = "[0-9]{6,}"
+
+
+@register(
+    "text_pii_scan",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+             AS n_email_like,
+           CAST(len(regexp_extract_all(text, '{_PII_ID}')) AS INTEGER)
+             AS n_long_digit_runs,
+           (len(regexp_extract_all(text, '{_PII_EMAIL}')) > 0
+             OR len(regexp_extract_all(text, '{_PII_ID}')) > 0) AS pii_flag
+    FROM documents
+    """,
+    doc="PII-pattern scan (email-like tokens, long digit runs) — the "
+    "redaction-candidate pre-filter of a training-data pipeline. "
+    "Patterns restricted to syntax with identical semantics in Java "
+    "regex and RE2 so the oracle matches byte-for-byte; counts per "
+    "document, map-only.",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_email = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+    n_digits = F.size(F.regexp_extract_all("text", F.lit(_PII_ID), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_email_like"),
+        n_digits.alias("n_long_digit_runs"),
+        ((n_email > 0) | (n_digits > 0)).alias("pii_flag"),
+    )
+
+
+_CONTAM_N = 5  # n-gram order for decontamination
+_BENCH_MOD = 17  # doc_id % 17 == 0 plays the "held-out benchmark" role
+
+
+@register(
+    "contamination_ngram_overlap",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    ), bench AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ), corpus_grams AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(ws) - {_CONTAM_N - 2}),
+               i -> list_aggregate(list_slice(ws, i, i + {_CONTAM_N - 1}),
+                                   'string_agg', ' '))) AS g
+      FROM corpus WHERE len(ws) >= {_CONTAM_N}
+    ), bench_grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ws) - {_CONTAM_N - 2}),
+                 i -> list_aggregate(list_slice(ws, i, i + {_CONTAM_N - 1}),
+                                     'string_agg', ' '))) AS g
+        FROM bench WHERE len(ws) >= {_CONTAM_N})
+    )
+    SELECT c.doc_id AS corpus_doc_id, b.doc_id AS bench_doc_id,
+           COUNT(*) AS shared_ngrams
+    FROM corpus_grams c JOIN bench_grams b ON c.g = b.g
+    GROUP BY 1, 2
+    """,
+    doc="train/test contamination detection: corpus documents sharing "
+    "any 5-gram with a held-out benchmark set (doc_id % 17 == 0 plays "
+    "the benchmark role), with the shared-gram count per (corpus, bench) "
+    "pair. Inverted-index equi-join on the n-gram — at 100 TB the "
+    "benchmark gram set is small and broadcast, so the corpus-side scan "
+    "is map-only; the same df-cap guard as near-dup applies if benchmark "
+    "grams are stop-phrases.",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = _CONTAM_N
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split("text", " ").alias("ws")).filter(
+            F.size("ws") >= n
+        )
+        g = F.transform(
+            F.sequence(F.lit(0), F.size("ws") - n),
+            lambda i: F.concat_ws(" ", *[F.col("ws")[i + j] for j in range(n)]),
+        )
+        return toks.select("doc_id", F.explode(g).alias("g")).distinct()
+
+    corpus = grams(docs.filter(F.col("doc_id") % _BENCH_MOD != 0))
+    bench = grams(docs.filter(F.col("doc_id") % _BENCH_MOD == 0))
+    return (
+        corpus.alias("c")
+        .join(F.broadcast(bench.alias("b")), F.col("c.g") == F.col("b.g"))
+        .groupBy(
+            F.col("c.doc_id").alias("corpus_doc_id"),
+            F.col("b.doc_id").alias("bench_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
