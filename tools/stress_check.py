@@ -1,0 +1,133 @@
+"""Scale-stress harness: run headline operator shapes on an N×
+key-remapped multiplication of the sf0.1 fixtures and report wall-clock
+per stage, to catch scale cliffs (quadratic candidate sets, skewed
+shuffles, driver-side loops) that sf0.1 alone can hide.
+
+Each copy i offsets every join/group key by i × span, so join fan-out
+and group cardinality scale LINEARLY with the multiplier — a plain
+self-union would multiply join pair counts by N² and measure the wrong
+thing. Document text is per-copy character-translated so the dedup
+workload sees N× distinct documents, not N perfect copies of each.
+
+Usage:
+    python tools/stress_check.py [--mult 10] [--sf DIR]
+
+Prints one JSON line: {"mult": N, "rows": {...}, "seconds": {...}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+
+_KEY_SPAN = 10_000_000
+
+
+def multiplied(df: DataFrame, mult: int, key_cols: list[str]) -> DataFrame:
+    """N copies with every key column offset per copy (linear scale-up)."""
+    out = None
+    for i in range(mult):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * _KEY_SPAN))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from market_pulse_data_pipeline_spark.functions.dedup import (
+        minhash_near_duplicates,
+    )
+    from market_pulse_data_pipeline_spark.session import get_spark
+    from market_pulse_data_pipeline_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="stress-check")
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def run(name: str, df: DataFrame) -> None:
+        t0 = time.time()
+        n = df.count()
+        timings[name] = round(time.time() - t0, 2)
+        rows[name] = n
+        print(f"  {name:28s} rows={n:>10} [{timings[name]:.1f}s]", file=sys.stderr)
+
+    li = multiplied(
+        load_table(spark, args.sf, "lineitem"), args.mult, ["l_orderkey"]
+    )
+    orders = multiplied(
+        load_table(spark, args.sf, "orders"), args.mult, ["o_orderkey", "o_custkey"]
+    )
+    cust = multiplied(
+        load_table(spark, args.sf, "customer"), args.mult, ["c_custkey"]
+    )
+
+    # q1 shape: full-scan partial+final agg — should scale linearly
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    run(
+        "q1_scan_agg",
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.sum(revenue), F.count(F.lit(1))
+        ),
+    )
+
+    # q3 shape: fact joins fact-sized orders + broadcast-sized customer
+    run(
+        "q3_join_agg",
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(revenue)),
+    )
+
+    # sessionization shape: window over multiplied users
+    ev = multiplied(
+        load_table(spark, args.sf, "events"), args.mult, ["event_id", "user_id"]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "is_new", F.when(prev.isNull() | ((us - prev) > 1800000000), 1).otherwise(0)
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    run(
+        "sessionization",
+        flagged.withColumn("sid", F.sum("is_new").over(running))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1))),
+    )
+
+    # minhash dedup: per-copy character-translated docs (distinct corpus)
+    docs = None
+    base_docs = load_table(spark, args.sf, "documents").select("doc_id", "text")
+    for i in range(args.mult):
+        rot = "abcdefghij"[i:] + "abcdefghij"[:i]
+        c = base_docs.select(
+            (F.col("doc_id") + F.lit(i * _KEY_SPAN)).alias("doc_id"),
+            F.translate("text", "abcdefghij", rot).alias("text"),
+        )
+        docs = c if docs is None else docs.unionByName(c)
+    run("minhash_near_dups", minhash_near_duplicates(docs, threshold=0.5))
+
+    print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
