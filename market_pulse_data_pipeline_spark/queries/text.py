@@ -353,3 +353,80 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+_STRATUM_K = 40  # docs kept per language class
+_PACK_BUDGET = 512  # token budget per packed sequence
+
+
+@register(
+    "stratified_sample_per_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents)
+    WHERE rn <= {_STRATUM_K}
+    """,
+    doc="deterministic stratified sampling (class balancing for training "
+    "mixes): keep K documents per language, ordered by a content-free "
+    "md5 of the id so the sample is pseudo-random yet reproducible on "
+    "any engine — no RNG state, no sampleBy fraction drift. One window "
+    "per class partition; at scale this is a single shuffle on lang "
+    "(salt the window key if one class dominates).",
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _STRATUM_K)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "token_budget_packing",
+    f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}) AS BIGINT)
+             AS pack_id
+    FROM (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM documents)
+    """,
+    doc="token-budget sequence packing (assembling training examples "
+    "into fixed context windows): per language, documents in id order "
+    "receive a running token count and pack_id = floor(preceding-"
+    "tokens / budget) — the deterministic relational form of greedy "
+    "packing. One window shuffle on the class key; the pack assignment "
+    "itself is a pure projection of the running sum.",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.floor((F.sum(n_tok).over(w) - n_tok) / _PACK_BUDGET)
+        .cast("long")
+        .alias("pack_id"),
+    )
