@@ -98,3 +98,50 @@ def embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(sq.cast("decimal(18,6)")).cast("double"), F.count(F.lit(1)), 4
         ).alias("avg_sq_norm"),
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH prep AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(ROUND(CAST(max_abs / 127 AS DECIMAL(28,12)), 9) AS DOUBLE)
+             AS scale,
+           list_transform(v, x -> CAST(FLOOR(x * 127 / max_abs + 0.5)
+                                       AS INTEGER)) AS q,
+           CAST(list_sum(list_transform(v,
+                 x -> CAST(FLOOR(x * 127 / max_abs + 0.5) AS INTEGER)))
+                AS BIGINT) AS q_sum
+    FROM prep
+    """,
+    doc="int8 symmetric quantization of the embedding column (per-vector "
+    "absmax scale) — the storage-compression step of a vector pipeline "
+    "(4x smaller than float32 at 100 TB, re-rank on dequantized values). "
+    "Quantized codes use floor(x+0.5) instead of double-path ROUND: "
+    "floor on doubles is exact and bit-identical across engines, so the "
+    "full int8 code arrays hash-match the oracle; the scale is rounded "
+    "on exact decimals. Map-only — no shuffle at any size.",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        v, lambda x: F.floor(x * 127 / max_abs + F.lit(0.5)).cast("int")
+    )
+    return emb.select(
+        "vec_id",
+        F.round((max_abs / 127).cast("decimal(28,12)"), 9)
+        .cast("double")
+        .alias("scale"),
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "q_sum"
+        ),
+    )
