@@ -524,3 +524,63 @@ def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
     )
+
+
+@register(
+    "regr_slope_by_event_type",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                  - 1704067200 AS DECIMAL(20,6)) AS x,
+             CAST(value AS DECIMAL(20,6)) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(ROUND(CAST(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS DECIMAL(38,18)), 12) AS DOUBLE) AS slope
+    FROM sums
+    """,
+    doc="per-group least-squares slope (value over event time) from the "
+    "closed form n*Sxy - Sx*Sy over n*Sxx - Sx^2: ALL sums accumulate as "
+    "exact decimals (order-independent), then one identical sequence of "
+    "double ops on both engines — deterministic distributed linear "
+    "regression without an ML library. x is seconds since 2024-01-01 to "
+    "keep the decimal cross-products inside precision 38.",
+)
+def regr_slope_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros(F.col("ts")) / F.lit(1000000)).cast("long")
+        - F.lit(1704067200)
+    ).cast("decimal(20,6)")
+    y = F.col("value").cast("decimal(20,6)")
+    sums = ev.select(
+        "event_type", x.alias("x"), y.alias("y")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope.cast("decimal(38,18)"), 12).cast("double").alias("slope"),
+    )
