@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from market_pulse_data_pipeline_spark.queries.common import register, t
+from market_pulse_data_pipeline_spark.queries.common import (
+    exact_sum,
+    register,
+    round_div,
+    t,
+)
 
 _LANGS = ["de", "en", "es", "fr", "zh"]
 
@@ -583,4 +588,98 @@ def regr_slope_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.round(slope.cast("decimal(38,18)"), 12).cast("double").alias("slope"),
+    )
+
+
+_HIST_BIN_W = 25.0  # value-domain bin width
+
+
+@register(
+    "value_histogram_by_event_type",
+    f"""
+    SELECT event_type,
+           CAST(FLOOR(value / {_HIST_BIN_W}) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(20,6)))
+                AS DOUBLE) / COUNT(*) AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS bin_mean
+    FROM events GROUP BY 1, 2
+    """,
+    doc="fixed-width histogram per group (floor-binning; floor on "
+    "doubles is exact cross-engine) with per-bin means via exact decimal "
+    "sums — the profiling/EDA shape. One partial+final hash aggregate; "
+    "bin count bounded by domain/width, independent of row count.",
+)
+def value_histogram_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / _HIST_BIN_W).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_div(
+                exact_sum(F.col("value"), 6), F.count(F.lit(1)), 6
+            ).alias("bin_mean"),
+        )
+    )
+
+
+@register(
+    "corr_quantity_price_by_flag",
+    """
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(20,6)) AS x,
+             CAST(l_extendedprice AS DECIMAL(20,6)) AS y
+      FROM lineitem
+    ), sums AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(CAST(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS DECIMAL(38,18)), 12) AS DOUBLE) AS corr
+    FROM sums
+    """,
+    doc="Pearson correlation per group from the closed form over exact "
+    "decimal sums (same determinism discipline as regr_slope: order-"
+    "independent accumulation, identical double ops both engines) — "
+    "engine-native F.corr is NOT used because its streaming accumulation "
+    "is order-dependent and would break the cross-engine hash.",
+)
+def corr_quantity_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(20,6)")
+    y = F.col("l_extendedprice").cast("decimal(20,6)")
+    sums = li.select("l_returnflag", x.alias("x"), y.alias("y")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(corr.cast("decimal(38,18)"), 12).cast("double").alias("corr"),
     )

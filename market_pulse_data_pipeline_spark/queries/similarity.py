@@ -145,3 +145,53 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_sum"
         ),
     )
+
+
+@register(
+    "embedding_quantization_error",
+    """
+    WITH prep AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id, v, max_abs / 127 AS scale,
+             list_transform(v, x -> CAST(FLOOR(x * 127 / max_abs + 0.5)
+                                         AS INTEGER)) AS q
+      FROM prep
+    )
+    SELECT vec_id,
+           CAST(ROUND(CAST(list_max(
+             list_transform(list_zip(v, q),
+               p -> abs(p[1] - p[2] * scale))) AS DECIMAL(28,12)), 9)
+             AS DOUBLE) AS max_abs_err,
+           list_max(list_transform(list_zip(v, q),
+             p -> abs(p[1] - p[2] * scale))) <= scale * 0.5 + 1e-12
+             AS within_half_step
+    FROM deq
+    """,
+    doc="reconstruction error of the int8 quantization: per vector, the "
+    "max |x - dequantized(x)| and a proof bit that every component sits "
+    "within half a quantization step (the correctness bound of "
+    "round-to-nearest). Same exact-arithmetic discipline as the "
+    "quantizer (floor-based codes, identical double ops both engines), "
+    "so even the error values hash-match. Map-only.",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / 127
+    q = F.transform(
+        v, lambda x: F.floor(x * 127 / max_abs + F.lit(0.5)).cast("int")
+    )
+    err = F.array_max(
+        F.zip_with(v, q, lambda x, qi: F.abs(x - qi * scale))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(err.cast("decimal(28,12)"), 9).cast("double").alias("max_abs_err"),
+        (err <= scale * 0.5 + F.lit(1e-12)).alias("within_half_step"),
+    )
