@@ -18,7 +18,10 @@ from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
 
-from market_pulse_data_pipeline_spark.operators.merge import atomic_overwrite_parquet
+from market_pulse_data_pipeline_spark.operators.merge import (
+    atomic_overwrite_parquet,
+    commit_pointer_swap,
+)
 
 
 @dataclass
@@ -39,6 +42,11 @@ class ModelRunner:
     spark: SparkSession
     warehouse_dir: str
     models: dict[str, Model] = field(default_factory=dict)
+    # "rename" = atomic_overwrite_parquet (local FS, sandbox default);
+    # "pointer" = commit_pointer_swap (object-store-safe: immutable
+    # version prefixes + atomic pointer flip; readers never see a torn
+    # OR missing table). See SCALING.md "Materialization".
+    commit_protocol: str = "rename"
 
     def add(self, model: Model) -> None:
         self.models[model.name] = model
@@ -85,6 +93,10 @@ class ModelRunner:
                     writer = writer.partitionBy(*model.partition_by)
                 writer.saveAsTable(fq)
                 df = self.spark.table(fq)
+            elif model.materialize and self.commit_protocol == "pointer":
+                path = self.table_path(name)
+                data_path = commit_pointer_swap(df, path, model.partition_by)
+                df = self.spark.read.schema(df.schema).parquet(data_path)
             elif model.materialize:
                 path = self.table_path(name)
                 atomic_overwrite_parquet(df, path, model.partition_by)
