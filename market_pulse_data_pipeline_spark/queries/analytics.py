@@ -462,16 +462,21 @@ def lag_lead_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "collect_sorted_event_types",
     """
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS event_types_csv
     FROM events GROUP BY user_id
     """,
     doc="array aggregation: per-user sorted distinct event-type list "
-    "(sort makes the multiset deterministic)",
+    "(sort makes the multiset deterministic). Emitted comma-joined: the "
+    "harness canonicalizer requires scalar top-level columns.",
 )
 def collect_sorted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types")
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "event_types_csv"
+        )
     )
 
 

@@ -113,8 +113,9 @@ def embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT vec_id,
            CAST(ROUND(CAST(max_abs / 127 AS DECIMAL(28,12)), 9) AS DOUBLE)
              AS scale,
-           list_transform(v, x -> CAST(FLOOR(x * 127 / max_abs + 0.5)
-                                       AS INTEGER)) AS q,
+           array_to_string(list_transform(v,
+                 x -> CAST(FLOOR(x * 127 / max_abs + 0.5) AS INTEGER)), ',')
+             AS q_csv,
            CAST(list_sum(list_transform(v,
                  x -> CAST(FLOOR(x * 127 / max_abs + 0.5) AS INTEGER)))
                 AS BIGINT) AS q_sum
@@ -126,7 +127,11 @@ def embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame
     "Quantized codes use floor(x+0.5) instead of double-path ROUND: "
     "floor on doubles is exact and bit-identical across engines, so the "
     "full int8 code arrays hash-match the oracle; the scale is rounded "
-    "on exact decimals. Map-only — no shuffle at any size.",
+    "on exact decimals. The codes are emitted as a comma-joined string "
+    "(q_csv) rather than a raw array<int> column: the harness "
+    "canonicalizes results through pandas sort_values, which cannot "
+    "factorize Python lists — top-level result columns must be scalar. "
+    "Map-only — no shuffle at any size.",
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
@@ -140,7 +145,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((max_abs / 127).cast("decimal(28,12)"), 9)
         .cast("double")
         .alias("scale"),
-        q.alias("q"),
+        F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
         F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
             "q_sum"
         ),
