@@ -390,16 +390,36 @@ def percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    None,
-    doc="HyperLogLog approximate COUNT DISTINCT per supplier (sketch "
-    "aggregates are engine-specific → rows-only; pytest bounds the error "
-    "vs exact)",
+    """
+    SELECT l_suppkey,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_items,
+           TRUE AS approx_within_band
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="HyperLogLog approximate COUNT DISTINCT per supplier. The HLL "
+    "estimate itself is engine-specific, so the hash-checked contract is "
+    "its error bound: approx_within_band asserts Spark's rsd=0.02 sketch "
+    "lands within max(1, 5%) of the exact per-group cardinality, and the "
+    "oracle pins the bound TRUE for every group (any HLL excursion flips "
+    "a boolean and fails the hash). Exact count rides along as the "
+    "comparable value.",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
+    agged = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+    band = F.greatest(F.lit(1.0), F.col("exact_parts") * 0.05)
+    return agged.select(
+        "l_suppkey",
+        "exact_parts",
+        "n_items",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= band).alias(
+            "approx_within_band"
+        ),
     )
 
 

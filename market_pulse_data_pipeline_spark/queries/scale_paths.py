@@ -12,6 +12,11 @@ detector's output is a deterministic, judgeable set.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -201,7 +206,15 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs.select("doc_a", "doc_b"))
 
 
-_E2E_ROOT = "/tmp/mp_e2e_oracle"
+# Per-process scratch root: the oracle SQL (registered below as an
+# f-string) and the Spark function run in the same process, so a
+# pid-suffixed path keeps them consistent while letting concurrent
+# harness runs coexist. Content is fully deterministic; only the
+# location varies. Best-effort cleanup at interpreter exit.
+_E2E_ROOT = os.path.join(
+    tempfile.gettempdir(), f"mp_e2e_oracle_{os.getpid()}"
+)
+atexit.register(lambda: shutil.rmtree(_E2E_ROOT, ignore_errors=True))
 
 @register(
     "market_pulse_end_to_end",
@@ -252,8 +265,6 @@ _E2E_ROOT = "/tmp/mp_e2e_oracle"
     "tests/test_pipeline.py.",
 )
 def market_pulse_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil  # noqa: PLC0415
-
     from market_pulse_data_pipeline_spark.functions.scalars import week_start  # noqa: PLC0415
     from market_pulse_data_pipeline_spark.pipeline import run_pipeline  # noqa: PLC0415
     from market_pulse_data_pipeline_spark.queries.common import (  # noqa: PLC0415
@@ -451,11 +462,17 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.similarity import (  # noqa: PLC0415
         ivf_ann_topk,
+        ivf_build_centroids,
     )
 
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     q = [float(x) for x in qrow["embedding"]]
-    # cache: codebook training + assignment + re-rank make several passes
-    others = emb.filter(F.col("vec_id") != 0).cache()
-    return ivf_ann_topk(others, q, dim=len(q), k=10, nprobe=6)
+    others = emb.filter(F.col("vec_id") != 0)
+    # cache scoped to codebook training (several passes); the final
+    # probe+re-rank is one pass, so release the cache before returning
+    # rather than leaving it pinned for the session.
+    cached = others.cache()
+    centroids = ivf_build_centroids(cached, dim=len(q))
+    cached.unpersist(blocking=False)
+    return ivf_ann_topk(others, q, dim=len(q), k=10, nprobe=6, centroids=centroids)

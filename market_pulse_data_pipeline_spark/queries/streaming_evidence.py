@@ -1,0 +1,140 @@
+"""Streaming ingest as a driver-contract query (hash-checked).
+
+The batch/stream equivalence of ``streaming/ingest.py`` was previously
+pytest-only; this registers the evidence in the correctness gate: the
+query runs the REAL Structured Streaming pipeline — file-source
+``readStream`` over a fixture landing zone → ``foreachBatch`` keyed
+upsert into bronze (the reference's J2 MERGE semantics,
+minio_to_snowflake.py:66-75) — twice on one checkpoint:
+
+  batch 1: the 10-symbol fixture corpus (45 days each);
+  batch 2: fresher 50-day documents for three symbols, landed as NEW
+           files (the file source tracks processed paths — exactly-once
+           per file, so only the delta is read on the second run).
+
+After the second ``availableNow`` run, bronze must hold the batch-2
+documents for the refreshed symbols and the batch-1 documents for the
+rest — last-write-wins per symbol across micro-batches. The DuckDB
+oracle derives that exact state relationally from the same landing
+files (rank per symbol by "3. Last Refreshed"), so the hash check
+covers the streaming source, checkpointed progress, the upsert sink,
+and symbol normalization (BRK.B lands as BRK-B, §2.7-a) end-to-end.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import register
+
+# Per-process scratch root — same pattern as market_pulse_end_to_end:
+# the oracle f-string below and the Spark function share the module
+# value, concurrent harness processes get distinct paths, and content
+# is fully deterministic.
+_STREAM_ROOT = os.path.join(
+    tempfile.gettempdir(), f"mp_stream_oracle_{os.getpid()}"
+)
+atexit.register(lambda: shutil.rmtree(_STREAM_ROOT, ignore_errors=True))
+
+_REFRESHED = ("AAPL", "MSFT", "BRK.B")  # keys; docs carry normalized symbols
+_BATCH1_DAYS = 45
+_BATCH2_DAYS = 50
+_BATCH2_END = "2025-10-17"  # Friday; lexicographically fresher Last Refreshed
+
+
+@register(
+    "streaming_ingest_upsert",
+    f"""
+    WITH docs AS (
+      SELECT ("Meta Data"['2. Symbol'])[1] AS symbol0,
+             ("Meta Data"['3. Last Refreshed'])[1] AS refreshed,
+             "Time Series (Daily)" AS series
+      FROM read_json('{_STREAM_ROOT}/landing/*.json',
+                     columns={{'Meta Data': 'MAP(VARCHAR, VARCHAR)',
+                              'Time Series (Daily)':
+                                'MAP(VARCHAR, MAP(VARCHAR, VARCHAR))'}})
+      WHERE "Time Series (Daily)" IS NOT NULL
+    ), ranked AS (
+      SELECT symbol0, series,
+             row_number() OVER (PARTITION BY symbol0
+                                ORDER BY refreshed DESC) AS rn
+      FROM docs
+    ), latest AS (
+      SELECT CASE WHEN symbol0 = 'BRK.B' THEN 'BRK-B' ELSE symbol0 END
+               AS symbol,
+             series
+      FROM ranked WHERE rn = 1
+    )
+    SELECT symbol,
+           COUNT(*) AS n_days,
+           MIN(CAST(e.key AS DATE)) AS first_date,
+           MAX(CAST(e.key AS DATE)) AS last_date,
+           CAST(SUM(CAST(e.value['4. close'][1] AS DECIMAL(20,6)))
+                AS DOUBLE) AS close_checksum
+    FROM latest, UNNEST(map_entries(series)) AS t(e)
+    GROUP BY symbol
+    """,
+    doc="Structured Streaming ingest evidence: readStream landing → "
+    "foreachBatch keyed upsert (J2), two availableNow runs on one "
+    "checkpoint with an overlapping second batch — bronze must equal "
+    "last-write-wins per symbol. Oracle re-derives that state from the "
+    "landing files via rank-by-Last-Refreshed. Exercises exactly-once "
+    "file tracking, the upsert sink, and ingest normalization.",
+)
+def streaming_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.sources.alphavantage import (  # noqa: PLC0415
+        SYMBOL_NORMALIZATION,
+        default_fixture_docs,
+        make_fixture_doc,
+        write_fixture_landing,
+    )
+    from market_pulse_data_pipeline_spark.sources.landing import (  # noqa: PLC0415
+        write_landing_doc,
+    )
+    from market_pulse_data_pipeline_spark.streaming.ingest import (  # noqa: PLC0415
+        stream_landing_to_bronze,
+    )
+
+    shutil.rmtree(_STREAM_ROOT, ignore_errors=True)
+    landing = os.path.join(_STREAM_ROOT, "landing")
+    warehouse = os.path.join(_STREAM_ROOT, "warehouse")
+    checkpoint = os.path.join(_STREAM_ROOT, "checkpoint")
+
+    # batch 1: full fixture corpus
+    write_fixture_landing(landing, default_fixture_docs(n_days=_BATCH1_DAYS))
+    stream_landing_to_bronze(
+        spark, landing, warehouse, checkpoint, available_now=True
+    ).awaitTermination()
+
+    # batch 2: fresher documents for three symbols, as NEW files — the
+    # checkpointed file source must read only these on the second run
+    for key in _REFRESHED:
+        doc = make_fixture_doc(
+            SYMBOL_NORMALIZATION.get(key, key),
+            n_days=_BATCH2_DAYS,
+            end=_BATCH2_END,
+        )
+        write_landing_doc(landing, f"{key}_refresh", doc)
+    stream_landing_to_bronze(
+        spark, landing, warehouse, checkpoint, available_now=True
+    ).awaitTermination()
+
+    bronze = spark.read.parquet(os.path.join(warehouse, "raw_alphavantage"))
+    series = F.col("data").getField("Time Series (Daily)")
+    day = F.explode(F.map_keys(series)).alias("day")
+    exploded = bronze.select("symbol", series.alias("series"), day)
+    close = F.col("series").getItem(F.col("day")).getItem("4. close")
+    return exploded.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(F.col("day").cast("date")).alias("first_date"),
+        F.max(F.col("day").cast("date")).alias("last_date"),
+        F.sum(close.cast("decimal(20,6)")).cast("double").alias(
+            "close_checksum"
+        ),
+    )

@@ -45,14 +45,21 @@ def read_landing_json(spark: SparkSession, landing_dir: str) -> DataFrame:
     Missing/empty directory → empty DataFrame with the same schema
     (reference returns ``{}`` for a missing key, get_stock.py:73-82).
     """
-    pattern = os.path.join(landing_dir, "*.json")
     try:
         has_files = any(n.endswith(".json") for n in os.listdir(landing_dir))
     except FileNotFoundError:
         has_files = False
     if not has_files:
         return spark.createDataFrame([], ALPHAVANTAGE_DOC_SCHEMA)
-    return spark.read.schema(ALPHAVANTAGE_DOC_SCHEMA).option("multiLine", True).json(pattern)
+    # Directory path + pathGlobFilter instead of a "*.json" glob string:
+    # Spark stats a glob path literally in FileStreamSink.hasMetadata and
+    # logs a (benign but noisy) FileNotFoundException stack trace.
+    return (
+        spark.read.schema(ALPHAVANTAGE_DOC_SCHEMA)
+        .option("multiLine", True)
+        .option("pathGlobFilter", "*.json")
+        .json(landing_dir)
+    )
 
 
 def landing_to_raw(docs: DataFrame) -> DataFrame:

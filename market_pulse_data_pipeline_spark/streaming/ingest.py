@@ -44,7 +44,8 @@ def stream_landing_to_bronze(
         spark.readStream.schema(ALPHAVANTAGE_DOC_SCHEMA)
         .option("multiLine", True)
         .option("maxFilesPerTrigger", 64)
-        .json(os.path.join(landing_dir, "*.json"))
+        .option("pathGlobFilter", "*.json")
+        .json(landing_dir)
     )
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -113,6 +113,29 @@ def main() -> int:
         .agg(F.count(F.lit(1))),
     )
 
+    # as-of join shape: every event picks up the latest per-user anchor —
+    # union + one window pass per key (operators/asof.py); linear if the
+    # single-shuffle claim holds, quadratic if it ever degrades to a
+    # per-key pairwise compare
+    from market_pulse_data_pipeline_spark.operators.asof import asof_join
+
+    anchors = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("anchor_value"))
+    )
+    run(
+        "asof_join",
+        asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            anchors,
+            key="user_id",
+            left_time="ts",
+            right_time="ts",
+            payload_cols=["ts", "anchor_value"],
+        ),
+    )
+
     # minhash dedup: per-copy character-translated docs (distinct corpus)
     docs = None
     base_docs = load_table(spark, args.sf, "documents").select("doc_id", "text")
