@@ -620,3 +620,462 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(clause)
         .agg(round_sum(revenue, 6, 2).alias("revenue"))
     )
+
+
+# --- derived part-supplier cost table (partsupp substitute) -------------------
+#
+# The fixture set has no partsupp table, so the four partsupp-based TPC-H
+# shapes (Q2/Q9/Q11/Q20) run against a cost table DERIVED from lineitem,
+# identically on both engines: per (partkey, suppkey),
+#   ps_supplycost = MIN(unit price), rounded on exact decimals
+#   ps_availqty   = SUM(quantity)  (all-time shipped volume as the stock
+#                   proxy)
+# The unit-price quotient is bit-identical IEEE division on both engines;
+# the DECIMAL(28,8) cast is tie-free for these inputs (2-decimal prices /
+# integer quantities terminate within 8 decimals or are non-terminating,
+# which can never land exactly on a decimal boundary), so MIN and all
+# downstream decimal arithmetic hash-match exactly.
+
+_PSC_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(ROUND(CAST(l_extendedprice / l_quantity
+                                 AS DECIMAL(28,8)), 4) AS DECIMAL(18,4)))
+               AS ps_supplycost,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _psc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    unit = (
+        F.round(
+            (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                "decimal(28,8)"
+            ),
+            4,
+        ).cast("decimal(18,4)")
+    )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(unit).alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PSC_SQL}),
+    eu AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             s_name, s_acctbal, n_name
+      FROM ps
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM part JOIN eu ON p_partkey = ps_partkey
+    WHERE p_type = 'LARGE'
+      AND ps_supplycost = (SELECT MIN(ps_supplycost) FROM eu
+                           WHERE ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="min-cost supplier per part within a region (TPC-H Q2 shape): "
+    "correlated MIN subquery -> per-part aggregate joined back on "
+    "(part, cost), keeping ties like the original. Region/nation/"
+    "supplier dims broadcast; the only shuffle is the per-part min. "
+    "Runs on the lineitem-derived cost table (see _PSC_SQL).",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _psc(spark, sf_dir)
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    eu = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = eu.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu.join(
+            min_cost,
+            (eu.ps_partkey == min_cost.ps_partkey)
+            & (eu.ps_supplycost == min_cost.min_cost),
+        )
+        .drop(min_cost.ps_partkey)
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+    WITH ps AS ({_PSC_SQL})
+    SELECT n_name AS nation, o_year,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+               AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+               - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2))
+               AS amount
+      FROM lineitem
+      JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY n_name, o_year
+    """,
+    bench=True,
+    doc="product-line profit by nation and year (TPC-H Q9 shape): "
+    "revenue minus supply cost over a 6-way join, part-name LIKE "
+    "filter. Profit terms are exact decimals end-to-end (decimal "
+    "revenue minus decimal cost x qty), so the nation-year sums "
+    "hash-match. The derived cost table joins on (part, supp) — the "
+    "same two-column equi-join partsupp would need.",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ps = _psc(spark, sf_dir)
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    revenue_dec = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(20,6)")
+    amount = revenue_dec - F.col("ps_supplycost") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    return (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH ps AS ({_PSC_SQL}),
+    nps AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_13')
+    ), thr AS (
+      SELECT SUM(value) AS total FROM nps
+    )
+    SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM (SELECT ps_partkey, SUM(value) AS part_value
+          FROM nps GROUP BY ps_partkey), thr
+    WHERE part_value * 500 > total
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    doc="important-stock concentration (TPC-H Q11 shape): per-part "
+    "inventory value for two nations' suppliers, kept when above a "
+    "scalar-subquery fraction (1/500) of the total. The threshold "
+    "compare is value * 500 > total on exact decimals — algebraically "
+    "the original HAVING, immune to division representation. The 1-row "
+    "total is broadcast (same pattern as Q22).",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _psc(spark, sf_dir)
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_13")
+    )
+    nps = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+        )
+    )
+    per_part = nps.groupBy("ps_partkey").agg(
+        F.sum("value").alias("part_value")
+    )
+    thr = nps.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(thr))
+        .filter(F.col("part_value") * 500 > F.col("total"))
+        .select(
+            "ps_partkey", F.col("part_value").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST({_REVENUE} AS DECIMAL(20,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="top supplier by quarterly revenue (TPC-H Q15 shape): revenue "
+    "view + scalar MAX subquery, keeping ties. Exact decimal revenue "
+    "makes the equality-to-max comparison engine-stable (a double sum "
+    "could differ in the last ULP between engines and drop the max "
+    "row). The 1-row max is broadcast.",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    revenue_dec = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(20,6)")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue_dec).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH agg AS (
+      SELECT l_partkey AS a_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) / 7, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN agg ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 10
+      AND CAST(l_quantity AS DECIMAL(12,2)) * n * 5 < sum_qty
+    """,
+    doc="small-quantity-order revenue (TPC-H Q17 shape): correlated "
+    "per-part AVG subquery -> per-part aggregate joined back; the "
+    "qty < 0.2 * avg(qty) predicate is evaluated as qty * n * 5 < sum "
+    "on exact decimals (algebraically identical, no division at the "
+    "boundary). p_size stands in for the fixture's missing container "
+    "column. Decimal sum / 7 rounds identically on both engines.",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(12,2)")
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(qty_dec).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(agg, li.l_partkey == F.col("a_partkey"))
+        .filter(qty_dec * F.col("n") * 5 < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(20,6)")) / 7, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_stock_suppliers",
+    f"""
+    WITH ps AS ({_PSC_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_1997
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN ps ON ps_suppkey = s_suppkey
+    JOIN part ON p_partkey = ps_partkey
+    LEFT JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    WHERE n_name IN ('NATION_5', 'NATION_15')
+      AND p_name LIKE 'blue%'
+      AND ps_availqty > COALESCE(qty_1997, 0) * 2
+    ORDER BY s_suppkey
+    """,
+    doc="excess-stock suppliers (TPC-H Q20 shape): nested correlated "
+    "aggregate — suppliers in two nations holding a 'blue%' part whose "
+    "stock exceeds 2x its 1997 shipments (ps_availqty > 0.5 * yearly "
+    "qty in the original; the derived cost table's all-time volume is "
+    "the stock proxy). Semi-join chain collapses to DISTINCT over the "
+    "qualifying joins; all compares on exact decimals.",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _psc(spark, sf_dir)
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_15")
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_1997")
+    )
+    return (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty")
+            > F.coalesce(F.col("qty_1997"), F.lit(0)) * 2
+        )
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_7', 'NATION_17')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    bench=True,
+    doc="suppliers who kept orders waiting (TPC-H Q21 shape): the "
+    "classic EXISTS + NOT-EXISTS pair over the same table — a "
+    "left-semi join (another supplier participated in the order) and a "
+    "left-anti join (no OTHER supplier was late) on orderkey. 'Late' "
+    "is shipdate > orderdate + 60 days (fixture has no commit/receipt "
+    "dates). The late set is deduped per (order, supplier) before the "
+    "correlations, so both engines count identical multiplicities.",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_17")
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    other_any = li.alias("l2").select("l_orderkey", "l_suppkey")
+    other_late = late.alias("l3")
+    with_other = l1.join(
+        other_any,
+        (F.col("l1.l_orderkey") == other_any.l_orderkey)
+        & (F.col("l1.l_suppkey") != other_any.l_suppkey),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
