@@ -23,6 +23,7 @@ from market_pulse_data_pipeline_spark.queries import scale_paths  # noqa: F401, 
 from market_pulse_data_pipeline_spark.queries import analytics  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import asof  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import streaming_evidence  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import corpus  # noqa: F401, E402
 
 
 # Names that already have a driver-green CORRECTNESS row (round 2).

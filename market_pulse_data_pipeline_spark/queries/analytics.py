@@ -708,3 +708,73 @@ def corr_quantity_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(corr.cast("decimal(38,18)"), 12).cast("double").alias("corr"),
     )
+
+
+@register(
+    "rank_functions_suite",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cume,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, rnk, c_custkey
+    """,
+    doc="ranking-function suite: ntile / percent_rank / cume_dist / "
+    "rank / dense_rank per market segment. percent_rank and cume_dist "
+    "are exact rationals ((rank-1)/(n-1), rank/n) — identical IEEE "
+    "division on both engines, no rounding needed. The (c_acctbal, "
+    "c_custkey) order is total, so every rank is deterministic.",
+)
+def rank_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("c_mktsegment", "rnk", "c_custkey")
+
+
+@register(
+    "grouping_sets_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+    """,
+    doc="explicit GROUPING SETS with GROUPING() null-disambiguation "
+    "flags — the general form behind rollup_qty / cube_counts. "
+    "Expressed via Spark SQL over a temp view (the DataFrame API "
+    "exposes only rollup/cube); Catalyst expands the sets into one "
+    "Expand + single aggregate, so the input is scanned once.",
+)
+def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    view = "li_grouping_sets_src"
+    li.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+               COUNT(*) AS n
+        FROM {view}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+        """
+    )

@@ -1,0 +1,211 @@
+"""Corpus-construction operators for a training-data pipeline.
+
+The steps between raw documents and a training mix that the other
+modules don't already cover: tokenizer-vocabulary building,
+incremental (cross-corpus) deduplication, fixed-window chunking for
+embedding/packing, and source-mixture re-weighting. All four are pure
+relational shapes (explode / anti-join / sequence-explode / scalar
+aggregate broadcast), so each hash-checks against a DuckDB oracle.
+
+None of these exist in the reference (its corpus is 10 stock symbols);
+they are north-star extensions in the sense of SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import register, t
+
+_VOCAB_K = 200
+
+
+@register(
+    "vocab_top_tokens",
+    f"""
+    SELECT token, n
+    FROM (
+      SELECT t.token, COUNT(*) AS n
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''
+      GROUP BY t.token
+    )
+    ORDER BY n DESC, token
+    LIMIT {_VOCAB_K}
+    """,
+    doc="tokenizer-vocabulary seed: corpus-wide token frequencies, "
+    "deterministic top-K (count desc, token asc). One explode + one "
+    "hash aggregate on the token — at 100 TB the aggregation shuffles "
+    "per-token partials, never rows, and top-K is a TakeOrdered over "
+    "the (bounded-cardinality) vocabulary, not the corpus.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = F.explode(F.split("text", " ")).alias("token")
+    return (
+        docs.select(tok)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_VOCAB_K)
+    )
+
+
+@register(
+    "cross_corpus_dedup_exact",
+    """
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ), incoming AS (
+      SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT i.doc_id, i.lang
+    FROM incoming i ANTI JOIN corpus c ON i.h = c.h
+    ORDER BY i.doc_id
+    """,
+    doc="incremental dedup: drop incoming documents whose exact content "
+    "hash already exists in the reference corpus (the 'dedup new crawl "
+    "against previous crawls' step). Even-id docs stand in for the "
+    "corpus, odd-id for the batch. Anti-join on a 16-byte digest — at "
+    "100 TB the corpus side is a pre-built hash table (or Bloom "
+    "filter) partitioned by digest; the incoming batch streams "
+    "through one shuffle.",
+)
+def cross_corpus_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary")).alias("h")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(h).distinct()
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", h
+    )
+    return (
+        incoming.join(corpus, "h", "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_W = 16  # tokens per chunk
+_CHUNK_STRIDE = 12  # start-to-start distance (overlap = W - STRIDE)
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           start AS start_tok,
+           LEAST(start + {_CHUNK_W} - 1, n_tok) AS end_tok,
+           array_to_string(
+             list_slice(tk, start, LEAST(start + {_CHUNK_W} - 1, n_tok)),
+             ' ') AS chunk_text
+    FROM toks, UNNEST(generate_series(1, n_tok, {_CHUNK_STRIDE}))
+         AS g(start)
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="fixed-window document chunking with overlap (the pre-embedding "
+    "/ pre-packing split): 16-token windows every 12 tokens, last chunk "
+    "truncated. sequence() + posexplode keeps it one generator pass — "
+    "no UDF, no driver loop; at 100 TB chunking is map-only and the "
+    "chunk count per doc is bounded by n_tok/stride.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    exploded = toks.select(
+        "doc_id",
+        "tk",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tok"), F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk_len = F.least(
+        F.lit(_CHUNK_W), F.col("n_tok") - F.col("start") + 1
+    )
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.col("start").alias("start_tok"),
+        F.least(F.col("start") + _CHUNK_W - 1, F.col("n_tok")).alias(
+            "end_tok"
+        ),
+        F.array_join(
+            F.slice(F.col("tk"), F.col("start"), chunk_len), " "
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "source_mixture_weights",
+    """
+    WITH per_source AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             SUM(n_chars) AS n_chars_total
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT SUM(n_docs) AS total_docs,
+             COUNT(*) AS n_cells
+      FROM per_source
+    )
+    SELECT source, lang, n_docs, n_chars_total,
+           CAST(ROUND(CAST(CAST(total_docs AS DOUBLE)
+                           / (n_cells * n_docs) AS DECIMAL(28,10)), 6)
+                AS DOUBLE) AS uniform_rate,
+           LEAST(1.0, CAST(ROUND(CAST(CAST(total_docs AS DOUBLE)
+                           / (n_cells * n_docs) AS DECIMAL(28,10)), 6)
+                AS DOUBLE)) AS sample_rate
+    FROM per_source, tot
+    ORDER BY source, lang
+    """,
+    doc="training-mix re-weighting: per (source, lang) cell, the "
+    "sampling rate that would equalize the mixture (uniform target "
+    "share / actual share, capped at 1). The 1-row total is broadcast; "
+    "rates round through exact decimals so both engines agree at "
+    "representation boundaries. The downstream deterministic sampler "
+    "(stratified_sample_per_lang's md5-order trick) consumes these "
+    "rates at 100 TB without an RNG.",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    uniform_rate = (
+        F.round(
+            (
+                F.col("total_docs").cast("double")
+                / (F.col("n_cells") * F.col("n_docs"))
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars_total",
+            uniform_rate.alias("uniform_rate"),
+            F.least(F.lit(1.0), uniform_rate).alias("sample_rate"),
+        )
+        .orderBy("source", "lang")
+    )
