@@ -778,3 +778,47 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag, l_linestatus), ())
         """
     )
+
+
+@register(
+    "approx_percentiles_events",
+    """
+    WITH ex AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS p50_exact,
+             quantile_cont(value, 0.99) AS p99_exact,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, TRUE AS p50_within_band, TRUE AS p99_within_band
+    FROM ex ORDER BY event_type
+    """,
+    doc="approximate percentiles (Greenwald-Khanna percentile_approx) "
+    "under an error-band contract, like approx_distinct_parts: the "
+    "sketch values are engine-specific, so the hash-checked claim is "
+    "that Spark's accuracy-10000 estimate lands within the value range "
+    "spanned by the exact percentile's +/-1% rank neighborhood, and "
+    "the oracle pins both booleans TRUE per group. At 100 TB the "
+    "sketch is the only option — exact percentiles need a full sort.",
+)
+def approx_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agged = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_a"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_a"),
+        F.expr("percentile(value, 0.49)").alias("p49"),
+        F.expr("percentile(value, 0.51)").alias("p51"),
+        F.expr("percentile(value, 0.98)").alias("p98"),
+        F.expr("percentile(value, 1.0)").alias("p100"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agged.select(
+        "event_type",
+        "n",
+        F.col("p50_a").between(F.col("p49"), F.col("p51")).alias(
+            "p50_within_band"
+        ),
+        F.col("p99_a").between(F.col("p98"), F.col("p100")).alias(
+            "p99_within_band"
+        ),
+    ).orderBy("event_type")
