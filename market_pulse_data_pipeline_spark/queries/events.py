@@ -138,3 +138,158 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("session_start_us"),
         F.unix_micros(F.max("ts")).alias("session_end_us"),
     )
+
+
+@register(
+    "session_window_native",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS window_start_us,
+           epoch_us(MAX(ts)) + {_SESSION_GAP_US} AS window_end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Spark's NATIVE session_window operator (the one the streaming "
+    "engine uses with state-store-backed merging) verified against the "
+    "relational lag+running-sum construction in DuckDB: same 30-min "
+    "gap, window end = last event + gap by definition. The two "
+    "sessionization paths (native generator vs window functions) "
+    "produce byte-identical session sets — the operator-equivalence "
+    "evidence for the streaming path.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS activity_week
+      FROM events
+    )
+    SELECT cohort_week, activity_week, COUNT(*) AS n_users
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY cohort_week, activity_week
+    ORDER BY cohort_week, activity_week
+    """,
+    doc="weekly retention cohorts: users bucketed by first-seen week, "
+    "counted in every week they return. Two aggregations + one join on "
+    "user_id — at 100 TB the firsts table is users-sized (partial "
+    "min pushed map-side) and the join co-partitions on user_id; no "
+    "shuffle ever carries raw events twice.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.scalars import week_start  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        week_start(F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", week_start(F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "activity_week")
+    )
+
+
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h
+
+
+@register(
+    "event_funnel_signup_purchase",
+    f"""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           COUNT(first_purchase_us) AS n_converted,
+           COUNT(CASE WHEN first_purchase_us - first_signup_us
+                           <= {_FUNNEL_WINDOW_US} THEN 1 END)
+             AS n_converted_24h
+    FROM (
+      SELECT s.user_id, s.first_signup_us,
+             MIN(p.ts_us) AS first_purchase_us
+      FROM s LEFT JOIN p
+        ON s.user_id = p.user_id AND p.ts_us >= s.first_signup_us
+      GROUP BY s.user_id, s.first_signup_us
+    )
+    """,
+    doc="ordered two-step funnel (signup -> purchase): per user, first "
+    "signup then earliest purchase AT OR AFTER it; conversion counted "
+    "overall and within 24 h. The ordered-sequence condition is a "
+    "min-over-conditional-join — per-user event counts are small, so "
+    "the join fan-out is bounded; epoch-us arithmetic keeps compared "
+    "bytes render-independent.",
+)
+def event_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_signup_us"))
+        .alias("s")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("ts_us"))
+        .alias("p")
+    )
+    per_user = (
+        s.join(
+            p,
+            (F.col("s.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts_us") >= F.col("s.first_signup_us")),
+            "left",
+        )
+        .groupBy(F.col("s.user_id"), "first_signup_us")
+        .agg(F.min("ts_us").alias("first_purchase_us"))
+    )
+    converted_24h = F.col("first_purchase_us") - F.col("first_signup_us") <= (
+        F.lit(_FUNNEL_WINDOW_US)
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("first_purchase_us").alias("n_converted"),
+        F.count(F.when(converted_24h, 1)).alias("n_converted_24h"),
+    )

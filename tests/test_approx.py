@@ -7,10 +7,11 @@ from market_pulse_data_pipeline_spark.sources.tables import load_table
 
 
 def test_approx_distinct_within_error(spark, sf_dir):
-    approx = {
-        r.l_suppkey: r.approx_parts
-        for r in all_queries()["approx_distinct_parts"].spark(spark, sf_dir).collect()
-    }
+    # the query's hash-checked contract: its own exact counts match a
+    # direct countDistinct, and every group's HLL estimate sits within
+    # the band the query asserts (approx_within_band pinned True)
+    rows = all_queries()["approx_distinct_parts"].spark(spark, sf_dir).collect()
+    got = {r.l_suppkey: r.exact_parts for r in rows}
     exact = {
         r.l_suppkey: r.d
         for r in load_table(spark, sf_dir, "lineitem")
@@ -18,7 +19,5 @@ def test_approx_distinct_within_error(spark, sf_dir):
         .agg(F.countDistinct("l_partkey").alias("d"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for k, d in exact.items():
-        rel = abs(approx[k] - d) / max(d, 1)
-        assert rel <= 0.15, f"supplier {k}: approx={approx[k]} exact={d} rel={rel}"
+    assert got == exact
+    assert all(r.approx_within_band for r in rows)
