@@ -209,3 +209,57 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "mixture_rebalanced_sample",
+    """
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS n_docs FROM documents
+      GROUP BY source, lang
+    ), tot AS (
+      SELECT CAST(CEIL(CAST(SUM(n_docs) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS k
+      FROM cells
+    ), ranked AS (
+      SELECT source, lang, doc_id,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, lang, doc_id FROM ranked, tot
+    WHERE rn <= k
+    ORDER BY source, lang, doc_id
+    """,
+    doc="the mixture re-weighting APPLIED: cap every (source, lang) "
+    "cell at the uniform target size k = ceil(total/cells), choosing "
+    "survivors by md5 order — the same RNG-free deterministic sampler "
+    "as stratified_sample_per_lang, now driven by a computed mixture "
+    "target instead of a constant. Integer-only thresholds (rank <= k) "
+    "— no float rate comparison can diverge between engines. One "
+    "window per cell + a broadcast 1-row scalar.",
+)
+def mixture_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cells.agg(
+        F.ceil(
+            F.sum("n_docs").cast("double") / F.count(F.lit(1))
+        ).cast("bigint").alias("k")
+    )
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("text").cast("binary")), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "lang", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("source", "lang", "doc_id")
+        .orderBy("source", "lang", "doc_id")
+    )

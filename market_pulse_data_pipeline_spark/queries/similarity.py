@@ -200,3 +200,87 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err.cast("decimal(28,12)"), 9).cast("double").alias("max_abs_err"),
         (err <= scale * 0.5 + F.lit(1e-12)).alias("within_half_step"),
     )
+
+
+@register(
+    "label_centroid_pairwise_cosine",
+    """
+    WITH xs AS (
+      SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ), sums AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(20,12))) AS DOUBLE) AS m
+      FROM xs GROUP BY label, pos
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(a.m * b.m AS DECIMAL(38,24))) AS DOUBLE) AS dot
+      FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    ), norms AS (
+      SELECT label, CAST(SUM(CAST(m * m AS DECIMAL(38,24))) AS DOUBLE) AS sq
+      FROM sums GROUP BY label
+    )
+    SELECT label_a, label_b,
+           CAST(ROUND(CAST(dot / (sqrt(na.sq) * sqrt(nb.sq))
+                           AS DECIMAL(28,10)), 6) AS DOUBLE) AS cosine
+    FROM dots
+    JOIN norms na ON label_a = na.label
+    JOIN norms nb ON label_b = nb.label
+    ORDER BY label_a, label_b
+    """,
+    doc="pairwise cosine between label centroids, fully relational (no "
+    "driver collect): positional explode -> per-(label, pos) exact "
+    "decimal SUM (cosine is scale-invariant, so sums replace means and "
+    "no division happens until the end) -> self-join on pos for dots. "
+    "The decimal-summed components are exactly double-representable, "
+    "products re-enter decimals for order-independent summation, and "
+    "the final quotient rounds through a decimal — bit-identical "
+    "across engines. At 100 TB the sums table is labels x dim rows "
+    "(tiny) regardless of corpus size.",
+)
+def label_centroid_pairwise_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pos_x = F.posexplode(F.col("embedding").cast("array<double>"))
+    xs = emb.select("label", pos_x.alias("pos", "x"))
+    sums = xs.groupBy("label", "pos").agg(
+        F.sum(F.col("x").cast("decimal(20,12)")).cast("double").alias("m")
+    )
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum((F.col("a.m") * F.col("b.m")).cast("decimal(38,24)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,24)"))
+        .cast("double")
+        .alias("sq")
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.round(
+        (
+            F.col("dot")
+            / (F.sqrt(F.col("na.sq")) * F.sqrt(F.col("nb.sq")))
+        ).cast("decimal(28,10)"),
+        6,
+    ).cast("double")
+    return (
+        dots.join(na, F.col("label_a") == F.col("na.label"))
+        .join(nb, F.col("label_b") == F.col("nb.label"))
+        .select("label_a", "label_b", cos.alias("cosine"))
+        .orderBy("label_a", "label_b")
+    )
