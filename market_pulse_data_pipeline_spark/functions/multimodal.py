@@ -142,3 +142,88 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized_len", T.IntegerType(), True),
+        T.StructField("resized_sha", T.StringType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> dict:
+    """Deterministic stand-in for an image resize: the 'resized payload'
+    is a SHA-keyed expansion sized to the target pixel count, so output
+    bytes depend on (source bytes, target dims) exactly like a real
+    resample would."""
+    n = len(payload or b"")
+    digest = hashlib.sha256(
+        hashlib.sha256(payload or b"").digest()
+        + b"resize"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+    ).digest()
+    target_len = max(1, (w * h) // 64)
+    out = (digest * (target_len // len(digest) + 1))[:target_len]
+    return {
+        "src_width": (n % 640) + 16,  # mirrors _fake_decode's dims
+        "src_height": (n % 480) + 16,
+        "resized_len": len(out),
+        "resized_sha": hashlib.sha256(out).hexdigest(),
+    }
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, real: bool = False
+) -> DataFrame:
+    """Image/video payloads → fixed target dimensions via mapInPandas —
+    the batch-resize step before visual feature extraction.
+
+    Same plumbing contract as ``decode_media``: audio rows are filtered
+    out BEFORE bytes ship to Python, the UDF sees Arrow batches, and
+    ``real=True`` raises until an actual codec is installed (the
+    deterministic fake keeps schema/partitioning/batch shape testable).
+    """
+    if real:
+        try:
+            import PIL  # noqa: F401, PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "real media resize needs an image codec (PIL), not "
+                "installed in this environment — use real=False"
+            ) from e
+
+    visual = media.filter(F.col("media_type").isin("image", "video"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [_fake_resize(c, width, height) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "src_width": pd.array(
+                        [r["src_width"] for r in resized], dtype="Int32"
+                    ),
+                    "src_height": pd.array(
+                        [r["src_height"] for r in resized], dtype="Int32"
+                    ),
+                    "width": pd.array([width] * len(pdf), dtype="Int32"),
+                    "height": pd.array([height] * len(pdf), dtype="Int32"),
+                    "resized_len": pd.array(
+                        [r["resized_len"] for r in resized], dtype="Int32"
+                    ),
+                    "resized_sha": [r["resized_sha"] for r in resized],
+                }
+            )
+
+    return visual.select("media_id", "media_type", "content").mapInPandas(
+        batches, RESIZE_SCHEMA
+    )

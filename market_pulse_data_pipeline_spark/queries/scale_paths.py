@@ -476,3 +476,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ivf_build_centroids(cached, dim=len(q))
     cached.unpersist(blocking=False)
     return ivf_ann_topk(others, q, dim=len(q), k=10, nprobe=6, centroids=centroids)
+
+
+@register(
+    "media_resize",
+    None,
+    doc="multimodal resize plumbing: image/video payloads to a fixed "
+    "32x32 target via Arrow-batched mapInPandas (deterministic stub "
+    "codec — container has no PIL; the 'resized' bytes are a SHA-keyed "
+    "expansion sized to the target pixel count). Audio rows are pruned "
+    "JVM-side before any byte ships to Python. Rows-only, like the "
+    "decode twin; determinism pytest-pinned.",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.multimodal import (  # noqa: PLC0415
+        resize_media,
+    )
+
+    media = documents_to_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    return resize_media(media, width=32, height=32).orderBy("media_id")
