@@ -758,16 +758,28 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue minus supply cost over a 6-way join, part-name LIKE "
     "filter. Profit terms are exact decimals end-to-end (decimal "
     "revenue minus decimal cost x qty), so the nation-year sums "
-    "hash-match. The derived cost table joins on (part, supp) — the "
-    "same two-column equi-join partsupp would need.",
+    "hash-match. Spark side attaches ps_supplycost as a WINDOW MIN "
+    "over (l_partkey, l_suppkey) instead of aggregating a cost table "
+    "and joining it back — same math (the oracle keeps the explicit "
+    "derived-table join), but ONE fact-table shuffle instead of an "
+    "aggregation shuffle plus a fact-sized join (~2x faster measured "
+    "at sf0.1; the same argument holds at 100 TB where the join's "
+    "build side is partsupp-sized).",
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
     li = t(spark, sf_dir, "lineitem")
-    ps = _psc(spark, sf_dir)
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     supp = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders")
     nation = t(spark, sf_dir, "nation")
+    unit = F.round(
+        (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(28,8)"),
+        4,
+    ).cast("decimal(18,4)")
+    w = Window.partitionBy("l_partkey", "l_suppkey")
+    li = li.withColumn("ps_supplycost", F.min(unit).over(w))
     revenue_dec = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
     ).cast("decimal(20,6)")
@@ -775,11 +787,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(12,2)"
     )
     return (
-        li.join(
-            ps,
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
-        )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
