@@ -822,3 +822,104 @@ def approx_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_within_band"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "full_outer_reconciliation",
+    """
+    WITH li AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2)
+                  AS DOUBLE) AS shipped_value
+      FROM lineitem GROUP BY 1
+    ), ord AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,2))), 2)
+                  AS DOUBLE) AS ordered_value
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(li.d, ord.d) AS d,
+           shipped_value, ordered_value,
+           li.d IS NOT NULL AS has_shipments,
+           ord.d IS NOT NULL AS has_orders
+    FROM li FULL OUTER JOIN ord ON li.d = ord.d
+    ORDER BY d
+    """,
+    doc="FULL OUTER join (completes the engine's join-type matrix — the "
+    "reference has only left/semi/anti): per-day shipped vs ordered "
+    "value reconciliation, null-flagged on both sides. Both inputs "
+    "pre-aggregate to day grain before the join, so the full-outer "
+    "shuffle carries dates, not rows.",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+            .cast("double")
+            .alias("shipped_value")
+        )
+        .alias("li")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,2)")), 2)
+            .cast("double")
+            .alias("ordered_value")
+        )
+        .alias("ord")
+    )
+    return (
+        li.join(orders, F.col("li.d") == F.col("ord.d"), "full_outer")
+        .select(
+            F.coalesce(F.col("li.d"), F.col("ord.d")).alias("d"),
+            "shipped_value",
+            "ordered_value",
+            F.col("li.d").isNotNull().alias("has_shipments"),
+            F.col("ord.d").isNotNull().alias("has_orders"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "array_functions_suite",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(list_distinct(tk)) AS n_distinct,
+           list_contains(tk, 'data') AS has_data,
+           array_to_string(list_sort(list_distinct(tk)), ',') AS sorted_vocab,
+           tk[1] AS first_token,
+           tk[len(tk)] AS last_token,
+           array_to_string(list_reverse(tk), ' ') AS reversed_text
+    FROM toks ORDER BY doc_id
+    """,
+    doc="array-function suite over tokenized documents: size / "
+    "array_distinct / array_contains / sort_array / element_at (first "
+    "and last) / reverse — all JVM-side array expressions inside one "
+    "projection (array outputs re-joined to strings for the harness's "
+    "scalar-column constraint).",
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    return toks.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        F.array_contains("tk", "data").alias("has_data"),
+        F.concat_ws(",", F.sort_array(F.array_distinct("tk"))).alias(
+            "sorted_vocab"
+        ),
+        F.element_at("tk", 1).alias("first_token"),
+        F.element_at("tk", -1).alias("last_token"),
+        F.concat_ws(" ", F.reverse("tk")).alias("reversed_text"),
+    ).orderBy("doc_id")

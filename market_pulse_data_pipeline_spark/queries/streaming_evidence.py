@@ -138,3 +138,75 @@ def streaming_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close_checksum"
         ),
     )
+
+
+@register(
+    "streaming_windowed_agg",
+    f"""
+    SELECT event_type,
+           epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+             AS window_start_us,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="watermarked windowed aggregation through a REAL streaming "
+    "query: readStream(events parquet) -> withWatermark(10 min) -> "
+    "1h tumbling window per event_type -> complete-mode memory sink, "
+    "availableNow. The finished sink table must equal the batch "
+    "relational oracle exactly — the witness that the streaming "
+    "window operator, watermark plumbing, and sink all compute the "
+    "batch semantics (the Structured Streaming correctness "
+    "contract). Complete mode is used so closed AND open windows "
+    "emit; state is watermark-bounded either way.",
+)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.sources.tables import (  # noqa: PLC0415
+        _ensure_session_confs,
+    )
+
+    _ensure_session_confs(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    # the file stream source requires a DIRECTORY; point it at the sf
+    # dir and glob-filter to the events table only
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # the fixture stores TIMESTAMP(NANOS) → read as long under
+    # nanosAsLong; watermarks need a real timestamp column
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    sink = f"stream_win_agg_{os.getpid()}"
+    q = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.col("event_type"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
