@@ -923,3 +923,64 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("tk", -1).alias("last_token"),
         F.concat_ws(" ", F.reverse("tk")).alias("reversed_text"),
     ).orderBy("doc_id")
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"]
+
+
+@register(
+    "profile_columns_lineitem",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+    doc="column-level data profiling (null count, distinct count, "
+    "min/max) for five lineitem columns in ONE scan: a single "
+    "aggregate row computes every measure, then unpivots to one row "
+    "per column. The oracle's per-column UNION ALL scans five times — "
+    "at 100 TB the single-pass shape is 5x less IO, which is the "
+    "point of the operator. Values stringified into a shared schema. "
+    "Timestamp min/max stringify through a pinned UTC format so the "
+    "compared bytes match DuckDB's naive rendering.",
+)
+def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+
+    def stringify(col):
+        return col.cast("string")
+
+    def as_str(c: str, agg):
+        # aggregate on the NATIVE type (numeric/timestamp ordering),
+        # stringify the result — stringifying first would make min/max
+        # lexicographic
+        col = agg(F.col(c))
+        if dict(li.dtypes)[c].startswith("timestamp"):
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return stringify(col)
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.extend(
+            [
+                (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__nn"),
+                F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+                as_str(c, F.min).alias(f"{c}__mn"),
+                as_str(c, F.max).alias(f"{c}__mx"),
+            ]
+        )
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")
