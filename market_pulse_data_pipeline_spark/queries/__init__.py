@@ -24,6 +24,8 @@ from market_pulse_data_pipeline_spark.queries import analytics  # noqa: F401, E4
 from market_pulse_data_pipeline_spark.queries import asof  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import streaming_evidence  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import corpus  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import quality  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import formats  # noqa: F401, E402
 
 
 # Names that already have a driver-green CORRECTNESS row (round 2).
@@ -34,6 +36,54 @@ from market_pulse_data_pipeline_spark.queries import corpus  # noqa: F401, E402
 # registration order; (2) the round-2 greens below, in registration
 # order. As rows turn green in CORRECTNESS_r{N}, move them into this set
 # so the window rotates to whatever is still unwitnessed.
+# Queries the round-2 judge NAMED as needing a driver row (VERDICT.md
+# "Next round #1"): these must land at the very front of the window so
+# even a smaller-than-50 snapshot witnesses them.
+_R3_PRIORITY = [
+    "sessionization",
+    "event_hourly_windows",
+    "event_sliding_windows",
+    "dedup_cluster_assignment",
+    "market_pulse_end_to_end",
+    "minhash_lsh_portable",
+    "asof_join_latest_anchor",
+    "range_join_price_bands",
+    "rolling_avg_7rows",
+    "weekly_ohlc",
+    "embedding_int8_quantize",
+    "streaming_ingest_upsert",
+    "streaming_windowed_agg",
+    # pivot/rollup/cube/set-ops/semi-join/window family (named)
+    "pivot_lang_counts",
+    "rollup_qty",
+    "cube_counts",
+    "top3_per_supplier",
+    "semi_join_big_spenders",
+    "set_ops_nations",
+    "except_user_event_pairs",
+    "lag_lead_weekly",
+    # regression/correlation/histogram queries (named)
+    "regr_slope_by_event_type",
+    "value_histogram_by_event_type",
+    "corr_quantity_price_by_flag",
+]
+
+# Deferred to the round-4 window: 65 unwitnessed > 50 slots, so 15 must
+# wait. We defer (a) the 8 rows-only queries (their driver row is the
+# weaker rows-only check anyway) and (b) the 7 queries registered AFTER
+# the round-2 driver snapshot (corpus suite + rank/grouping-sets) — the
+# only unwitnessed queries the judge has not flagged as overdue.
+_R4_DEFER = [
+    # rows-only (no oracle)
+    "minhash_lsh_near_dups", "simhash_near_dups", "ann_lsh_topk",
+    "embedding_near_dups", "media_decode_features", "ann_recall_at_10",
+    "ann_ivf_topk", "media_resize",
+    # post-snapshot round-2 additions
+    "vocab_top_tokens", "cross_corpus_dedup_exact", "doc_chunking",
+    "source_mixture_weights", "mixture_rebalanced_sample",
+    "rank_functions_suite", "grouping_sets_flags",
+]
+
 _DRIVER_GREEN = {
     # CORRECTNESS_r02.json — 49 green rows (embedding_int8_quantize errs
     # there and is deliberately NOT listed: its fixed output shape needs
@@ -63,8 +113,24 @@ _DRIVER_GREEN = {
 
 
 def all_queries():
-    unwitnessed = {
-        n: q for n, q in QUERY_REGISTRY.items() if n not in _DRIVER_GREEN
-    }
-    witnessed = {n: q for n, q in QUERY_REGISTRY.items() if n in _DRIVER_GREEN}
-    return {**unwitnessed, **witnessed}
+    """Registry ordered for the driver's 50-row correctness window.
+
+    Tiers: (1) judge-named remediation queries, (2) other
+    never-driver-witnessed queries in registration order, (3) queries
+    deferred to round 4's window, (4) round-2 driver-green rows.
+    """
+    prio_rank = {n: i for i, n in enumerate(_R3_PRIORITY)}
+    defer = set(_R4_DEFER)
+
+    def tier(n: str) -> tuple:
+        if n in prio_rank:
+            return (0, prio_rank[n])
+        if n in _DRIVER_GREEN:
+            return (3, 0)
+        if n in defer:
+            return (2, 0)
+        return (1, 0)
+
+    names = sorted(QUERY_REGISTRY, key=lambda n: (tier(n),))
+    # sorted() is stable → registration order preserved within a tier
+    return {n: QUERY_REGISTRY[n] for n in names}

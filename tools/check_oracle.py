@@ -25,6 +25,15 @@ from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
 
 
 def value_repr(v) -> str:
+    # The driver's harness canonicalizes through pandas sort_values,
+    # which cannot factorize container values — mirror that constraint
+    # here so an array-typed output column fails locally first
+    # (round-2 lesson: embedding_int8_quantize).
+    if isinstance(v, (list, dict, set, bytearray)) or type(v).__name__ == "ndarray":
+        raise TypeError(
+            "container value in result column (driver-unhashable): "
+            + repr(v)[:80]
+        )
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -68,9 +77,14 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, args.sf)
-        srows = sdf.collect()
-        s_fp = frame_fingerprint(sdf.columns, [tuple(r) for r in srows])
+        try:
+            sdf = fn(spark, args.sf)
+            srows = sdf.collect()
+            s_fp = frame_fingerprint(sdf.columns, [tuple(r) for r in srows])
+        except Exception as e:  # mirror the driver: an err is a red row
+            print(f"  {name:34s} ERR  {type(e).__name__}: {e}")
+            failures.append((name, f"{type(e).__name__}: {e}"))
+            continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"  {name:34s} rows={s_fp[0]:>8} (rows-only, no oracle) "
