@@ -1,0 +1,186 @@
+"""Distributed clustering / decomposition over embedding columns.
+
+Two iterative algorithms a training-data pipeline runs over its
+embedding store, in their scale-correct Spark shapes:
+
+- ``kmeans``: Lloyd's iterations. Centroids live on the driver
+  (k×dim floats — bounded, independent of row count) and are
+  broadcast into an Arrow-batched assignment UDF; the update step is
+  a posexplode + groupBy(cluster, pos) partial/final aggregate, so the
+  per-iteration shuffle carries at most k×dim cells per partition,
+  never rows. Deterministic: init is the first k vectors by id, and
+  ties in argmin break toward the lower cluster id.
+
+- ``pca_components`` / ``pca_project``: principal components via the
+  d×d Gram matrix. Each partition emits ONE partial Gram (mapInPandas
+  numpy ``X.T @ X``), the d² cells are summed in one aggregate, and
+  the eigendecomposition runs driver-side on the d×d result — the
+  only collect is d², independent of row count. Projection is then a
+  map-only Arrow-batched matmul. Eigenvector sign is fixed
+  (largest-|component| coordinate positive) so output is reproducible
+  across numpy builds.
+
+Neither shape ever materializes an n×n or n×d driver-side structure;
+both survive 100 TB with the same code path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _collect_init_centroids(
+    emb: DataFrame, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )  # bounded: k vectors
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
+def _assign_udf(centroids: np.ndarray):
+    c = centroids  # captured; broadcast with the serialized UDF
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        # ||x - c||² = ||x||² - 2 x·c + ||c||²; ||x||² constant per row
+        d2 = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means; returns (id, cluster) assignments after
+    ``iters`` full iterations from the deterministic first-k init."""
+    centroids = _collect_init_centroids(emb, k, id_col, vec_col)
+    src = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assigned = src.withColumn("cluster", _assign_udf(centroids)("v"))
+        # update: k×dim cells after map-side partial aggregation
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # bounded: k*dim rows
+        new_c = centroids.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+        for ci, cols in acc.items():
+            for pos, (s, n) in cols.items():
+                new_c[ci, pos] = s / n
+        centroids = new_c
+    return src.withColumn("cluster", _assign_udf(centroids)("v")).select(
+        id_col, "cluster"
+    )
+
+
+def _partial_gram_factory(dim: int, vec_col: str):
+    def partial_gram(batches):
+        total = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            total += x.T @ x
+            s += x.sum(axis=0)
+            n += len(pdf)
+        if n == 0:
+            return
+        i, j = np.meshgrid(range(dim), range(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": i.ravel().astype(np.int32),
+                "j": j.ravel().astype(np.int32),
+                "g": total.ravel(),
+                "si": np.where(
+                    j.ravel() == 0, s[i.ravel()], 0.0
+                ),  # mean vector rides along in column j=0
+                "n": np.int64(n),
+            }
+        )
+
+    return partial_gram
+
+
+def pca_components(
+    emb: DataFrame, dim: int, n_components: int = 2, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top principal components of the embedding column.
+
+    Returns (components (n_components, dim), mean (dim,)). The only
+    driver-side data is the d²-cell Gram aggregate.
+    """
+    parts = emb.select(vec_col).mapInPandas(
+        _partial_gram_factory(dim, vec_col),
+        schema="i int, j int, g double, si double, n long",
+    )
+    cells = (
+        parts.groupBy("i", "j")
+        .agg(
+            F.sum("g").alias("g"),
+            F.sum("si").alias("si"),
+            F.sum("n").alias("n"),
+        )
+        .collect()
+    )  # bounded: dim² rows
+    gram = np.zeros((dim, dim), dtype=np.float64)
+    mean = np.zeros(dim, dtype=np.float64)
+    n = 0
+    for r in cells:
+        gram[r["i"], r["j"]] = r["g"]
+        if r["j"] == 0:
+            mean[r["i"]] = r["si"]
+            n = r["n"]  # every cell sums each partition's row count once
+    n = max(n, 1)
+    mean = mean / n
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, ::-1][:, :n_components].T  # (n_components, dim)
+    # sign fix: largest-|coordinate| positive
+    for c in range(comp.shape[0]):
+        m = np.argmax(np.abs(comp[c]))
+        if comp[c, m] < 0:
+            comp[c] = -comp[c]
+    return comp, mean
+
+
+def pca_project(
+    emb: DataFrame,
+    dim: int,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """Map-only projection of every vector onto the top components."""
+    comp, mean = pca_components(emb, dim, n_components, vec_col)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def project(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64) - mean
+        p = np.round(x @ comp.T, digits)
+        return pd.Series(list(p))
+
+    out = emb.select(id_col, project(vec_col).alias("p"))
+    cols = [id_col] + [
+        F.col("p")[c].alias(f"pc{c + 1}") for c in range(n_components)
+    ]
+    return out.select(*cols)

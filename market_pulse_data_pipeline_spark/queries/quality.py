@@ -1,0 +1,341 @@
+"""Corpus quality-filtering operators (Gopher/C4-style rule suites).
+
+The filtering half of a training-data pipeline that queries/text.py's
+scoring half feeds: hard rule filters with per-rule diagnostics, PII
+redaction (not just detection), character-class profiling, sentence-
+level exact dedup inside documents, and an SCD2 history build over the
+events stream. Every operator is a pure relational shape (map-only
+projection / explode + hash-agg / window), so each hash-checks against
+a DuckDB oracle.
+
+None of these exist in the reference (its corpus is 10 stock symbols);
+they extend SURVEY §2.6's north-star set. Scale notes per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_div,
+    sql_round_div,
+    t,
+)
+
+# Gopher-style bounds (arbitrary but fixed; the shape is the point).
+_MIN_WORDS = 20
+_MAX_WORDS = 10_000
+_MIN_MEAN_WLEN = 2.0
+_MAX_MEAN_WLEN = 12.0
+_STOPWORDS = ("a", "the")  # synthetic corpus vocabulary includes both
+
+
+@register(
+    "corpus_quality_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_words,
+             {sql_round_div("CAST(length(replace(text, ' ', '')) AS DOUBLE)",
+                            "len(string_split(text, ' '))")} AS mean_wlen,
+             (list_contains(string_split(text, ' '), 'a')
+              OR list_contains(string_split(text, ' '), 'the'))
+               AS has_stopword
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_words, mean_wlen,
+           (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) AS rule_len,
+           (mean_wlen BETWEEN {_MIN_MEAN_WLEN} AND {_MAX_MEAN_WLEN})
+             AS rule_wlen,
+           has_stopword AS rule_stopword,
+           ((n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+            AND (mean_wlen BETWEEN {_MIN_MEAN_WLEN} AND {_MAX_MEAN_WLEN})
+            AND has_stopword) AS keep
+    FROM scored
+    """,
+    doc="Gopher-style hard quality filter with per-rule diagnostics: "
+    "word-count bounds, mean-word-length bounds, stopword presence. "
+    "Map-only — no shuffle at any scale; the per-rule booleans are what "
+    "a pipeline operator logs to audit WHY a document was dropped. "
+    "mean_wlen rounds through the exact-decimal quotient so both "
+    "engines agree at representation boundaries.",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_wlen = round_div(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+            "double"
+        ),
+        n_words,
+    )
+    has_stop = F.arrays_overlap(
+        words, F.array(*[F.lit(s) for s in _STOPWORDS])
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        has_stop.alias("has_stopword"),
+    )
+    rule_len = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    rule_wlen = F.col("mean_wlen").between(_MIN_MEAN_WLEN, _MAX_MEAN_WLEN)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        "mean_wlen",
+        rule_len.alias("rule_len"),
+        rule_wlen.alias("rule_wlen"),
+        F.col("has_stopword").alias("rule_stopword"),
+        (rule_len & rule_wlen & F.col("has_stopword")).alias("keep"),
+    )
+
+
+# Same dialect-portable patterns as text_pii_scan (Java regex ∩ RE2).
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PII_ID = "[0-9]{6,}"
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}',
+                 '[EMAIL]', 'g'), '{_PII_ID}', '[ID]', 'g'))
+             AS redacted_md5,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+             AS n_email_redacted,
+           CAST(len(regexp_extract_all(
+                 regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_ID}')) AS INTEGER) AS n_id_redacted
+    FROM documents
+    """,
+    doc="PII REDACTION (the action text_pii_scan only detects): emails "
+    "then long digit runs replaced with typed placeholders; returns the "
+    "md5 of the redacted text (hash-checkable without shipping full "
+    "text through the harness) plus per-type replacement counts. "
+    "Order matters and is pinned: emails first, so digit runs inside "
+    "an address are counted once. Map-only at any scale; patterns "
+    "restricted to the Java-regex ∩ RE2 dialect so the oracle matches "
+    "byte-for-byte.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    after_email = F.regexp_replace("text", _PII_EMAIL, "[EMAIL]")
+    redacted = F.regexp_replace(after_email, _PII_ID, "[ID]")
+    return docs.select(
+        "doc_id",
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .alias("n_email_redacted"),
+        F.size(F.regexp_extract_all(after_email, F.lit(_PII_ID), F.lit(0)))
+        .alias("n_id_redacted"),
+    )
+
+
+@register(
+    "char_class_profile",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_total,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+           {sql_round_div(
+             "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
+             "AS DOUBLE)", "length(text)")} AS alpha_frac,
+           {sql_round_div(
+             "CAST(length(regexp_replace(text, '[^ ]', '', 'g')) "
+             "AS DOUBLE)", "length(text)")} AS space_frac
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    doc="character-class profile (alpha/digit/space counts + fractions) "
+    "— the symbol-ratio signal of C4/Gopher filters, kept to exact "
+    "rational arithmetic (counts and decimal-rounded quotients, no "
+    "transcendentals) so the hash comparison is bit-stable. Map-only.",
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_total = F.length("text")
+
+    def class_count(pattern: str):
+        return F.length(F.regexp_replace("text", pattern, ""))
+
+    n_alpha = class_count("[^a-zA-Z]")
+    n_digit = class_count("[^0-9]")
+    n_space = class_count("[^ ]")
+    return docs.select(
+        "doc_id",
+        n_total.alias("n_chars_total"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        round_div(n_alpha.cast("double"), n_total).alias("alpha_frac"),
+        round_div(n_space.cast("double"), n_total).alias("space_frac"),
+    )
+
+
+_SENT_W = 10  # tokens per pseudo-sentence (synthetic corpus has no '.')
+
+
+@register(
+    "sentence_dedup_profile",
+    f"""
+    WITH sents AS (
+      SELECT doc_id,
+             CAST((g.start - 1) / {_SENT_W} AS INTEGER) AS sent_id,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '),
+                          g.start, g.start + {_SENT_W} - 1), ' ')) AS h
+      FROM documents,
+           UNNEST(generate_series(
+             1, len(string_split(text, ' ')), {_SENT_W})) AS g(start)
+    ), firsts AS (
+      SELECT h, MIN(doc_id * 1000000 + sent_id) AS first_pos, COUNT(*) AS n
+      FROM sents GROUP BY h
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_sents,
+           CAST(SUM(CASE WHEN f.first_pos < s.doc_id * 1000000 + s.sent_id
+                         THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_sents,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_shared_sents
+    FROM sents s JOIN firsts f ON s.h = f.h
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="sentence-level (fixed 10-token window) exact dedup profile: "
+    "per document, how many of its sentences are corpus-wide "
+    "duplicates (first occurrence by (doc_id, sent_id) order wins) and "
+    "how many are shared at all. This is the fine-grained complement "
+    "of document-level dedup_exact — the shape used to strip "
+    "boilerplate lines at corpus scale. One explode + one hash-agg on "
+    "a 16-byte digest + one digest-keyed join back: at 100 TB both "
+    "shuffles key on md5(sentence), which is uniformly distributed "
+    "(no skew), and the join's build side (distinct digests) is the "
+    "compressible one.",
+)
+def sentence_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sents = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(_SENT_W))
+        ).alias("start"),
+        toks.alias("tk"),
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / _SENT_W).cast("int").alias("sent_id"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("tk"), F.col("start"), _SENT_W), " "
+            ).cast("binary")
+        ).alias("h"),
+    )
+    pos = F.col("doc_id") * 1_000_000 + F.col("sent_id")
+    firsts = sents.groupBy("h").agg(
+        F.min(pos).alias("first_pos"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sents.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(
+                F.when(F.col("first_pos") < pos, 1).otherwise(0)
+            ).cast("int").alias("n_dup_sents"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_shared_sents"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "scd2_user_event_type_history",
+    """
+    WITH runs AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grp AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    )
+    SELECT user_id, CAST(run_id AS INTEGER) AS version, event_type,
+           MIN(ts) AS valid_from, MAX(ts) AS last_seen,
+           CAST(COUNT(*) AS INTEGER) AS n_events
+    FROM grp
+    WHERE user_id < 100
+    GROUP BY user_id, run_id, event_type
+    ORDER BY user_id, version
+    """,
+    doc="SCD2 (type-2 slowly-changing-dimension) history build from an "
+    "event stream: per user, consecutive runs of the same event_type "
+    "collapse into versioned validity intervals (valid_from/last_seen) "
+    "via the classic gaps-and-islands shape — lag() change detection + "
+    "running-sum run id + per-run aggregate. Two window passes and one "
+    "aggregate, all partitioned by user_id: a single shuffle at any "
+    "scale, and AQE handles hot users. The reference's MERGE keeps "
+    "only latest state (J2/J3); this keeps full history — the other "
+    "half of warehouse dimension maintenance.",
+)
+def scd2_user_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    # the running sum must consume is_start from a separate projection
+    # (window-in-window is rejected); both windows share the same
+    # (user_id | ts, event_id) sort so only one shuffle+sort is planned.
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = runs.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_start").over(wsum).alias("run_id"),
+    )
+    return (
+        grp.groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("run_id").cast("int").alias("version"),
+            "event_type",
+            "valid_from",
+            "last_seen",
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )

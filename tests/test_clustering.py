@@ -1,0 +1,89 @@
+"""Exactness twins for functions/clustering.py.
+
+K-means: the Spark fit must produce IDENTICAL assignments to a pure-
+numpy replay of the same deterministic algorithm (first-k init, ties
+toward lower cluster id, 5 Lloyd iterations). PCA: projections must
+match a numpy eigendecomposition of the same covariance up to float
+tolerance (partial-sum order differs between engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from market_pulse_data_pipeline_spark.functions.clustering import (
+    kmeans,
+    pca_components,
+    pca_project,
+)
+from market_pulse_data_pipeline_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, x
+
+
+def numpy_kmeans(x: np.ndarray, k: int, iters: int) -> np.ndarray:
+    c = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for ci in range(k):
+            if (a == ci).any():
+                c[ci] = x[a == ci].mean(axis=0)
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def test_kmeans_matches_numpy_exactly(spark, emb, emb_np):
+    ids, x = emb_np
+    expected = numpy_kmeans(x, k=5, iters=3)
+    got_rows = kmeans(emb, k=5, iters=3).orderBy("vec_id").collect()
+    got = np.array([r.cluster for r in got_rows])
+    assert np.array_equal(ids, np.array([r.vec_id for r in got_rows]))
+    # identical argmin over float64 distances; mean reassociation between
+    # Spark and numpy can flip an exact boundary tie, but the synthetic
+    # clusters are well separated — require full equality.
+    assert np.array_equal(got, expected)
+
+
+def test_kmeans_all_clusters_nonempty(emb):
+    sizes = kmeans(emb, k=5, iters=3).groupBy("cluster").count().collect()
+    assert len(sizes) == 5
+    assert all(r["count"] > 0 for r in sizes)
+
+
+def test_pca_components_match_numpy(emb, emb_np):
+    _, x = emb_np
+    comp, mean = pca_components(emb, dim=x.shape[1], n_components=2)
+    np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    _, vecs = np.linalg.eigh(cov)
+    expected = vecs[:, ::-1][:, :2].T
+    for c in range(2):
+        m = np.argmax(np.abs(expected[c]))
+        if expected[c, m] < 0:
+            expected[c] = -expected[c]
+    np.testing.assert_allclose(np.abs(comp), np.abs(expected), atol=1e-6)
+
+
+def test_pca_projection_variance_order(emb, emb_np):
+    _, x = emb_np
+    rows = pca_project(emb, dim=x.shape[1], n_components=2).collect()
+    p1 = np.array([r.pc1 for r in rows])
+    p2 = np.array([r.pc2 for r in rows])
+    assert len(rows) == len(x)
+    # top component carries at least as much variance as the second
+    assert p1.var() >= p2.var()
