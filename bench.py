@@ -51,9 +51,11 @@ def main() -> None:
     total = 0.0
     # Fixed alphabetical order: registry iteration order changes as the
     # driver-witness window rotates; bench timings must not depend on it.
-    # Median of 3 runs per query: single-shot timings on this host vary
-    # ±30-60% run-to-run (shared machine); the median estimates the same
-    # per-query latency with far less noise.
+    # Min of 3 runs per query: this host is shared, and back-to-back
+    # medians still swung 2-3x on individual queries (interference hits
+    # 2 of 3 runs often enough). Interference only ever ADDS time, so
+    # the minimum is the unbiased estimator of achievable latency —
+    # the same reasoning as Python's timeit documentation.
     for name in sorted(bench_queries):
         q = bench_queries[name]
         runs = []
@@ -62,7 +64,7 @@ def main() -> None:
             df = q.spark(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
-        dt = round(sorted(runs)[1], 3)
+        dt = round(min(runs), 3)
         timings[name] = dt
         total += dt
 

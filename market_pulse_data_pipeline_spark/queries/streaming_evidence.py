@@ -140,9 +140,36 @@ def streaming_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(
+    spark: SparkSession, sf_dir: str, max_files: int = 8
+) -> DataFrame:
+    """File-source readStream over the events table (shared by every
+    events-based streaming witness). The file stream source requires a
+    DIRECTORY; point it at the sf dir and glob-filter to events only.
+    The fixture stores TIMESTAMP(NANOS) → read as long under
+    nanosAsLong; watermarks need a real timestamp column."""
+    from market_pulse_data_pipeline_spark.sources.tables import (  # noqa: PLC0415
+        _ensure_session_confs,
+    )
+
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream
+
+
 @register(
     "streaming_windowed_agg",
-    f"""
+    """
     SELECT event_type,
            epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
              AS window_start_us,
@@ -162,27 +189,7 @@ def streaming_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emit; state is watermark-bounded either way.",
 )
 def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from market_pulse_data_pipeline_spark.sources.tables import (  # noqa: PLC0415
-        _ensure_session_confs,
-    )
-
-    _ensure_session_confs(spark)
-    events_path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(events_path).schema
-    # the file stream source requires a DIRECTORY; point it at the sf
-    # dir and glob-filter to the events table only
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 8)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # the fixture stores TIMESTAMP(NANOS) → read as long under
-    # nanosAsLong; watermarks need a real timestamp column
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    stream = _events_stream(spark, sf_dir)
     sink = f"stream_win_agg_{os.getpid()}"
     q = (
         stream.withWatermark("ts", "10 minutes")
@@ -210,3 +217,164 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="streaming exactly-once-per-key dedup through a REAL streaming "
+    "query: readStream(events) -> withWatermark -> "
+    "dropDuplicatesWithinWatermark(user_id, event_type) -> append-mode "
+    "memory sink. WHICH physical row survives per key depends on "
+    "arrival order, so only the key columns are returned — that set "
+    "must equal the batch DISTINCT exactly. Witnesses the streaming "
+    "dedup state store; at scale state holds one entry per key inside "
+    "the watermark horizon, dropped as the watermark passes.",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    sink = f"stream_dedup_{os.getpid()}"
+    q = (
+        stream.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits once per surviving row; the key SET is the
+    # deterministic part (enforce it relationally for the comparison)
+    return spark.table(sink).distinct()
+
+
+_ATTR_BOUND_MIN = 15  # attribution window, minutes
+
+
+@register(
+    "streaming_interval_join_attribution",
+    f"""
+    SELECT s.user_id,
+           s.event_id AS left_event_id,
+           epoch_us(CAST(s.ts AS TIMESTAMP)) AS left_ts_us,
+           p.event_id AS right_event_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS right_ts_us
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts
+     AND p.ts <= s.ts + INTERVAL {_ATTR_BOUND_MIN} MINUTE
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+    doc="stream-stream interval join through REAL streaming queries: "
+    "two readStreams over events (signups / purchases), joined on "
+    "user within a 15-minute attribution window, append-mode memory "
+    "sink. The emitted pair set must equal the batch interval join "
+    "exactly. Both sides carry watermarks and the join condition "
+    "carries the time bound, so buffered state is bounded by "
+    "watermark + bound — the requirement for running this at all on "
+    "an unbounded stream. streaming/events.py:stream_interval_join.",
+)
+def streaming_interval_join_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from market_pulse_data_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        stream_interval_join,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    left = stream.filter(F.col("event_type") == "signup")
+    right = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_interval_join(
+        left, right, bound=f"{_ATTR_BOUND_MIN} minutes"
+    )
+    sink = f"stream_ssjoin_{os.getpid()}"
+    q = (
+        joined.select(
+            "user_id",
+            "left_event_id",
+            F.unix_micros("left_ts").alias("left_ts_us"),
+            "right_event_id",
+            F.unix_micros("right_ts").alias("right_ts_us"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_stateful_user_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS last_ts_us
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    doc="CUSTOM stateful streaming operator (applyInPandasWithState) "
+    "as a correctness row: events split into 4 ranged files, streamed "
+    "one file per micro-batch so per-user GroupState genuinely "
+    "accumulates ACROSS batches, update-mode memory sink; the final "
+    "update per user (count + last event time) must equal the batch "
+    "aggregate. Only order-insensitive integer accumulators are "
+    "compared (count, max-ts) — float accumulation order across "
+    "batches is not oracle-stable by design. "
+    "streaming/stateful.py:running_user_stats; watermark is set past "
+    "the data span so no batch-order-dependent late-drop can occur.",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.streaming.stateful import (  # noqa: PLC0415
+        running_user_stats,
+    )
+
+    src_dir = os.path.join(_STREAM_ROOT, "stateful_src")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    (
+        events.filter(F.col("user_id") < 50)
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # watermark far beyond the data span: batch (=file) arrival order is
+    # not guaranteed, and a late-arriving old file must not be dropped —
+    # this witness checks state accumulation, not late-data policy.
+    stats = running_user_stats(stream, watermark="3650 days")
+    sink = f"stream_stateful_{os.getpid()}"
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per user per batch that touched it; the
+    # FINAL state per user is the row with the largest n_events
+    updates = spark.table(sink)
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.unix_micros(F.max("last_ts")).alias("last_ts_us"),
+        )
+    )
