@@ -106,7 +106,8 @@ def format_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "format_roundtrip_jsonl",
     """
-    SELECT event_id, ts, user_id, event_type, value, props
+    SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           user_id, event_type, value, props
     FROM events
     """,
     doc="JSON-lines sink + source round-trip on events: props holds an "
@@ -125,7 +126,14 @@ def format_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
     ).option("timestampFormat", _TS_FMT).json(path).select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+        "event_id",
+        # epoch micros: micros-precision equality is the round-trip
+        # claim, and the compared bytes stay timezone-independent
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
     )
 
 

@@ -277,7 +277,8 @@ def sentence_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM runs
     )
     SELECT user_id, CAST(run_id AS INTEGER) AS version, event_type,
-           MIN(ts) AS valid_from, MAX(ts) AS last_seen,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS valid_from_us,
+           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS last_seen_us,
            CAST(COUNT(*) AS INTEGER) AS n_events
     FROM grp
     WHERE user_id < 100
@@ -325,16 +326,18 @@ def scd2_user_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grp.groupBy("user_id", "run_id", "event_type")
         .agg(
-            F.min("ts").alias("valid_from"),
-            F.max("ts").alias("last_seen"),
+            # epoch micros, not raw timestamps: compared bytes must not
+            # depend on the harness session's timezone/rendering
+            F.unix_micros(F.min("ts")).alias("valid_from_us"),
+            F.unix_micros(F.max("ts")).alias("last_seen_us"),
             F.count(F.lit(1)).cast("int").alias("n_events"),
         )
         .select(
             "user_id",
             F.col("run_id").cast("int").alias("version"),
             "event_type",
-            "valid_from",
-            "last_seen",
+            "valid_from_us",
+            "last_seen_us",
             "n_events",
         )
         .orderBy("user_id", "version")

@@ -1,0 +1,51 @@
+"""SQL-text interface witness.
+
+The reference's users write SQL (its dbt models are SQL files); this
+engine therefore exposes the same surface: `register_views` + one
+`spark.sql(text)` call. The witness below runs ONE shared ANSI string
+— byte-identical on both engines — through `spark.sql` and through
+DuckDB, proving the text interface computes the DataFrame semantics
+(and that a dbt-style SQL model can be dropped in unchanged when it
+sticks to the shared dialect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from market_pulse_data_pipeline_spark.queries.common import register
+from market_pulse_data_pipeline_spark.sources.tables import register_views
+
+# One string, two engines. Restricted to the ANSI subset both parse
+# identically: DATE literals, DECIMAL casts, COUNT/SUM, GROUP BY,
+# HAVING, ORDER BY.
+_SHARED_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-06-01'
+  AND l_shipdate < DATE '1996-06-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 10
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_text_shared_dialect",
+    _SHARED_SQL,
+    doc="the SQL-string surface: register_views(spark, sf_dir) + "
+    "spark.sql(text) where text is BYTE-IDENTICAL to the DuckDB "
+    "oracle string — a dbt-style SQL model runs unchanged on this "
+    "engine when it sticks to the shared ANSI dialect. Catalyst "
+    "plans SQL text and DataFrame code through the same optimizer, "
+    "so every scale property (pushdown, partial aggs, AQE) applies "
+    "identically.",
+)
+def sql_text_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)

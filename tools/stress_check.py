@@ -148,6 +148,48 @@ def main() -> int:
         docs = c if docs is None else docs.unionByName(c)
     run("minhash_near_dups", minhash_near_duplicates(docs, threshold=0.5))
 
+    # sentence-level dedup shape: explode to 10-token windows, digest
+    # groupBy + digest join-back (queries/quality.py). Shuffles key on
+    # md5(sentence) — uniform; linear if the digest-join claim holds.
+    toks = F.split("text", " ")
+    sents = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(10))).alias("start"),
+        toks.alias("tk"),
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / 10).cast("int").alias("sent_id"),
+        F.md5(
+            F.array_join(F.slice(F.col("tk"), F.col("start"), 10), " ").cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    pos = F.col("doc_id") * 1_000_000 + F.col("sent_id")
+    firsts = sents.groupBy("h").agg(
+        F.min(pos).alias("first_pos"), F.count(F.lit(1)).alias("n")
+    )
+    run(
+        "sentence_dedup",
+        sents.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(F.when(F.col("first_pos") < pos, 1).otherwise(0)).alias(
+                "n_dup"
+            ),
+        ),
+    )
+
+    # k-means shape: 2 Lloyd iterations over multiplied embeddings —
+    # linear in rows (assignment map-only, update shuffle is k×dim cells)
+    from market_pulse_data_pipeline_spark.functions.clustering import kmeans
+
+    emb = multiplied(
+        load_table(spark, args.sf, "embeddings"), args.mult, ["vec_id"]
+    )
+    run("kmeans_2iter", kmeans(emb, k=8, iters=2))
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
