@@ -342,3 +342,60 @@ def scd2_user_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+_FUZZY_HEAD = 40  # compared prefix length
+_FUZZY_MAX_DIST = 12  # edit-distance threshold (corpus gap: 0 vs >=16)
+_FUZZY_BUCKET = 50  # n_chars blocking bucket width
+
+
+@register(
+    "dedup_fuzzy_blocked",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // {_FUZZY_BUCKET} AS bucket,
+             substr(text, 1, {_FUZZY_HEAD}) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {_FUZZY_MAX_DIST}
+    ORDER BY a_doc_id, b_doc_id
+    """,
+    doc="blocked fuzzy entity-resolution join: candidate pairs come "
+    "only from (lang, length-bucket) blocks — never an all-pairs cross "
+    "— then exact Levenshtein on a fixed 40-char prefix keeps the "
+    "quadratic-cost kernel bounded per pair. The classic record-"
+    "linkage shape: at 100 TB the join shuffles on the blocking key, "
+    "pair count is sum of block-size squares (controlled by bucket "
+    "width), and edit distance runs JVM-side (built-in levenshtein, "
+    "identical semantics in DuckDB). Complements digest/MinHash dedup "
+    "with typo-tolerant matching.",
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / _FUZZY_BUCKET).cast("bigint").alias("bucket"),
+        F.substring("text", 1, _FUZZY_HEAD).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("a_doc_id"),
+            F.col("b.doc_id").alias("b_doc_id"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("a_doc_id", "b_doc_id")
+    )
