@@ -174,3 +174,39 @@ def partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "user_id")
     )
+
+
+@register(
+    "schema_evolution_read",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    """,
+    doc="schema-evolution read: two parquet batches with DIFFERENT "
+    "schemas under one table root (the old files lack o_orderstatus — "
+    "a column added mid-lifetime), re-read with mergeSchema=true; "
+    "rows from pre-evolution files surface NULL for the new column. "
+    "The oracle derives the same shape from the original table. At "
+    "100 TB this is how a lake table grows columns without rewriting "
+    "history; mergeSchema reconciles footers at planning time "
+    "(file-count-proportional, not data-proportional).",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("orders_evolved")
+    src = t(spark, sf_dir, "orders")
+    old = src.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = src.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=v1"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch=v2"))
+    return (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
