@@ -169,3 +169,23 @@ def vacuum_versions(table_root: str, keep: int = 2) -> list[str]:
         shutil.rmtree(p, ignore_errors=True)
         removed.append(p)
     return removed
+
+
+def list_versions(table_root: str) -> list[str]:
+    """Version prefixes oldest → newest (commit order). Commit order is
+    mtime order locally; on an object store, encode a monotonic id in
+    the prefix instead (same protocol, different name source)."""
+    return sorted(
+        (
+            n
+            for n in os.listdir(table_root)
+            if n.startswith("v_") and os.path.isdir(os.path.join(table_root, n))
+        ),
+        key=lambda n: os.path.getmtime(os.path.join(table_root, n)),
+    )
+
+
+def read_version(spark, table_root: str, version: str) -> DataFrame:
+    """Time travel: read a named immutable snapshot, bypassing the
+    pointer. Valid until ``vacuum_versions`` drops it."""
+    return spark.read.parquet(os.path.join(table_root, version))

@@ -141,3 +141,83 @@ def calendar_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs_day").isNotNull().alias("observed"),
         F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
     ).orderBy("user_id", "day")
+
+
+_TT_ROOT = None  # lazy per-process scratch
+
+
+def _tt_scratch() -> str:
+    global _TT_ROOT
+    if _TT_ROOT is None:
+        import atexit  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+        import os  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        _TT_ROOT = os.path.join(
+            tempfile.gettempdir(), f"mp_timetravel_{os.getpid()}"
+        )
+        atexit.register(lambda: shutil.rmtree(_TT_ROOT, ignore_errors=True))
+    return _TT_ROOT
+
+
+@register(
+    "pointer_swap_time_travel",
+    """
+    SELECT 'v1' AS version_tag, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+             AS price_sum
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v2', o_orderstatus, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY version_tag, o_orderstatus
+    """,
+    doc="time travel over the pointer-swap commit protocol "
+    "(operators/merge.py): two successive commit_pointer_swap() "
+    "snapshots of the orders table (half, then all); read_current() "
+    "must resolve the second, read_version() on the OLDEST prefix must "
+    "still see the first — old snapshots stay readable until "
+    "vacuum_versions, exactly the Delta/Iceberg time-travel contract "
+    "in dependency-free form. The returned frame aggregates BOTH reads "
+    "with a version tag; the oracle re-derives both states "
+    "relationally, so the hash match proves snapshot isolation (the "
+    "second commit did not disturb the first snapshot's bytes).",
+)
+def pointer_swap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from market_pulse_data_pipeline_spark.operators.merge import (  # noqa: PLC0415
+        commit_pointer_swap,
+        list_versions,
+        read_current,
+        read_version,
+    )
+
+    root = os.path.join(_tt_scratch(), "orders_tt")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    commit_pointer_swap(orders.filter(F.col("o_orderkey") % 2 == 0), root)
+    commit_pointer_swap(orders, root)
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        ).select(
+            F.lit(tag).alias("version_tag"), "o_orderstatus", "n", "price_sum"
+        )
+
+    v_first = list_versions(root)[0]
+    old = summarize(read_version(spark, root, v_first), "v1")
+    cur = summarize(read_current(spark, root), "v2")
+    return old.unionByName(cur).orderBy("version_tag", "o_orderstatus")
