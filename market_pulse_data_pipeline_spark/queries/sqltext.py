@@ -11,6 +11,8 @@ sticks to the shared dialect).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 
 from market_pulse_data_pipeline_spark.queries.common import register
@@ -49,3 +51,34 @@ ORDER BY l_returnflag, l_linestatus
 def sql_text_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_SQL)
+
+
+@register(
+    "sql_registered_udf",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_udf
+    FROM documents
+    """,
+    doc="SQL-callable UDF registration surface: a vectorized "
+    "pandas_udf registered via spark.udf.register and invoked from "
+    "SQL TEXT over the temp views — the extension point a SQL-first "
+    "user (dbt macro, ad-hoc analyst) needs. Arrow-batched, so the "
+    "Python hop is the blessed slow-path shape, exercised here on a "
+    "bounded table; hot-path token counting stays JVM-side "
+    "(text_token_count).",
+)
+def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas imported at module scope: under `from __future__ import
+    # annotations` the hint strings must resolve from function globals
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("int")
+    def token_count_py(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int32")
+
+    spark.udf.register("token_count_py", token_count_py)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, token_count_py(text) AS n_tokens_udf FROM documents"
+    )

@@ -378,3 +378,52 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             F.unix_micros(F.max("last_ts")).alias("last_ts_us"),
         )
     )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT CASE event_type
+             WHEN 'click' THEN 'engagement'
+             WHEN 'view' THEN 'engagement'
+             WHEN 'signup' THEN 'conversion'
+             WHEN 'purchase' THEN 'conversion'
+             ELSE 'ops'
+           END AS category,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="stream-static join: the event stream enriched against a "
+    "small static dimension (event_type -> category), aggregated per "
+    "category in complete mode. The static side is broadcast and "
+    "re-resolved per micro-batch — the standard streaming enrichment "
+    "shape (dim updates between batches are picked up automatically); "
+    "no stream-side state beyond the aggregation. Result ≡ the batch "
+    "CASE mapping.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("signup", "conversion"),
+            ("purchase", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    stream = _events_stream(spark, sf_dir)
+    sink = f"stream_static_{os.getpid()}"
+    q = (
+        stream.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
