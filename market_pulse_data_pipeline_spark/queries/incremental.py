@@ -221,3 +221,61 @@ def pointer_swap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = summarize(read_version(spark, root, v_first), "v1")
     cur = summarize(read_current(spark, root), "v2")
     return old.unionByName(cur).orderBy("version_tag", "o_orderstatus")
+
+
+@register(
+    "join_strategy_independence",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+               AS qty_sum
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1995-04-01'
+      GROUP BY o.o_orderpriority
+    )
+    SELECT s.strategy, j.o_orderpriority, j.n, j.qty_sum
+    FROM j, (VALUES ('broadcast'), ('merge'), ('shuffle_hash'),
+                    ('shuffle_replicate_nl')) AS s(strategy)
+    ORDER BY strategy, o_orderpriority
+    """,
+    doc="physical-strategy independence proof: the SAME join+aggregate "
+    "executed under all four Spark join hints — BROADCAST, MERGE "
+    "(sort-merge), SHUFFLE_HASH, SHUFFLE_REPLICATE_NL — unioned with a "
+    "strategy tag; every variant must produce identical bytes (the "
+    "oracle replicates one relational result x4). This is the "
+    "guarantee that lets an operator author pick the physical plan "
+    "purely on scale grounds (broadcast for dim-sized sides, "
+    "sort-merge for fact-fact, shuffle-hash for mid-size skewless) "
+    "with zero semantic risk. tests/test_quality_incremental.py "
+    "asserts each hint actually selected its join node.",
+)
+def join_strategy_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    out = None
+    for hint in ("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"):
+        j = (
+            li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+                .cast("double")
+                .alias("qty_sum"),
+            )
+            .select(
+                F.lit(hint).alias("strategy"), "o_orderpriority", "n", "qty_sum"
+            )
+        )
+        out = j if out is None else out.unionByName(j)
+    return out.orderBy("strategy", "o_orderpriority")

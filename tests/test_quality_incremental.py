@@ -138,3 +138,23 @@ def test_gapfill_covers_span_and_fills(spark):
     )
     assert len(out) == 4  # full calendar span
     assert [r["v"] for r in out] == [10.0, 10.0, 10.0, 20.0]  # ffill
+
+
+def test_join_hints_select_intended_strategy(spark):
+    from market_pulse_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    expected_node = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "shuffle_replicate_nl": "CartesianProduct",
+    }
+    for hint, node in expected_node.items():
+        j = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"{hint}: expected {node} in plan:\n{plan[:800]}"
