@@ -61,6 +61,58 @@ def connected_components(
     return verts
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank (damping 0.85) in scaled-integer arithmetic.
+
+    Ranks are BIGINTs scaled by ``scale``; every step is integer
+    multiply/divide/sum, so the result is bit-identical on any engine —
+    float PageRank is not (per-node in-neighbor sums reassociate).
+    Requires every node to have >=1 out-edge (no dangling mass): make
+    the graph symmetric first if needed.
+
+    Per iteration: one join rank⋈edges (map-side if edges are
+    pre-partitioned by src), one groupBy(dst) shuffle; lineage truncated
+    per round with localCheckpoint like connected_components. Driver
+    holds only the 1-row node count.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    eo = edges.join(deg, src).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
+    )
+    ranks = (
+        deg.select(F.col(src).alias("node"))
+        .crossJoin(F.broadcast(n))
+        .select("node", F.expr(f"{scale} div n_nodes").alias("pr"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        sums = (
+            eo.join(ranks, eo.e_src == ranks.node)
+            .select(F.col("e_dst").alias("node"), F.expr("pr div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            sums.crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.expr(f"(15 * ({scale} div n_nodes)) div 100")
+                    + F.expr("(85 * s) div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
     """Near-dup pairs → (doc_id, cluster_id, cluster_size, is_kept): one
     kept representative (min id) per similarity cluster — the final step

@@ -16,6 +16,9 @@ from market_pulse_data_pipeline_spark.functions.clustering import (
     kmeans,
     pca_project,
 )
+from market_pulse_data_pipeline_spark.functions.graph import (
+    pagerank_fixed_point,
+)
 from market_pulse_data_pipeline_spark.queries.common import register, t
 
 _DIM = 64
@@ -69,3 +72,84 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return pca_project(emb, dim=_DIM, n_components=2).orderBy("vec_id")
+
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+_PR_TOPK = 50
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-iteration DuckDB twin of pagerank_fixed_point: scaled-
+    integer PageRank is exactly expressible as chained CTEs, one
+    (sums, ranks) pair per iteration."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                      't:' || event_type AS dst
+      FROM events
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    r0 AS (
+      SELECT d.src AS node,
+             CAST(%(scale)d // n.n_nodes AS BIGINT) AS pr
+      FROM deg d CROSS JOIN n
+    )""" % {"scale": _PR_SCALE}
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            """,
+    s%(i)d AS (
+      SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS s
+      FROM edges e
+      JOIN r%(prev)d r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r%(i)d AS (
+      SELECT s%(i)d.node,
+             CAST((15 * (%(scale)d // n.n_nodes)) // 100
+                  + (85 * s%(i)d.s) // 100 AS BIGINT) AS pr
+      FROM s%(i)d CROSS JOIN n
+    )"""
+            % {"i": i, "prev": i - 1, "scale": _PR_SCALE}
+        )
+    parts.append(
+        f"""
+    SELECT node, pr AS pr_scaled FROM r{_PR_ITERS}
+    ORDER BY pr DESC, node LIMIT {_PR_TOPK}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_user_event_graph",
+    _pagerank_oracle_sql(),
+    doc="PageRank over the symmetric bipartite user<->event_type graph "
+    f"from events, {_PR_ITERS} iterations, damping 0.85, ranks as "
+    f"BIGINTs scaled by {_PR_SCALE} (integer-only arithmetic -> "
+    "bit-identical across engines; the DuckDB twin unrolls the "
+    "iterations as CTEs). Top-50 via sort+limit. Per iteration one "
+    "rank-edge join + one groupBy(dst) shuffle; "
+    "functions/graph.py::pagerank_fixed_point.",
+)
+def pagerank_user_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    e0 = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+    return (
+        pr.orderBy(F.col("pr").desc(), "node")
+        .limit(_PR_TOPK)
+        .select("node", F.col("pr").alias("pr_scaled"))
+    )

@@ -55,3 +55,26 @@ def test_dedup_clusters_on_planted_dups(spark, sf_dir):
         if any(d in members and (d - 1_000_000) in members for members in clusters.values())
     )
     assert ok >= len(planted) * 0.9
+
+
+def test_pagerank_fixed_point_mass_and_hubs(spark):
+    from market_pulse_data_pipeline_spark.functions.graph import (
+        pagerank_fixed_point,
+    )
+
+    # 4-node symmetric star: hub 'h' <-> a, b, c
+    e = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("a", "h"), ("b", "h"), ("c", "h")],
+        ["src", "dst"],
+    )
+    scale = 10**12
+    rows = {r["node"]: r["pr"] for r in pagerank_fixed_point(e, scale=scale).collect()}
+    assert set(rows) == {"h", "a", "b", "c"}
+    # leaves are symmetric -> identical integer ranks
+    assert rows["a"] == rows["b"] == rows["c"]
+    # the hub receives all leaf mass each round -> strictly dominant
+    assert rows["h"] > rows["a"]
+    # total mass conserved up to integer-division truncation (< 1 unit
+    # lost per node per div, 3 iterations)
+    total = sum(rows.values())
+    assert abs(total - scale) < 1000
