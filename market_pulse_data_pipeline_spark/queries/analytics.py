@@ -15,6 +15,7 @@ from market_pulse_data_pipeline_spark.queries.common import (
     exact_sum,
     register,
     round_div,
+    sql_round_div,
     t,
 )
 
@@ -984,3 +985,48 @@ def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     ).orderBy("column_name")
+
+
+@register(
+    "skew_heavy_hitters",
+    f"""
+    WITH freq AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS nkeys
+      FROM events
+    )
+    SELECT user_id, n,
+           {sql_round_div('n * 1.0', 'total', 6)} AS share,
+           {sql_round_div('(n * nkeys) * 1.0', 'total', 4)} AS x_mean
+    FROM freq CROSS JOIN tot
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+    doc="heavy-hitter skew profile of the events grouping key: top-10 "
+    "keys with their share of all rows and their multiple of the mean "
+    "key frequency (x_mean > ~4 on a join/agg key is the signal to "
+    "salt or let AQE skew-split — operators/skew.py). One hash-"
+    "aggregate + a 1-row broadcast of the totals; top-k via "
+    "sort+limit (TakeOrderedAndProject), never a global window.",
+)
+def skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("nkeys"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            round_div(F.col("n") * F.lit(1.0), F.col("total"), 6).alias("share"),
+            round_div(
+                (F.col("n") * F.col("nkeys")) * F.lit(1.0), F.col("total"), 4
+            ).alias("x_mean"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )

@@ -263,3 +263,24 @@ def mixture_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "lang", "doc_id")
         .orderBy("source", "lang", "doc_id")
     )
+
+
+@register(
+    "bernoulli_sample_hash",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '1f'
+    """,
+    doc="deterministic Bernoulli sampling at p=12.5% (32/256 two-hex-"
+    "digit buckets) by thresholding a content-free md5 of the id: "
+    "reproducible on any engine with no RNG state or seed plumbing, "
+    "stable under repartitioning (unlike df.sample, whose draw depends "
+    "on partition layout), and composable — different hex thresholds "
+    "give nested samples (a 6.25%% sample is a subset of the 12.5%% "
+    "one). Map-only: no shuffle, filter evaluated at the scan.",
+)
+def bernoulli_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "1f"
+    ).select("doc_id", "lang", "source")
