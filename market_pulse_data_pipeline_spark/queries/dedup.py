@@ -159,3 +159,82 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _SAMPLE_MOD == 0
     )
     return ngram_jaccard_pairs(docs, _JACCARD_THRESHOLD, _MAX_SHINGLE_DF)
+
+
+_SPAN_W = 16  # exact-substring window (tokens)
+
+
+@register(
+    "exact_substring_spans",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, u.i,
+             md5(array_to_string(
+               list_slice(toks, u.i + 1, u.i + {_SPAN_W}), ' ')) AS h
+      FROM tokd, UNNEST(range(len(toks) - {_SPAN_W - 1})) AS u(i)
+      WHERE len(toks) >= {_SPAN_W}
+    ),
+    dup AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT s.doc_id, s.i FROM sh s JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM hits
+    )
+    SELECT doc_id, MIN(i) AS start_tok,
+           MAX(i) + {_SPAN_W - 1} AS end_tok,
+           COUNT(*) AS n_shingles
+    FROM isl GROUP BY doc_id, grp
+    """,
+    doc=f"exact-substring duplicate spans: every maximal token range "
+    f"covered by {_SPAN_W}-token shingles that appear verbatim in >= 2 "
+    "documents — the cut-list an exact-substring dedup pass removes "
+    "from a training corpus. Shape: shingle+md5 (map-only, the hash "
+    "caps shuffle width at 32 bytes/shingle), ONE groupBy(h) with a "
+    "distinct-doc HAVING — duplicated spans are found without ever "
+    "forming document PAIRS, so cost is linear in total shingles even "
+    "when a boilerplate shingle occurs in thousands of docs; span "
+    "merge is a per-doc gaps-and-islands window.",
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= _SPAN_W)
+    sh = tokd.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _SPAN_W),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", i + 1, _SPAN_W))
+                ),
+            )
+        ).alias("i", "h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = sh.join(dup, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = hits.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("start_tok"),
+            (F.max("i") + F.lit(_SPAN_W - 1)).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .drop("grp")
+    )
