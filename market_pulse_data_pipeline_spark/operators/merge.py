@@ -189,3 +189,45 @@ def read_version(spark, table_root: str, version: str) -> DataFrame:
     """Time travel: read a named immutable snapshot, bypassing the
     pointer. Valid until ``vacuum_versions`` drops it."""
     return spark.read.parquet(os.path.join(table_root, version))
+
+
+def compact_current_version(
+    spark,
+    table_root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple[str, int, int]:
+    """OPTIMIZE: rewrite the current snapshot's small files into
+    ~``target_bytes`` files and commit the result as a NEW version via
+    the pointer swap — readers are never disturbed, time travel to the
+    fragmented version keeps working until vacuum.
+
+    Small files are the silent killer of 100 TB scans (per-file open
+    cost, tiny row groups defeat min/max skipping, listing storms);
+    streaming/incremental upserts produce them continuously, so
+    compaction runs as a periodic out-of-band maintenance pass.
+
+    File count = ceil(current on-disk bytes / target_bytes) — sizing
+    from the ACTUAL bytes, not row counts, so wide and narrow tables
+    both land near the target. Returns (new_version_path, n_files_in,
+    n_files_out).
+    """
+    with open(os.path.join(table_root, _POINTER)) as f:
+        version = f.read().strip()
+    cur_dir = os.path.join(table_root, version)
+    files = [
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(cur_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(p) for p in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil div
+    compacted = spark.read.parquet(cur_dir).repartition(n_out)
+    new_path = commit_pointer_swap(compacted, table_root)
+    n_files_out = sum(
+        1
+        for dp, _, fns in os.walk(new_path)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    return new_path, len(files), n_files_out

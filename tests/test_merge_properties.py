@@ -105,3 +105,34 @@ def test_pointer_swap_commit_roundtrip(spark, tmp_path):
     assert sorted((r.k, r.v) for r in read_current(spark, root).collect()) == [
         (3, 30)
     ]
+
+
+def test_compact_current_version_reduces_files_preserves_rows(spark, tmp_path):
+    from market_pulse_data_pipeline_spark.operators.merge import (
+        commit_pointer_swap,
+        compact_current_version,
+        list_versions,
+        read_current,
+        read_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # fragment: 64 tiny files
+    commit_pointer_swap(li.repartition(64), root)
+    before = read_current(spark, root)
+    n_rows = before.count()
+    frag_version = list_versions(root)[-1]
+
+    _, n_in, n_out = compact_current_version(
+        spark, root, target_bytes=1 * 1024 * 1024
+    )
+    assert n_in == 64
+    assert n_out < n_in
+    after = read_current(spark, root)
+    assert after.count() == n_rows
+    # content identical (order-insensitive)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+    # fragmented snapshot still time-travelable until vacuum
+    assert read_version(spark, root, frag_version).count() == n_rows
