@@ -146,10 +146,12 @@ def _events_stream(
     """File-source readStream over the events table (shared by every
     events-based streaming witness). The file stream source requires a
     DIRECTORY; point it at the sf dir and glob-filter to events only.
-    The fixture stores TIMESTAMP(NANOS) → read as long under
-    nanosAsLong; watermarks need a real timestamp column."""
+    The fixture's ts encoding varies by generation (nanos-as-long or
+    micros NTZ); normalize to plain TIMESTAMP — watermarks and
+    unix_micros need one type."""
     from market_pulse_data_pipeline_spark.sources.tables import (  # noqa: PLC0415
         _ensure_session_confs,
+        normalize_event_ts,
     )
 
     _ensure_session_confs(spark)
@@ -160,11 +162,7 @@ def _events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
-    return stream
+    return normalize_event_ts(stream)
 
 
 @register(
@@ -338,11 +336,13 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     src_dir = os.path.join(_STREAM_ROOT, "stateful_src")
     shutil.rmtree(src_dir, ignore_errors=True)
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    from market_pulse_data_pipeline_spark.sources.tables import (  # noqa: PLC0415
+        normalize_event_ts,
+    )
+
+    events = normalize_event_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
     (
         events.filter(F.col("user_id") < 50)
         .repartitionByRange(4, "ts")

@@ -14,9 +14,14 @@ from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
 
-# parquet TIMESTAMP(NANOS) columns (read as long via
-# spark.sql.legacy.parquet.nanosAsLong) that must come back as timestamps
-_NANOS_TS_COLUMNS = {"events": ["ts"]}
+# event-time columns whose parquet physical encoding has varied across
+# driver testdata generations: TIMESTAMP(NANOS) (read as long via
+# spark.sql.legacy.parquet.nanosAsLong), or TIMESTAMP(MICROS) with
+# isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Both are normalized to
+# plain TIMESTAMP so downstream unix_micros()/watermark code sees one
+# type; with the session tz pinned to UTC the epoch value is identical
+# either way (and matches DuckDB's naive reading of the same file).
+_EVENT_TS_COLUMNS = {"events": ["ts"]}
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -39,14 +44,27 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP whatever the
+    parquet generation encoded (see _EVENT_TS_COLUMNS). Requires the
+    session tz to already be UTC (``_ensure_session_confs``)."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # integer division — a double roundtrip would lose microseconds
+        # at nanosecond epoch magnitudes (~1.7e18 > 2^53)
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        # session tz is UTC (enforced), so this cast reinterprets the
+        # naive value as the same UTC instant — no epoch shift
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLUMNS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
-            # integer division — a double roundtrip would lose microseconds
-            # at nanosecond epoch magnitudes (~1.7e18 > 2^53)
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    for col in _EVENT_TS_COLUMNS.get(name, []):
+        df = normalize_event_ts(df, col)
     return df
 
 
