@@ -31,6 +31,7 @@ from market_pulse_data_pipeline_spark.queries import sqltext  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import incremental  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import relevance  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import layout  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import sketches  # noqa: F401, E402
 
 
 # Names that already have a driver-green CORRECTNESS row (round 2).

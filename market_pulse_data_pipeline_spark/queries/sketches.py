@@ -1,0 +1,311 @@
+"""Mergeable-sketch and deterministic-sampling operators.
+
+At 100 TB, exact global statistics are often the wrong first tool:
+distinct counts, frequency tables, and weighted samples are usually
+wanted as small mergeable summaries that flow through one partial
+aggregation instead of a full shuffle of raw keys. This module adds
+the classic sketch family in portable form — every hash is the
+md5-derived 60-bit ``portable_hash60`` (functions/dedup.py), so the
+sketch CONTENTS are bit-identical in Spark and DuckDB and the oracle
+checks the sketch itself, not just a tolerance band:
+
+- KMV (k-minimum-values) distinct sketch: the k smallest hash values
+  of a key column; estimate = (k-1) * 2^60 / kth_min. Mergeable by
+  taking the k smallest of a union — exactly what Spark's
+  TakeOrderedAndProject computes per-partition then merges.
+- Count-min sketch: d x w counter matrix; per-key estimate is the min
+  over d hashed buckets, never an underestimate. The counter build is
+  one map-side-combinable aggregation over (row, bucket) — d*w cells
+  total regardless of input size.
+- Deterministic weighted (length-biased) sampling: priority
+  hash(id)/weight, k smallest per stratum — the RNG-free analogue of
+  weighted reservoir sampling; one window per stratum.
+- Bigram inverse-frequency fluency score: a language-model-shaped
+  quality signal (mean 1/p(w2|w1) under the corpus bigram MLE) built
+  from two token-keyed aggregations + joins; no Python in the loop.
+
+None of these exist in the reference (its corpus is 10 stock symbols;
+see SURVEY §2.6) — they are north-star training-data-pipeline
+operators in the sense of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.functions.dedup import portable_hash60
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_div,
+    sql_round_div,
+    t,
+)
+
+_KMV_K = 256
+_CM_D = 4  # count-min hash rows
+_CM_W = 64  # count-min buckets per row
+_WS_K = 20  # weighted-sample size per stratum
+
+# SQL twin of functions.dedup.portable_hash60: first 15 md5 hex digits
+# of the UTF-8 string, as a 60-bit BIGINT.
+_SQL_H60 = "('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+@register(
+    "kmv_distinct_partkeys",
+    f"""
+    WITH hashes AS (
+      SELECT DISTINCT {_SQL_H60.format(expr="CAST(l_partkey AS VARCHAR)")} AS h
+      FROM lineitem
+    ),
+    kmv AS (
+      SELECT MAX(h) AS kth_min, COUNT(*) AS k
+      FROM (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K})
+    ),
+    exact AS (SELECT COUNT(*) AS n_exact FROM hashes)
+    SELECT e.n_exact, m.kth_min,
+           {sql_round_div(
+               "CAST(" + str(_KMV_K - 1) + " AS DOUBLE)"
+               " * CAST(1152921504606846976 AS DOUBLE)",
+               "CAST(m.kth_min AS DOUBLE)",
+           )} AS est_distinct,
+           ABS({sql_round_div(
+               "CAST(" + str(_KMV_K - 1) + " AS DOUBLE)"
+               " * CAST(1152921504606846976 AS DOUBLE)",
+               "CAST(m.kth_min AS DOUBLE)",
+           )} / e.n_exact - 1.0) <= 0.25 AS within_band
+    FROM kmv m, exact e
+    """,
+    doc="KMV distinct-count sketch over l_partkey, oracle-checked "
+    "bit-for-bit: both engines derive the same 60-bit md5 hashes, the "
+    "same k=256 minimum values, and therefore the same estimate "
+    "(k-1)*2^60/kth_min (expected rel. error ~1/sqrt(k-2) ≈ 6%; band "
+    "0.25 pinned TRUE). Spark plan: DISTINCT hash then "
+    "TakeOrderedAndProject(k) — per-partition k-smallest merged on the "
+    "driver, which IS the KMV merge operation; no raw-key shuffle "
+    "reaches the driver beyond k values.",
+)
+def kmv_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    hashes = li.select(
+        portable_hash60(F.col("l_partkey").cast("string")).alias("h")
+    ).distinct()
+    kmv = (
+        hashes.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth_min"), F.count(F.lit(1)).alias("k"))
+    )
+    exact = hashes.agg(F.count(F.lit(1)).alias("n_exact"))
+    # 1-row x 1-row cross join: broadcast of two scalar aggregates
+    est = round_div(
+        F.lit(float(_KMV_K - 1)) * F.lit(2**60).cast("double"),
+        F.col("kth_min").cast("double"),
+    )
+    return (
+        kmv.crossJoin(exact)
+        .select(
+            "n_exact",
+            "kth_min",
+            est.alias("est_distinct"),
+            (
+                F.abs(est / F.col("n_exact") - F.lit(1.0)) <= F.lit(0.25)
+            ).alias("within_band"),
+        )
+    )
+
+
+def _cm_bucket_sql(key_expr: str, row: str) -> str:
+    return (
+        _SQL_H60.format(expr=f"{row} || ':' || {key_expr}") + f" % {_CM_W}"
+    )
+
+
+@register(
+    "countmin_user_freq",
+    f"""
+    WITH rows_d AS (SELECT CAST(UNNEST(range(0, {_CM_D})) AS VARCHAR) AS ri),
+    counters AS (
+      SELECT ri, {_cm_bucket_sql("CAST(user_id AS VARCHAR)", "ri")} AS bucket,
+             COUNT(*) AS cnt
+      FROM events, rows_d
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+      ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probe_cells AS (
+      SELECT p.user_id, p.exact_n, r.ri,
+             {_cm_bucket_sql("CAST(p.user_id AS VARCHAR)", "r.ri")} AS bucket
+      FROM probes p, rows_d r
+    )
+    SELECT pc.user_id, pc.exact_n,
+           MIN(c.cnt) AS cm_estimate,
+           MIN(c.cnt) >= pc.exact_n AS overestimate_ok
+    FROM probe_cells pc
+    JOIN counters c ON c.ri = pc.ri AND c.bucket = pc.bucket
+    GROUP BY pc.user_id, pc.exact_n
+    """,
+    doc=f"count-min sketch ({_CM_D}x{_CM_W}) of per-user event "
+    "frequencies, probed at the 10 most frequent users. Both engines "
+    "build the identical counter matrix from portable md5 bucket "
+    "hashes, so cm_estimate hash-checks exactly, and the structural "
+    "guarantee estimate >= exact is pinned TRUE. Scale shape: the "
+    f"sketch build is one aggregation with at most {_CM_D * _CM_W} "
+    "result cells (map-side combine collapses each partition to the "
+    "same tiny matrix — this is the mergeability argument); probing "
+    "joins against the tiny counter table, which Spark broadcasts.",
+)
+def countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def cells(key: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(str(i)).alias("ri"),
+                    F.pmod(
+                        portable_hash60(
+                            F.concat(F.lit(f"{i}:"), key.cast("string"))
+                        ),
+                        F.lit(_CM_W),
+                    ).alias("bucket"),
+                )
+                for i in range(_CM_D)
+            ]
+        )
+
+    counters = (
+        ev.select(F.explode(cells(F.col("user_id"))).alias("c"))
+        .groupBy("c.ri", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    probe_cells = probes.select(
+        "user_id", "exact_n", F.explode(cells(F.col("user_id"))).alias("c")
+    ).select("user_id", "exact_n", "c.ri", "c.bucket")
+    return (
+        probe_cells.join(F.broadcast(counters), ["ri", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_n")).alias(
+                "overestimate_ok"
+            ),
+        )
+    )
+
+
+@register(
+    "weighted_sample_per_lang",
+    f"""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST({_SQL_H60.format(expr="CAST(doc_id AS VARCHAR)")}
+                          AS DOUBLE) / n_chars,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) s
+    WHERE rn <= {_WS_K}
+    """,
+    doc=f"deterministic weighted sampling: k={_WS_K} docs per lang with "
+    "inclusion probability proportional to n_chars (length-biased, the "
+    "usual token-budget-aware corpus sampler), RNG-free — priority = "
+    "hash(doc_id)/weight, k smallest win (weighted-reservoir/A-ES "
+    "shape with the uniform draw replaced by a portable 60-bit md5 "
+    "hash). The priority is a single IEEE division of identical "
+    "operands, so the ordering — and hence the selected set — is "
+    "bit-identical across engines; the float itself is not emitted. "
+    "One window per lang partition; at scale this is a per-stratum "
+    "top-k (rank truncation), not a global sort.",
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pri = portable_hash60(F.col("doc_id").cast("string")).cast(
+        "double"
+    ) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(pri, "doc_id")
+    return (
+        docs.select(
+            "lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= _WS_K)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "bigram_fluency_score",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1
+      FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        WHERE len(ws) >= 2
+      )
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1)
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           {sql_round_div("CAST(SUM(CAST(CAST(c1.n1 AS DOUBLE) / c2.n2 AS DECIMAL(20,6))) AS DOUBLE)", "COUNT(*)")}
+             AS mean_inv_p
+    FROM bg
+    JOIN c2 USING (bigram)
+    JOIN c1 USING (w1)
+    GROUP BY bg.doc_id
+    """,
+    doc="language-model-shaped fluency score without a model: per doc, "
+    "the mean inverse conditional bigram probability 1/p(w2|w1) under "
+    "the corpus MLE (C1(w1)/C2(w1 w2) — low = built from common "
+    "continuations, high = surprising text). Cross-engine exactness: "
+    "each term is ONE IEEE division of identical small integers, "
+    "snapped to DECIMAL(20,6) (never a rounding tie — 5e-7 is not "
+    "dyadic), summed exactly as decimals, then the decimal-quotient "
+    "rounded mean. Scale shape: counts are token-keyed partial "
+    "aggregations; the two enrichment joins are keyed on "
+    "bigram/first-token — co-partitioned shuffle joins, no Python.",
+)
+def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(ws[i - 1], ' ', ws[i]))"
+            )
+        ).alias("bigram"),
+    ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    term = (F.col("n1").cast("double") / F.col("n2")).cast("decimal(20,6)")
+    return (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_div(
+                F.sum(term).cast("double"), F.count(F.lit(1))
+            ).alias("mean_inv_p"),
+        )
+    )
