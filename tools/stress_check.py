@@ -46,7 +46,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated stage names to run (default: all)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     from market_pulse_data_pipeline_spark.functions.dedup import (
         minhash_near_duplicates,
@@ -59,6 +65,8 @@ def main() -> int:
     rows: dict[str, int] = {}
 
     def run(name: str, df: DataFrame) -> None:
+        if only is not None and name not in only:
+            return
         t0 = time.time()
         n = df.count()
         timings[name] = round(time.time() - t0, 2)
@@ -189,6 +197,50 @@ def main() -> int:
         load_table(spark, args.sf, "embeddings"), args.mult, ["vec_id"]
     )
     run("kmeans_2iter", kmeans(emb, k=8, iters=2))
+
+    # sketch shapes (queries/sketches.py): cost must stay ~linear in
+    # rows while the RESULT stays constant-size whatever the mult —
+    # that's the mergeability claim measured
+    from market_pulse_data_pipeline_spark.functions.dedup import portable_hash60
+
+    # KMV: distinct hash (partial+final) then TakeOrdered(k) merge
+    li_pk = multiplied(
+        load_table(spark, args.sf, "lineitem").select("l_partkey"),
+        args.mult,
+        ["l_partkey"],
+    )
+    run(
+        "kmv_sketch",
+        li_pk.select(
+            portable_hash60(F.col("l_partkey").cast("string")).alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(256),
+    )
+
+    # count-min: one aggregation collapsing to a fixed 4x64 counter
+    # matrix via map-side combine, independent of input rows
+    cm_cells = F.array(
+        *[
+            F.struct(
+                F.lit(str(i)).alias("ri"),
+                F.pmod(
+                    portable_hash60(
+                        F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string"))
+                    ),
+                    F.lit(64),
+                ).alias("bucket"),
+            )
+            for i in range(4)
+        ]
+    )
+    run(
+        "countmin_build",
+        ev.select(F.explode(cm_cells).alias("c"))
+        .groupBy("c.ri", "c.bucket")
+        .count(),
+    )
 
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
