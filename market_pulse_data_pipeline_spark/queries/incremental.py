@@ -279,3 +279,117 @@ def join_strategy_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = j if out is None else out.unionByName(j)
     return out.orderBy("strategy", "o_orderpriority")
+
+
+@register(
+    "cdc_version_diff",
+    """
+    WITH old_v AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new_v AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey, change_type FROM (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                  WHEN n.o_orderkey IS NULL THEN 'deleted'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'updated'
+             END AS change_type
+      FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    ) WHERE change_type IS NOT NULL
+    """,
+    doc="change-data-feed derivation between two table versions "
+    "(operators/cdc.py::version_diff over a deterministic synthetic "
+    "edit of orders: %97 keys deleted, %13 repriced, %101 re-keyed as "
+    "inserts). One keyed full-outer join emitting only changed keys "
+    "with inserted/deleted/updated labels — the read side of a "
+    "lakehouse change feed, and the input a downstream incremental "
+    "materialization consumes. Null-safe value comparison; unchanged "
+    "rows never leave the join.",
+)
+def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.operators.cdc import version_diff
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_v = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.5
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1000000
+            )
+        )
+    )
+    return version_diff(orders, new_v, ["o_orderkey"])
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey,
+             'cdc-' || CAST(o_custkey AS VARCHAR) AS c_name,
+             o_totalprice AS c_acctbal,
+             CASE WHEN o_orderkey % 10 < 2 THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             o_orderkey AS seq
+      FROM orders
+    ),
+    latest AS (
+      SELECT c_custkey, c_name, c_acctbal, op FROM (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY seq DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    )
+    SELECT b.c_custkey, b.c_name, b.c_acctbal
+    FROM customer b LEFT JOIN latest l ON b.c_custkey = l.c_custkey
+    WHERE l.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'upsert'
+    """,
+    doc="CDC feed replay (operators/cdc.py::apply_changes): a "
+    "deterministic upsert/delete feed derived from orders (latest "
+    "order per customer decides; %10<2 order keys are deletes) applied "
+    "to the customer snapshot. Per key only the max-seq change takes "
+    "effect — delete-then-upsert survives, upsert-then-delete is "
+    "removed — so the replay is idempotent and order-insensitive "
+    "within a batch, which is what makes it safe to run from "
+    "foreachBatch at scale. One window over the feed + one anti-join "
+    "against base; base rows without changes stream through untouched.",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.operators.cdc import apply_changes
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = t(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderkey") % 10 < 2, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return apply_changes(base, changes, ["c_custkey"])
