@@ -1030,3 +1030,186 @@ def skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "user_id")
         .limit(10)
     )
+
+
+_EWMA_LAGS = 10  # taps; weight_k = 2^-k (dyadic -> exact float scaling)
+
+
+@register(
+    "ewma_value_10tap",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             {" ,".join(
+                 f"LAG(value, {k}) OVER (PARTITION BY user_id "
+                 f"ORDER BY ts, event_id) AS l{k}"
+                 for k in range(_EWMA_LAGS)
+             )}
+      FROM events
+    )
+    SELECT user_id, event_id,
+           {sql_round_div(
+               "CAST((" + " + ".join(
+                   f"COALESCE(CAST(l{k} * {2.0 ** -k!r} AS DECIMAL(24,10)),"
+                   " CAST(0 AS DECIMAL(24,10)))"
+                   for k in range(_EWMA_LAGS)
+               ) + ") AS DOUBLE)",
+               "CAST((" + " + ".join(
+                   f"CASE WHEN l{k} IS NOT NULL THEN "
+                   f"CAST({2.0 ** -k!r} AS DECIMAL(12,10)) "
+                   "ELSE CAST(0 AS DECIMAL(12,10)) END"
+                   for k in range(_EWMA_LAGS)
+               ) + ") AS DOUBLE)",
+           )} AS ewma
+    FROM ordered
+    """,
+    doc="exponentially-weighted moving average of event value per user "
+    f"(half-life 1 row, {_EWMA_LAGS} taps), the standard market-data "
+    "smoother the reference's weekly AVG cannot express. Cross-engine "
+    "exactness: weights 2^-k make each tap an EXACT float scaling "
+    "(exponent shift, no rounding), snapped to decimals and summed "
+    "exactly; the normalizing weight sum is an exact dyadic decimal; "
+    "one final rounded quotient. One window pass (10 LAG taps share "
+    "the user_id/ts frame and partitioning) — no self-join fan-out, "
+    "no Python; at scale this shuffles events once on user_id.",
+)
+def ewma_value_10tap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w).alias(f"l{k}") for k in range(_EWMA_LAGS)]
+    ordered = ev.select("user_id", "event_id", *lags)
+    zero = F.lit(0).cast("decimal(24,10)")
+    num = None
+    den = None
+    for k in range(_EWMA_LAGS):
+        term = F.coalesce(
+            (F.col(f"l{k}") * F.lit(2.0**-k)).cast("decimal(24,10)"), zero
+        )
+        wgt = (
+            F.when(
+                F.col(f"l{k}").isNotNull(),
+                F.lit(2.0**-k).cast("decimal(12,10)"),
+            )
+            .otherwise(F.lit(0).cast("decimal(12,10)"))
+        )
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return ordered.select(
+        "user_id",
+        "event_id",
+        round_div(num.cast("double"), den.cast("double")).alias("ewma"),
+    )
+
+
+@register(
+    "rolling_drawdown",
+    f"""
+    SELECT user_id, event_id,
+           {sql_round_div(
+               "value",
+               "MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+           )} AS dd_ratio
+    FROM events
+    """,
+    doc="rolling drawdown: each value as a fraction of the running "
+    "maximum seen so far per user (the market risk metric; ratio < 1 "
+    "is a drawdown). Running max is an exact double comparison chain "
+    "(no arithmetic), the ratio one IEEE division of identical "
+    "operands — deterministic across engines via the decimal-quotient "
+    "rounding. One window pass sharing the user_id partitioning.",
+)
+def rolling_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        round_div(F.col("value"), F.max("value").over(w)).alias("dd_ratio"),
+    )
+
+
+@register(
+    "running_distinct_event_types",
+    """
+    SELECT user_id, event_id,
+           SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_types_seen
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    """,
+    doc="running COUNT(DISTINCT) — the cumulative number of distinct "
+    "event types a user has exhibited up to each event, which a plain "
+    "windowed COUNT(DISTINCT) cannot express in either engine. Shape: "
+    "flag each (user, type)'s first occurrence with one window, then a "
+    "running integer sum with another — two key-partitioned window "
+    "passes, all-integer so the hash is exact. The same shape gives "
+    "running distinct users per item, first-touch attribution, etc.",
+)
+def running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).alias("n_types_seen"),
+    )
+
+
+@register(
+    "hourly_activity_bitmask",
+    """
+    SELECT user_id, day,
+           SUM(1::BIGINT << h) AS hour_mask,
+           COUNT(*) AS n_active_hours
+    FROM (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             EXTRACT(hour FROM ts) AS h
+      FROM events
+    )
+    GROUP BY user_id, day
+    """,
+    doc="per-(user, day) activity bitmask: bit k set iff the user was "
+    "active in hour k — the compact retention/engagement encoding "
+    "(bitmaps AND/OR across days for cohort algebra at a fraction of "
+    "the distinct-count cost). Built portably as DISTINCT hour rows "
+    "then SUM(1<<hour) — exactly bit_or, since each power appears "
+    "once after the distinct. All-integer, two hash aggregations, "
+    "both partially aggregated map-side.",
+)
+def hourly_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    distinct_hours = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("h"),
+    ).distinct()
+    return distinct_hours.groupBy("user_id", "day").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), h)")).alias("hour_mask"),
+        F.count(F.lit(1)).alias("n_active_hours"),
+    )
