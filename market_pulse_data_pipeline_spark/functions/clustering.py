@@ -57,17 +57,11 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
-def kmeans(
-    emb: DataFrame,
-    k: int = 10,
-    iters: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means; returns (id, cluster) assignments after
-    ``iters`` full iterations from the deterministic first-k init."""
-    centroids = _collect_init_centroids(emb, k, id_col, vec_col)
-    src = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+def _fit_centroids(
+    src: DataFrame, centroids: np.ndarray, iters: int
+) -> np.ndarray:
+    """Lloyd iterations over ``src(id, v)``; empty clusters keep their
+    previous centroid. Per-iteration driver data: k×dim cells."""
     for _ in range(iters):
         assigned = src.withColumn("cluster", _assign_udf(centroids)("v"))
         # update: k×dim cells after map-side partial aggregation
@@ -85,9 +79,104 @@ def kmeans(
             for pos, (s, n) in cols.items():
                 new_c[ci, pos] = s / n
         centroids = new_c
+    return centroids
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means; returns (id, cluster) assignments after
+    ``iters`` full iterations from the deterministic first-k init."""
+    centroids = _collect_init_centroids(emb, k, id_col, vec_col)
+    src = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    centroids = _fit_centroids(src, centroids, iters)
     return src.withColumn("cluster", _assign_udf(centroids)("v")).select(
         id_col, "cluster"
     )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: the embedding is split into ``m``
+    contiguous subspaces and each gets its own k-centroid Lloyd fit
+    (same deterministic scheme as ``kmeans``: first-k-by-id init, empty
+    clusters frozen). Returns ``(m, k, dim // m)`` — m*k*sub floats on
+    the driver, independent of row count; the training scans are
+    column-sliced so each fit moves only its subspace."""
+    first = emb.select(vec_col).head()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.zeros((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("_id"),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), j * sub + 1, sub
+            ).alias("v"),
+        )
+        init = np.array(
+            [r["v"] for r in sl.orderBy("_id").limit(k).collect()],
+            dtype=np.float64,
+        )
+        books[j] = _fit_centroids(sl, init, iters)
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign PQ codes: per vector, the argmin centroid in each
+    subspace (ties toward the lower code, matching ``kmeans``) plus the
+    L2 reconstruction error of the quantized vector. Map-only: the
+    ``m×k×sub`` codebook ships inside the Arrow-batched UDF; nothing
+    shuffles. At 16 centroids a 64-dim float64 vector (512 B) encodes
+    to m=8 codes (4 bits each) — the 100 TB embedding-store compression
+    path, with ``err`` the per-row quality audit."""
+    m, k, sub = books.shape
+    b = books
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+                T.StructField("err", T.DoubleType()),
+            ]
+        )
+    )
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = x.shape[0]
+        codes = np.zeros((n, m), dtype=np.int32)
+        recon = np.zeros_like(x)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = -2.0 * (xs @ b[j].T) + (b[j] * b[j]).sum(axis=1)[None, :]
+            cj = np.argmin(d2, axis=1)
+            codes[:, j] = cj
+            recon[:, j * sub : (j + 1) * sub] = b[j][cj]
+        err = np.sqrt(((x - recon) ** 2).sum(axis=1))
+        return pd.DataFrame({"codes": list(codes), "err": err})
+
+    src = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    return src.select(
+        id_col,
+        enc("v").alias("e"),
+    ).select(id_col, F.col("e.codes").alias("codes"), F.col("e.err").alias("err"))
 
 
 def _partial_gram_factory(dim: int, vec_col: str):

@@ -1213,3 +1213,54 @@ def hourly_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), h)")).alias("hour_mask"),
         F.count(F.lit(1)).alias("n_active_hours"),
     )
+
+
+@register(
+    "range_frame_7day_revenue",
+    """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS dnum,
+             SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS rev
+      FROM lineitem
+      GROUP BY 1, 2
+    )
+    SELECT l_suppkey, dnum,
+           CAST(SUM(rev) OVER (PARTITION BY l_suppkey ORDER BY dnum
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rev_7day
+    FROM daily
+    """,
+    doc="time-based RANGE frame: per supplier, revenue over the "
+    "trailing 7 CALENDAR days — semantically different from the "
+    "ROWS-based rolling_avg_7rows whenever ship days are sparse (a "
+    "gap shrinks the window instead of reaching further back). "
+    "Ordering key is an integer day number so RANGE 6 PRECEDING means "
+    "the same interval in both engines; revenue stays in exact "
+    "decimals until the final cast. Pre-aggregating to per-(supplier, "
+    "day) first shrinks the window input ~20x before the one "
+    "supplier-partitioned shuffle — same scale shape as "
+    "rolling_avg_7rows.",
+)
+def range_frame_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1992-01-01")
+            ).alias("dnum"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("dnum")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "l_suppkey",
+        "dnum",
+        F.sum("rev").over(w).cast("double").alias("rev_7day"),
+    )

@@ -153,3 +153,34 @@ def pagerank_user_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PR_TOPK)
         .select("node", F.col("pr").alias("pr_scaled"))
     )
+
+
+@register(
+    "pq_encode_embeddings",
+    None,  # numpy-trained codebooks have no SQL twin; pytest pins an
+    # exact pure-numpy replay (tests/test_clustering.py)
+    doc="product quantization of the embedding store "
+    "(functions/clustering.py::pq_train/pq_encode): m=8 subspaces x "
+    "k=16 centroids, codes emitted as a driver-hashable CSV plus the "
+    "per-row L2 reconstruction error (4-decimal snap). Training "
+    "touches only column slices and keeps m*k*sub floats on the "
+    "driver; encoding is map-only with the codebook shipped in the "
+    "Arrow UDF — 512-byte vectors compress to 8 nibbles, the standard "
+    "memory layout for billion-scale ANN re-rank at 100 TB.",
+)
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
+        pq_encode,
+        pq_train,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=3)
+    out = pq_encode(emb, books)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
+            "codes_csv"
+        ),
+        F.round("err", 4).alias("recon_err"),
+    )

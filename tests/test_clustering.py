@@ -87,3 +87,57 @@ def test_pca_projection_variance_order(emb, emb_np):
     assert len(rows) == len(x)
     # top component carries at least as much variance as the second
     assert p1.var() >= p2.var()
+
+
+def numpy_pq(x: np.ndarray, m: int, k: int, iters: int):
+    sub = x.shape[1] // m
+    books = np.zeros((m, k, sub))
+    codes = np.zeros((x.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        c = xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for ci in range(k):
+                if (a == ci).any():
+                    c[ci] = xs[a == ci].mean(axis=0)
+        books[j] = c
+        d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return books, codes
+
+
+def test_pq_matches_numpy_exactly(spark, emb, emb_np):
+    from market_pulse_data_pipeline_spark.functions.clustering import (
+        pq_encode,
+        pq_train,
+    )
+
+    ids, x = emb_np
+    m, k, iters = 8, 16, 3
+    books = pq_train(emb, m=m, k=k, iters=iters)
+    ref_books, ref_codes = numpy_pq(x, m, k, iters)
+    assert np.allclose(books, ref_books)
+    got = {
+        r.vec_id: (list(r.codes), r.err)
+        for r in pq_encode(emb, books).collect()
+    }
+    order = {v: i for i, v in enumerate(ids)}
+    recon_dim = x.shape[1] // m
+    for vid, (codes, err) in got.items():
+        i = order[vid]
+        assert codes == list(ref_codes[i]), vid
+        recon = np.concatenate(
+            [ref_books[j][ref_codes[i, j]] for j in range(m)]
+        )
+        assert abs(err - np.sqrt(((x[i] - recon) ** 2).sum())) < 1e-9
+    # compression accounting: m codes of ceil(log2 k) bits vs dim doubles
+    assert m * 4 < x.shape[1] * 64
+
+
+def test_pq_rejects_indivisible_dim(spark, emb):
+    from market_pulse_data_pipeline_spark.functions.clustering import pq_train
+
+    with pytest.raises(ValueError):
+        pq_train(emb, m=7)
