@@ -141,3 +141,19 @@ def test_pq_rejects_indivisible_dim(spark, emb):
 
     with pytest.raises(ValueError):
         pq_train(emb, m=7)
+
+
+def test_pq_adc_recall(spark, emb, emb_np):
+    from market_pulse_data_pipeline_spark.queries.ml import ann_pq_adc_topk
+
+    ids, x = emb_np
+    got = [r.vec_id for r in ann_pq_adc_topk(spark, SF_DIR).collect()]
+    q = x[np.argsort(ids)[0]]
+    exact = ids[np.argsort(((x - q) ** 2).sum(axis=1))][:10]
+    recall = len(set(got) & set(exact)) / 10
+    # PQ on this synthetic (near-uniform) embedding table is a hard
+    # case even with the 64-candidate exact re-rank; the bar is "far
+    # above chance" (chance = 10/n ≈ 0.05)
+    assert recall >= 0.5, (recall, got, list(exact))
+    # the probe vector itself (distance 0) must always be recalled
+    assert exact[0] in got
