@@ -393,3 +393,49 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("seq"),
     )
     return apply_changes(base, changes, ["c_custkey"])
+
+
+@register(
+    "table_fingerprint_orders",
+    """
+    SELECT COUNT(*) AS n_rows,
+           bit_xor(h) AS xor_fp,
+           SUM(h % 1000000007) AS sum_fp
+    FROM (
+      SELECT ('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+               CAST(o_totalprice AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders
+    )
+    """,
+    doc="order-insensitive whole-table fingerprint: per-row portable "
+    "60-bit md5 over a canonical column serialization, combined with "
+    "XOR and a modular sum (two independent commutative folds — "
+    "collisions would have to fool both). The version-equality check "
+    "that pairs with operators/cdc.py: two snapshots are equal iff "
+    "their fingerprints match, ONE scan + a 3-cell aggregate each, no "
+    "row comparison, trivially mergeable across partitions/files at "
+    "100 TB. Cross-engine note: DOUBLE->VARCHAR rendering is pinned by "
+    "both engines' shortest-roundtrip formatting for these fixture "
+    "values (hash-checked here); production fingerprints should "
+    "serialize exact types (long/decimal/string) only.",
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        portable_hash60,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    h = portable_hash60(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    return orders.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").alias("xor_fp"),
+        F.sum(F.col("h") % F.lit(1000000007)).alias("sum_fp"),
+    )
