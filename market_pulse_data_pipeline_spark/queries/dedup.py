@@ -238,3 +238,54 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@register(
+    "dedup_survivor_policy",
+    """
+    SELECT text_hash, keep_doc_id, n_copies FROM (
+      SELECT md5(text) AS text_hash, doc_id AS keep_doc_id,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text)
+               ORDER BY n_chars DESC,
+                        CASE lang WHEN 'en' THEN 0 ELSE 1 END,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="dedup survivor SELECTION POLICY: where dedup_exact keeps "
+    "min(doc_id), real pipelines keep the BEST copy per duplicate "
+    "group — here longest text first, then preferred language, then "
+    "id as the deterministic tiebreak. One window per content-hash "
+    "partition (content hashes are uniform, zero skew); the policy is "
+    "an ORDER BY expression, so swapping in a quality score column "
+    "changes one line. Returns one survivor row per distinct content.",
+)
+def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.md5(F.encode("text", "utf-8")).alias("text_hash"),
+        "doc_id",
+        "n_chars",
+        "lang",
+    )
+    w = Window.partitionBy("text_hash")
+    w_rank = w.orderBy(
+        F.col("n_chars").desc(),
+        F.when(F.col("lang") == "en", 0).otherwise(1),
+        "doc_id",
+    )
+    return (
+        hashed.select(
+            "text_hash",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("text_hash", "keep_doc_id", "n_copies")
+    )
