@@ -289,3 +289,107 @@ def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("text_hash", "keep_doc_id", "n_copies")
     )
+
+
+_PF_T = 0.4  # prefix-filter Jaccard threshold
+
+
+@register(
+    "dedup_prefix_filter_join",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM docs WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, intersection,
+           {sql_round_div('intersection * 1.0',
+                          'sa.n + sb.n - intersection', 6)} AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= {_PF_T}
+    """,
+    doc="prefix-filtered exact similarity join (SSJoin/all-pairs "
+    f"prefix principle): for Jaccard >= {_PF_T}, rank each doc's "
+    "shingles by a global (df, shingle) order and index only the "
+    "first |S| - ceil(t|S|) + 1 — any qualifying pair must collide "
+    "inside both prefixes, so the self-join touches the RAREST "
+    "shingles only and hot boilerplate never fans out. Candidates "
+    "are then verified with exact intersection counts. THE ORACLE IS "
+    "THE UNOPTIMIZED BRUTE-FORCE JOIN over the full inverted index — "
+    "the hash match is a machine-checked completeness proof that the "
+    "prefix filter loses no pair. Complements the df-capped "
+    "dedup_ngram_jaccard (which trades recall for a hard fan-out cap) "
+    "and MinHash-LSH (probabilistic): this path is exact AND "
+    "skew-proof, the right tool when the threshold is high.",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    # five consumers (sizes, df, rank, verify x2) — materialize once
+    sh = _shingles(docs, 3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df_counts, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length |S| - ceil(t|S|) + 1, per doc
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(_PF_T) * F.col("n")) + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact intersection counts (candidate set is
+    # collision-bounded, so these joins are small)
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    jac = round_div(
+        F.col("intersection") * F.lit(1.0),
+        F.col("sa.n") + F.col("sb.n") - F.col("intersection"),
+        6,
+    )
+    raw_j = (F.col("intersection") * 1.0) / (
+        F.col("sa.n") + F.col("sb.n") - F.col("intersection")
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(raw_j >= _PF_T)
+        .select("doc_a", "doc_b", "intersection", jac.alias("jaccard"))
+    )
