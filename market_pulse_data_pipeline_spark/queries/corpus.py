@@ -284,3 +284,26 @@ def bernoulli_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "1f"
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "bpe_learned_merges",
+    None,  # iterative data-dependent argmax per round — no SQL twin;
+    # tests/test_bpe.py pins an exact pure-Python replay
+    doc="distributed BPE merge induction (functions/bpe.py): 8 rounds "
+    "of corpus-wide adjacent-pair counting (vocabulary-bounded hash "
+    "aggregate), 1-row argmax collect, and a greedy non-overlapping "
+    "merge pass as a JVM higher-order aggregate — the actual "
+    "vocabulary-LEARNING loop whose artifact text_bpe_token_estimate "
+    "consumes. localCheckpoint keeps per-round lineage O(1). Returns "
+    "the learned merge table (rank, left, right, pair_count).",
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.bpe import bpe_train  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count long",
+    )
