@@ -93,3 +93,45 @@ def run_reference_suite(
         check_not_null(agg, "agg_weekly_prices", "symbol"),
         check_not_null(agg, "agg_weekly_prices", "week_start"),
     ]
+
+
+def observed_write_qc(
+    df: DataFrame,
+    not_null_cols: list[str],
+    accepted_values: dict[str, list] | None = None,
+):
+    """Single-pass QC: attach violation counters to ``df`` via Spark's
+    Observation API, so the SAME action that materializes the frame
+    (write, count, collect) also returns the QC report — no second scan.
+
+    The check_* functions above each cost one extra pass per test (the
+    dbt model: run, then test). At 100 TB that doubles-or-worse the
+    read cost; observe() accumulates metrics inside the running job
+    (an AggregatingAccumulator on the executors), which is how a
+    production pipeline should emit its not_null / accepted_values
+    counters. ``unique`` is the exception — it needs its own
+    aggregation (a per-key count cannot ride an accumulator) — so it
+    stays a separate check by design.
+
+    Returns (observed_df, observation). After ANY action on
+    observed_df, ``observation.get`` is a dict with ``n_rows`` plus one
+    ``null_<col>`` / ``bad_<col>`` count per declared check.
+    """
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null_cols:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"null_{c}"
+            )
+        )
+    for c, allowed in (accepted_values or {}).items():
+        metrics.append(
+            F.sum(
+                F.when(~F.col(c).isin(allowed) | F.col(c).isNull(), 1)
+                .otherwise(0)
+            ).alias(f"bad_{c}")
+        )
+    obs = Observation()
+    return df.observe(obs, *metrics), obs
