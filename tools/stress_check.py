@@ -198,6 +198,74 @@ def main() -> int:
     )
     run("kmeans_2iter", kmeans(emb, k=8, iters=2))
 
+    # prefix-filtered exact similarity join (queries/dedup.py): only
+    # each doc's rarest shingles enter the self-join, so boilerplate
+    # shingles (whose df grows with mult) must NOT blow up candidates —
+    # the skew-proof claim, measured. Exact duplicates are removed
+    # FIRST (the production ordering: no similarity join can bound
+    # candidates between byte-identical docs, whose shingle sets — and
+    # prefixes — coincide entirely; the stress corpus is 1/3 exact
+    # cross-copy dupes at mult>10 because the mutation alphabet wraps).
+    from pyspark.sql import Window as W2
+
+    t_pf = 0.4
+    docs_distinct = (
+        docs.withColumn(
+            "_rn",
+            F.row_number().over(
+                W2.partitionBy(F.md5(F.encode("text", "utf-8"))).orderBy(
+                    "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sh = (
+        docs_distinct.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfc, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(W2.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(t_pf) * F.col("n")) + 1
+    ).select("doc_id", "sh")
+    run(
+        "prefix_filter_candidates",
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct(),
+    )
+    sh.unpersist()
+
     # sketch shapes (queries/sketches.py): cost must stay ~linear in
     # rows while the RESULT stays constant-size whatever the mult —
     # that's the mergeability claim measured
