@@ -331,7 +331,10 @@ _PF_T = 0.4  # prefix-filter Jaccard threshold
     "prefix filter loses no pair. Complements the df-capped "
     "dedup_ngram_jaccard (which trades recall for a hard fan-out cap) "
     "and MinHash-LSH (probabilistic): this path is exact AND "
-    "skew-proof, the right tool when the threshold is high.",
+    "skew-proof, the right tool when the threshold is high. Ordering "
+    "contract (measured in SCALING.md): run AFTER exact dedup — "
+    "byte-identical docs share their whole prefix, which no "
+    "similarity filter can bound.",
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415

@@ -427,3 +427,110 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "streaming_cdc_apply",
+    """
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey,
+             'cdc-' || CAST(o_custkey AS VARCHAR) AS c_name,
+             o_totalprice AS c_acctbal,
+             CASE WHEN o_orderkey % 10 < 2 THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             o_orderkey AS seq
+      FROM orders
+    ),
+    latest AS (
+      SELECT c_custkey, c_name, c_acctbal, op FROM (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY seq DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    )
+    SELECT b.c_custkey, b.c_name, b.c_acctbal
+    FROM customer b LEFT JOIN latest l ON b.c_custkey = l.c_custkey
+    WHERE l.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'upsert'
+    """,
+    doc="streaming CDC apply: the cdc_apply_changes feed split into 3 "
+    "seq-ranged files (mtimes pinned ascending so the checkpointed "
+    "file source replays them in seq order, maxFilesPerTrigger=1), "
+    "each micro-batch applied onto a VERSIONED base snapshot via "
+    "foreachBatch + operators/cdc.py::apply_changes. Because batch "
+    "order aligns with seq order, per-batch latest-wins COMPOSES to "
+    "global latest-wins — the final table must hash-equal the batch "
+    "CDC oracle (delete-then-upsert across batches survives, "
+    "upsert-then-delete is removed). The streaming consume side of "
+    "the CDC pair; state per batch is one anti-join + union, and the "
+    "snapshot flip is the pointer-swap pattern.",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob  # noqa: PLC0415
+
+    from market_pulse_data_pipeline_spark.operators.cdc import (  # noqa: PLC0415
+        apply_changes,
+    )
+    from market_pulse_data_pipeline_spark.sources.tables import (  # noqa: PLC0415
+        load_table,
+    )
+
+    root = os.path.join(_STREAM_ROOT, "cdc")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "changes")
+    os.makedirs(src)
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderkey") % 10 < 2, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    hi = changes.agg(F.max("seq")).head()[0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    for i in range(3):
+        tmp = os.path.join(root, f"stage{i}")
+        (
+            changes.filter(
+                (F.col("seq") >= cuts[i]) & (F.col("seq") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    state = {"cur": os.path.join(root, "table_v0")}
+    base.write.parquet(state["cur"])
+
+    def apply_batch(bdf, batch_id):
+        s = bdf.sparkSession
+        cur = s.read.parquet(state["cur"])
+        nxt = os.path.join(root, f"table_v{batch_id + 1}")
+        apply_changes(cur, bdf, ["c_custkey"]).write.parquet(nxt)
+        state["cur"] = nxt  # pointer swap after a complete write
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["cur"])
