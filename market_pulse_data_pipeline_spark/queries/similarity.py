@@ -284,3 +284,130 @@ def label_centroid_pairwise_cosine(
         .select("label_a", "label_b", cos.alias("cosine"))
         .orderBy("label_a", "label_b")
     )
+
+
+_MAT_DIM = 16  # truncated (Matryoshka) prefix dimensions
+
+
+@register(
+    "matryoshka_truncation_quality",
+    f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_QUERY_VEC_ID}
+    ), scored AS (
+      SELECT vec_id,
+             ROUND(
+               list_sum(list_transform(range(1, len(v) + 1),
+                        i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                         i -> v[i] * v[i])))
+                  * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                           i -> qv[i] * qv[i])))), 6) AS cos_full,
+             ROUND(
+               list_sum(list_transform(range(1, {_MAT_DIM} + 1),
+                        i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, {_MAT_DIM} + 1),
+                         i -> v[i] * v[i])))
+                  * sqrt(list_sum(list_transform(range(1, {_MAT_DIM} + 1),
+                           i -> qv[i] * qv[i])))), 6) AS cos_trunc
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings), q
+      WHERE vec_id <> {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, cos_full, cos_trunc,
+           ROUND(ABS(cos_full - cos_trunc), 6) AS trunc_err
+    FROM scored
+    ORDER BY cos_full DESC, vec_id LIMIT 50
+    """,
+    doc=f"Matryoshka-style truncation audit: cosine against the query "
+    f"vector computed at full dimension AND on the first {_MAT_DIM} "
+    "dims only, with the per-vector error — the measurement that "
+    "decides how far an embedding store can truncate for cheap "
+    "first-stage retrieval (truncated vectors are 4x smaller; "
+    "re-rank uses full). Same JVM zip_with/aggregate fold as "
+    "similarity_topk_cosine, identical IEEE ops both engines; "
+    "map-only + TakeOrdered(50).",
+)
+def matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("q"))
+        .head()
+    )
+    qfull = F.array(*[F.lit(float(x)) for x in qrow["q"]])
+    qtr = F.array(*[F.lit(float(x)) for x in qrow["q"][:_MAT_DIM]])
+    v = F.col("embedding").cast("array<double>")
+    vtr = F.slice(v, 1, _MAT_DIM)
+
+    def cos(a, b):
+        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+    cf = F.round(cos(v, qfull), 6)
+    ct = F.round(cos(vtr, qtr), 6)
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            cf.alias("cos_full"),
+            ct.alias("cos_trunc"),
+            F.round(F.abs(cf - ct), 6).alias("trunc_err"),
+        )
+        .orderBy(F.col("cos_full").desc(), "vec_id")
+        .limit(50)
+    )
+
+
+@register(
+    "contrastive_negative_sampling",
+    """
+    SELECT anchor_id, neg_id, neg_label FROM (
+      SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
+             n.label AS neg_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY md5(CAST(a.vec_id AS VARCHAR) || ':'
+                            || CAST(n.vec_id AS VARCHAR)),
+                        n.vec_id) AS rn
+      FROM (SELECT vec_id, label FROM embeddings WHERE vec_id < 25) a
+      JOIN embeddings n
+        ON n.label <> a.label
+    ) WHERE rn <= 5
+    """,
+    doc="deterministic contrastive negative sampling: for each of 25 "
+    "anchors, 5 RNG-free pseudo-random negatives drawn from the "
+    "different-label pool via md5(anchor:candidate) ordering — the "
+    "training-pair builder for contrastive embedding fine-tuning. "
+    "Shape: the anchor set is tiny (broadcast) so the label-inequality "
+    "join is map-side, then one window per anchor; per-anchor "
+    "candidate ordering is uniform and reproducible across runs and "
+    "engines.",
+)
+def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+    )
+    negs = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("neg_id").cast("string"),
+            )
+        ),
+        "neg_id",
+    )
+    return (
+        F.broadcast(anchors)
+        .join(negs, F.col("neg_label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("anchor_id", "neg_id", "neg_label")
+    )
