@@ -1230,6 +1230,7 @@ def hourly_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS rev_7day
     FROM daily
     """,
+    bench=True,
     doc="time-based RANGE frame: per supplier, revenue over the "
     "trailing 7 CALENDAR days — semantically different from the "
     "ROWS-based rolling_avg_7rows whenever ship days are sparse (a "

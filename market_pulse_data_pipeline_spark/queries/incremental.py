@@ -307,6 +307,7 @@ def join_strategy_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
     ) WHERE change_type IS NOT NULL
     """,
+    bench=True,
     doc="change-data-feed derivation between two table versions "
     "(operators/cdc.py::version_diff over a deterministic synthetic "
     "edit of orders: %97 keys deleted, %13 repriced, %101 re-keyed as "

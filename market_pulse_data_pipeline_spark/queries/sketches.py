@@ -77,6 +77,7 @@ _SQL_H60 = "('0x' || substring(md5({expr}), 1, 15))::BIGINT"
            )} / e.n_exact - 1.0) <= 0.25 AS within_band
     FROM kmv m, exact e
     """,
+    bench=True,
     doc="KMV distinct-count sketch over l_partkey, oracle-checked "
     "bit-for-bit: both engines derive the same 60-bit md5 hashes, the "
     "same k=256 minimum values, and therefore the same estimate "
