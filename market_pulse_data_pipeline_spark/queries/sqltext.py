@@ -82,3 +82,33 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, token_count_py(text) AS n_tokens_udf FROM documents"
     )
+
+
+# LATERAL correlated subquery — one shared string again. Spark plans
+# this as a rewritten inner join + per-key TakeOrdered (no
+# nested-loop per outer row); DuckDB executes its lateral operator.
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 5 = 0
+"""
+
+
+@register(
+    "sql_lateral_top2_orders",
+    _LATERAL_SQL,
+    doc="LATERAL correlated subquery (top-2 orders per customer), the "
+    "same byte-identical string through spark.sql and DuckDB — the "
+    "SQL-text form of the top-N-per-group family (top3_per_supplier "
+    "is the DataFrame/window form). Deterministic inner ordering "
+    "(price desc, key); Catalyst decorrelates the LATERAL into a "
+    "ranked join rather than executing per-outer-row.",
+)
+def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
