@@ -227,3 +227,73 @@ def resize_media(
     return visual.select("media_id", "media_type", "content").mapInPandas(
         batches, RESIZE_SCHEMA
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_id", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("n_zero_cross", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_window_energy(
+    media: DataFrame, win: int = 400, hop: int = 160
+) -> DataFrame:
+    """Frame audio payloads into overlapping sample windows and compute
+    per-window RMS energy + mean-crossing counts — the VAD/segmentation
+    front end of an audio pipeline (win=400, hop=160 are the classic
+    25 ms / 10 ms at 16 kHz).
+
+    The payload BYTES are treated as unsigned 8-bit PCM (the fixture's
+    deterministic stand-in — a real i16/f32 decode swaps one frombuffer
+    dtype). Plumbing is the module's standard shape: audio rows are
+    pruned JVM-side BEFORE Python, the windowing runs as an
+    Arrow-batched mapInPandas over numpy views (no per-window copy),
+    and output rows are windows, not samples — ~n/hop rows per clip.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "win_id": [],
+                "n_samples": [],
+                "rms": [],
+                "n_zero_cross": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                x = np.frombuffer(payload or b"", dtype=np.uint8).astype(
+                    np.float64
+                )
+                if len(x) == 0:
+                    continue
+                mean = x.mean()
+                centered = x - mean
+                n_win = max(0, (len(x) - win) // hop) + (
+                    1 if len(x) >= win else 0
+                )
+                if n_win == 0:  # short clip: one truncated window
+                    n_win = 1
+                for w_i in range(n_win):
+                    seg = centered[w_i * hop : w_i * hop + win]
+                    out["media_id"].append(mid)
+                    out["win_id"].append(w_i)
+                    out["n_samples"].append(len(seg))
+                    out["rms"].append(
+                        float(np.sqrt((seg * seg).mean()))
+                    )
+                    out["n_zero_cross"].append(
+                        int((np.signbit(seg[1:]) != np.signbit(seg[:-1])).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    audio = media.filter(F.col("media_type") == "audio").select(
+        "media_id", "content"
+    )
+    return audio.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)

@@ -497,3 +497,25 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     )
     return resize_media(media, width=32, height=32).orderBy("media_id")
+
+
+@register(
+    "media_audio_windows",
+    None,  # float RMS from numpy — structural invariants pinned in
+    # tests/test_multimodal.py (window counts, pruning, determinism)
+    doc="audio windowing front end (functions/multimodal.py::"
+    "audio_window_energy): payload bytes as u8 PCM framed into "
+    "25ms/10ms-style overlapping windows with RMS + mean-crossing "
+    "counts — the VAD/segmentation step before any audio model. "
+    "Audio rows pruned JVM-side before Python; Arrow-batched "
+    "mapInPandas over numpy views; output is windows (~n/hop rows), "
+    "never samples.",
+)
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.multimodal import (  # noqa: PLC0415
+        audio_window_energy,
+        documents_to_media,
+    )
+
+    media = documents_to_media(t(spark, sf_dir, "documents"))
+    return audio_window_energy(media)
