@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
     register,
+    round_div,
     round_sum,
+    sql_round_div,
     sql_round_sum,
     t,
 )
@@ -292,4 +294,54 @@ def event_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_signup_users"),
         F.count("first_purchase_us").alias("n_converted"),
         F.count(F.when(converted_24h, 1)).alias("n_converted_24h"),
+    )
+
+
+@register(
+    "event_type_transition_matrix",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), counts AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           {sql_round_div("CAST(n AS DOUBLE)",
+                          "SUM(n) OVER (PARTITION BY from_type)")} AS p
+    FROM counts
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: LEAD pairs each event with its successor (one window "
+    "on user_id), counts aggregate per (from, to), and row-normalized "
+    "probabilities come from a partition-total window — the user-"
+    "behavior model behind next-action prediction and anomaly scoring. "
+    "Transition cardinality is |types|^2 (tiny), so everything after "
+    "the LEAD window is map-side; probabilities are one IEEE division "
+    "of identical integers.",
+)
+def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(W.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        round_div(F.col("n").cast("double"), total).alias("p"),
     )

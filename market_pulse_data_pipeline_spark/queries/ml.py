@@ -248,3 +248,87 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_d2", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "centroid_classifier_confusion",
+    """
+    WITH e AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(embedding AS DOUBLE[])[i] AS val
+      FROM embeddings, UNNEST(range(1, 65)) t(i)
+    ), cent AS (
+      SELECT label, pos,
+             CAST(ROUND(CAST(CAST(SUM(CAST(val AS DECIMAL(20,6)))
+                    AS DOUBLE) / COUNT(*) AS DECIMAL(28,10)), 6)
+                  AS DOUBLE) AS c
+      FROM e GROUP BY label, pos
+    ), d AS (
+      SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+             SUM(CAST((e.val - c.c) * (e.val - c.c)
+                 AS DECIMAL(30,12))) AS d2
+      FROM e JOIN cent c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT true_label, cand AS pred_label FROM (
+        SELECT d.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cand) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT true_label, pred_label, COUNT(*) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="nearest-label-centroid classification with a confusion "
+    "matrix — the zero-training eval that tells you whether an "
+    "embedding space separates its labels (and which pairs confuse). "
+    "Determinism discipline: per-dim centroid means from exact "
+    "decimal sums (order-independent) snapped at 1e-6; squared "
+    "residuals are identical IEEE doubles snapped to DECIMAL(30,12) "
+    "so the distance SUM is order-independent too; argmin breaks "
+    "ties on label. Shape: fully relational — posexplode + two "
+    "hash aggregates + a 640-row centroid broadcast join; no numpy, "
+    "no collect.",
+)
+def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from market_pulse_data_pipeline_spark.queries.common import round_div  # noqa: PLC0415
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = e.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        round_div(
+            F.sum(F.col("val").cast("decimal(20,6)")).cast("double"),
+            F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    d = (
+        e.join(F.broadcast(cent), "pos")
+        .groupBy(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("cand"),
+        )
+        .agg(
+            F.sum(
+                ((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+                .cast("decimal(30,12)")
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
+    pred = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("cand").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )

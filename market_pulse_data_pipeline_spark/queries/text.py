@@ -430,3 +430,59 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_id"),
     )
+
+
+_KWIC_TERM = "the"
+_KWIC_CTX = 3
+
+
+@register(
+    "kwic_concordance",
+    f"""
+    SELECT doc_id, pos,
+           COALESCE(array_to_string(
+             list_slice(tk, GREATEST(1, pos - {_KWIC_CTX}), pos - 1),
+             ' '), '') AS left_ctx,
+           tk[pos] AS term,
+           COALESCE(array_to_string(
+             list_slice(tk, pos + 1, LEAST(len(tk), pos + {_KWIC_CTX})),
+             ' '), '') AS right_ctx
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE doc_id < 50
+    ), UNNEST(range(1, len(tk) + 1)) AS u(pos)
+    WHERE tk[pos] = '{_KWIC_TERM}'
+    """,
+    doc="keyword-in-context (KWIC) concordance: every occurrence of a "
+    f"term with ±{_KWIC_CTX} tokens of context — the corpus-inspection "
+    "view behind data auditing and contamination spot checks. "
+    "posexplode over the token array + two slices, all JVM "
+    "collection functions; output rows ∝ term frequency, never "
+    "tokens, and the term predicate prunes before any slicing.",
+)
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tokd = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    hits = tokd.select(
+        "doc_id",
+        "tk",
+        F.posexplode("tk").alias("pos0", "term"),
+    ).filter(F.col("term") == _KWIC_TERM)
+    pos = F.col("pos0") + 1  # 1-based to mirror the SQL slices
+    left_start = F.greatest(F.lit(1), pos - _KWIC_CTX)
+    return hits.select(
+        "doc_id",
+        pos.alias("pos"),
+        F.array_join(
+            F.slice(F.col("tk"), left_start, pos - left_start), " "
+        ).alias("left_ctx"),
+        F.col("term"),
+        F.array_join(
+            F.slice(
+                F.col("tk"),
+                pos + 1,
+                F.least(F.size("tk"), pos + _KWIC_CTX) - pos,
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )
