@@ -345,3 +345,88 @@ def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round_div(F.col("n").cast("double"), total).alias("p"),
     )
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def multi_step_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Generic ordered k-step funnel: per user, the earliest strictly-
+    increasing completion time of each step. Returns one row per
+    (stage, step) with the user count reaching it.
+
+    Shape: k-1 user-keyed join+min stages — each narrows to users who
+    completed the previous step, so the frames only shrink; every join
+    is on the funnel's natural key (user) and each stage is a
+    partial+final MIN aggregate. Strictly-after semantics (ties on the
+    same microsecond don't advance the funnel)."""
+    us = F.unix_micros(F.col(ts_col))
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(us).alias("t0"))
+    )
+    counts = [cur.agg(F.count(F.lit(1)).alias("n_users"))]
+    for i, step in enumerate(steps[1:], 1):
+        nxt = events.filter(F.col(type_col) == step).select(
+            user_col, us.alias("_u")
+        )
+        cur = (
+            cur.join(nxt, user_col)
+            .filter(F.col("_u") > F.col(f"t{i - 1}"))
+            .groupBy(user_col, *[f"t{j}" for j in range(i)])
+            .agg(F.min("_u").alias(f"t{i}"))
+        )
+        counts.append(cur.agg(F.count(F.lit(1)).alias("n_users")))
+    out = None
+    for i, (step, c) in enumerate(zip(steps, counts)):
+        row = c.select(
+            F.lit(i).alias("stage"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "funnel_multi_step",
+    f"""
+    WITH s0 AS (
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+      FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t1
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s0.t0
+      GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1
+      GROUP BY 1
+    )
+    SELECT 0 AS stage, '{_FUNNEL_STEPS[0]}' AS step,
+           COUNT(*) AS n_users FROM s0
+    UNION ALL SELECT 1, '{_FUNNEL_STEPS[1]}', COUNT(*) FROM s1
+    UNION ALL SELECT 2, '{_FUNNEL_STEPS[2]}', COUNT(*) FROM s2
+    """,
+    doc="generic ordered k-step funnel (here signup -> click -> "
+    "purchase): per user the earliest strictly-increasing completion "
+    "chain, reported as users-reaching-stage counts. Generalizes the "
+    "2-step event_funnel_signup_purchase: k-1 user-keyed join+MIN "
+    "stages over monotonically shrinking frames — at 100 TB each "
+    "stage is a broadcast-able survivor set joined against one "
+    "filtered event scan.",
+)
+def funnel_multi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return multi_step_funnel(ev, _FUNNEL_STEPS)
