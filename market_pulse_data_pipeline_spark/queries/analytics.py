@@ -1265,3 +1265,171 @@ def range_frame_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dnum",
         F.sum("rev").over(w).cast("double").alias("rev_7day"),
     )
+
+
+@register(
+    "vwap_per_part",
+    f"""
+    SELECT l_partkey,
+           {sql_round_div(
+               "CAST(SUM(CAST(l_extendedprice * l_quantity"
+               " AS DECIMAL(25,6))) AS DOUBLE)",
+               "CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)",
+           )} AS vwap,
+           COUNT(*) AS n_fills
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+    doc="volume-weighted average price per part (the execution-quality "
+    "benchmark every trading pipeline computes): "
+    "sum(price*qty)/sum(qty). Determinism: price has 2 decimals and "
+    "qty 2, so each product is EXACT in a double (<= 11 significant "
+    "digits) and the DECIMAL(25,6) snap is lossless — both sums are "
+    "order-independent exact decimals, then one rounded quotient. One "
+    "partial+final hash aggregate keyed on part.",
+)
+def vwap_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        round_div(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(25,6)"
+                )
+            ).cast("double"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double"),
+        ).alias("vwap"),
+        F.count(F.lit(1)).alias("n_fills"),
+    )
+
+
+_BB_N = 20  # Bollinger window (rows)
+
+
+@register(
+    "bollinger_bands_20d",
+    f"""
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2)
+                  AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), stats AS (
+      SELECT l_suppkey, d, rev,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(20,2))) OVER w AS DOUBLE) AS s,
+             CAST(SUM(CAST(rev * rev AS DECIMAL(30,4))) OVER w AS DOUBLE)
+               AS sq
+      FROM daily
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY d
+                   ROWS BETWEEN {_BB_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey, d, rev,
+           CAST(ROUND(CAST(s / n AS DECIMAL(28,10)), 4) AS DOUBLE) AS mid,
+           CAST(ROUND(CAST(s / n
+                  + 2 * sqrt((sq - s * s / n) / n) AS DECIMAL(28,10)), 4)
+                AS DOUBLE) AS upper_band,
+           CAST(ROUND(CAST(s / n
+                  - 2 * sqrt((sq - s * s / n) / n) AS DECIMAL(28,10)), 4)
+                AS DOUBLE) AS lower_band
+    FROM stats WHERE n >= {_BB_N}
+    """,
+    doc=f"Bollinger bands ({_BB_N}-row window, 2 sigma) over per-"
+    "supplier daily revenue — rolling mean ± population-std envelope, "
+    "the mean-reversion indicator. Rolling sum and sum-of-squares "
+    "accumulate as exact decimals inside the frame (rev has 2 "
+    "decimals, rev^2 exactly 4 — both snaps lossless), so mid/std "
+    "derive from identical doubles on both engines; sqrt is correctly "
+    "rounded IEEE; final values routed through a decimal snap before "
+    "ROUND. Same one-shuffle pre-aggregated window shape as "
+    "rolling_avg_7rows.",
+)
+def bollinger_bands_20d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(-(_BB_N - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("rev").cast("decimal(20,2)")).over(w).cast("double")
+    sq = (
+        F.sum((F.col("rev") * F.col("rev")).cast("decimal(30,4)"))
+        .over(w)
+        .cast("double")
+    )
+    mid = s / n
+    sd = F.sqrt((sq - s * s / n) / n)
+
+    def snap(x):
+        return F.round(x.cast("decimal(28,10)"), 4).cast("double")
+
+    return (
+        daily.select(
+            "l_suppkey",
+            "d",
+            "rev",
+            n.alias("n"),
+            snap(mid).alias("mid"),
+            snap(mid + 2 * sd).alias("upper_band"),
+            snap(mid - 2 * sd).alias("lower_band"),
+        )
+        .filter(F.col("n") >= _BB_N)
+        .drop("n")
+    )
+
+
+@register(
+    "twap_value_per_user",
+    f"""
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           {sql_round_div(
+               "CAST(SUM(CAST(value * (next_us - t_us)"
+               " AS DECIMAL(30,6))) AS DOUBLE)",
+               "CAST(SUM(next_us - t_us) AS DOUBLE)",
+           )} AS twap,
+           COUNT(*) AS n_intervals
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="time-weighted average value per user: each observation holds "
+    "until the next event, so its weight is the interval length "
+    "(LEAD) in microseconds — the TWAP aggregation irregular time "
+    "series need (a plain AVG over-weights bursts). Products snap to "
+    "DECIMAL(30,6) (value*interval doubles are identical both "
+    "engines), interval sums are exact integers, one rounded "
+    "quotient. One LEAD window + one hash aggregate, both on "
+    "user_id.",
+)
+def twap_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("t_us")
+    return seq.groupBy("user_id").agg(
+        round_div(
+            F.sum((F.col("value") * dt).cast("decimal(30,6)")).cast("double"),
+            F.sum(dt).cast("double"),
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
