@@ -1433,3 +1433,93 @@ def twap_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+_RSI_N = 14
+
+
+@register(
+    "rsi_14_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2)
+                  AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), diffs AS (
+      SELECT l_suppkey, d,
+             rev - LAG(rev) OVER (PARTITION BY l_suppkey ORDER BY d)
+               AS chg
+      FROM daily
+    ), gl AS (
+      SELECT l_suppkey, d,
+             COUNT(chg) OVER w AS n,
+             CAST(SUM(CAST(GREATEST(chg, 0) AS DECIMAL(20,2))) OVER w
+                  AS DOUBLE) AS gains,
+             CAST(SUM(CAST(GREATEST(-chg, 0) AS DECIMAL(20,2))) OVER w
+                  AS DOUBLE) AS losses
+      FROM diffs
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY d
+                   ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey, d,
+           CAST(ROUND(CAST(100.0 * gains / (gains + losses)
+                  AS DECIMAL(28,10)), 4) AS DOUBLE) AS rsi
+    FROM gl
+    WHERE n >= {_RSI_N} AND gains + losses > 0
+    """,
+    doc=f"RSI ({_RSI_N}-row SMA variant) over per-supplier daily "
+    "revenue: up-moves vs down-moves from LAG diffs, framed sums as "
+    "exact decimals (diffs of 2-decimal values are exact, GREATEST "
+    "preserves that), RSI = 100*gains/(gains+losses) as one identical "
+    "double expression snapped before rounding. Completes the "
+    "indicator family (EWMA, drawdown, Bollinger, VWAP, TWAP); same "
+    "pre-aggregated single-shuffle window shape throughout.",
+)
+def rsi_14_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w_lag = Window.partitionBy("l_suppkey").orderBy("d")
+    diffs = daily.select(
+        "l_suppkey",
+        "d",
+        (F.col("rev") - F.lag("rev").over(w_lag)).alias("chg"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(-(_RSI_N - 1), 0)
+    )
+    gains = (
+        F.sum(F.greatest(F.col("chg"), F.lit(0.0)).cast("decimal(20,2)"))
+        .over(w)
+        .cast("double")
+    )
+    losses = (
+        F.sum(F.greatest(-F.col("chg"), F.lit(0.0)).cast("decimal(20,2)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count("chg").over(w)
+    rsi = F.round(
+        (F.lit(100.0) * F.col("gains") / (F.col("gains") + F.col("losses")))
+        .cast("decimal(28,10)"),
+        4,
+    ).cast("double")
+    return (
+        diffs.select(
+            "l_suppkey",
+            "d",
+            n.alias("n"),
+            gains.alias("gains"),
+            losses.alias("losses"),
+        )
+        .filter((F.col("n") >= _RSI_N) & (F.col("gains") + F.col("losses") > 0))
+        .select("l_suppkey", "d", rsi.alias("rsi"))
+    )

@@ -112,3 +112,40 @@ WHERE c.c_custkey % 5 = 0
 def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "udtf_split_sentences",
+    """
+    SELECT doc_id, i - 1 AS pos, parts[i] AS sentence
+    FROM (SELECT doc_id, string_split(text, ' the ') AS parts
+          FROM documents WHERE doc_id < 40),
+         UNNEST(range(1, len(parts) + 1)) AS u(i)
+    """,
+    doc="Python UDTF surface (Spark 4 @udtf): a table function "
+    "registered via spark.udtf.register and invoked through SQL "
+    "LATERAL, hash-checked against the relational split oracle. This "
+    "is the API-flexibility witness — arbitrary Python generators as "
+    "table functions — NOT the performance path (UDTFs evaluate "
+    "row-at-a-time; every hot-path operator in this repo uses built-in "
+    "generators or Arrow-batched pandas instead, and the bench plan "
+    "gate enforces that).",
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="doc_id bigint, pos int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for i, s in enumerate(text.split(" the ")):
+                yield doc_id, i, s
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.pos, s.sentence
+        FROM documents d, LATERAL split_sentences(d.doc_id, d.text) s
+        WHERE d.doc_id < 40
+        """
+    )
