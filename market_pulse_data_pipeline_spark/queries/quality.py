@@ -399,3 +399,40 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_doc_id", "b_doc_id")
     )
+
+
+_KANON = 5
+
+
+@register(
+    "k_anonymity_check",
+    f"""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           group_size < {_KANON} AS violates_k
+    FROM groups
+    """,
+    doc=f"k-anonymity audit (k={_KANON}) over the quasi-identifier "
+    "pair (nation, market segment): any equivalence class smaller "
+    "than k re-identifies its members — the governance check run "
+    "before releasing or training on user-adjacent tables. One hash "
+    "aggregate; at 100 TB the class count is bounded by the "
+    "quasi-identifier domain, not row count, and the violating "
+    "classes are exactly the rows a suppression/generalization pass "
+    "would rewrite.",
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < _KANON).alias("violates_k"),
+        )
+    )

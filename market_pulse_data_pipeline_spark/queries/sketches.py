@@ -310,3 +310,97 @@ def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_inv_p"),
         )
     )
+
+
+@register(
+    "kmv_join_cardinality_estimate",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT {_SQL_H60.format(expr="CAST(o_orderkey AS VARCHAR)")}
+               AS h FROM orders
+    ), hb AS (
+      SELECT DISTINCT {_SQL_H60.format(expr="CAST(l_orderkey AS VARCHAR)")}
+               AS h FROM lineitem
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    ku AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+           ORDER BY h LIMIT {_KMV_K}),
+    union_est AS (
+      SELECT {sql_round_div(
+          "CAST(" + str(_KMV_K - 1) + " AS DOUBLE)"
+          " * CAST(1152921504606846976 AS DOUBLE)",
+          "CAST((SELECT MAX(h) FROM ku) AS DOUBLE)",
+      )} AS u_est
+    ),
+    overlap AS (
+      SELECT COUNT(*) AS n_both FROM ku
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_exact
+      FROM (SELECT h FROM ha INTERSECT SELECT h FROM hb)
+    )
+    SELECT o.n_both, e.n_exact,
+           {sql_round_div(
+               "n_both * u.u_est",
+               "CAST(" + str(_KMV_K) + " AS DOUBLE)",
+           )} AS inter_est,
+           ABS({sql_round_div(
+               "n_both * u.u_est",
+               "CAST(" + str(_KMV_K) + " AS DOUBLE)",
+           )} / e.n_exact - 1.0) <= 0.3 AS within_band
+    FROM overlap o, exact e, union_est u
+    """,
+    doc="sketch-based join-key overlap estimation — the statistic a "
+    "cost-based planner wants BEFORE running a join: KMV sketches of "
+    "both key sets, the union sketch (k smallest of the merged "
+    "hashes), Jaccard from sketch-membership counts, and "
+    "|A∩B| ≈ (n_both/k) * |A∪B|_est, compared against the exact "
+    "intersection with a 30% band pinned TRUE. Everything is the "
+    "same portable 60-bit hash, so the sketches — and therefore the "
+    "estimate — are bit-identical across engines. Each sketch is one "
+    "distinct + TakeOrdered(k); no full-key comparison ever happens "
+    "(the exact branch exists only as oracle evidence).",
+)
+def kmv_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ha = (
+        t(spark, sf_dir, "orders")
+        .select(portable_hash60(F.col("o_orderkey").cast("string")).alias("h"))
+        .distinct()
+    )
+    hb = (
+        t(spark, sf_dir, "lineitem")
+        .select(portable_hash60(F.col("l_orderkey").cast("string")).alias("h"))
+        .distinct()
+    )
+    ka = ha.orderBy("h").limit(_KMV_K)
+    kb = hb.orderBy("h").limit(_KMV_K)
+    ku = ha.union(hb).distinct().orderBy("h").limit(_KMV_K)
+    u_est = round_div(
+        F.lit(float(_KMV_K - 1)) * F.lit(2**60).cast("double"),
+        F.col("kth").cast("double"),
+    )
+    union_est = ku.agg(F.max("h").alias("kth")).select(u_est.alias("u_est"))
+    n_both = (
+        ku.join(ka.withColumnRenamed("h", "h"), "h")
+        .join(kb, "h")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    exact = ha.join(hb, "h").agg(F.count(F.lit(1)).alias("n_exact"))
+    inter_est = round_div(
+        F.col("n_both") * F.col("u_est"), F.lit(float(_KMV_K))
+    )
+    return (
+        n_both.crossJoin(exact)
+        .crossJoin(union_est)
+        .select(
+            "n_both",
+            "n_exact",
+            inter_est.alias("inter_est"),
+            (
+                F.abs(inter_est / F.col("n_exact") - F.lit(1.0))
+                <= F.lit(0.3)
+            ).alias("within_band"),
+        )
+    )
