@@ -1523,3 +1523,167 @@ def rsi_14_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= _RSI_N) & (F.col("gains") + F.col("losses") > 0))
         .select("l_suppkey", "d", rsi.alias("rsi"))
     )
+
+
+@register(
+    "autocorr_lag1_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2)
+                  AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), pairs AS (
+      SELECT l_suppkey, rev AS x,
+             LAG(rev) OVER (PARTITION BY l_suppkey ORDER BY d) AS y
+      FROM daily
+    ), sums AS (
+      SELECT l_suppkey, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(20,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,4))) AS DOUBLE) AS syy
+      FROM pairs WHERE y IS NOT NULL
+      GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n,
+           CAST(ROUND(CAST((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  AS DECIMAL(28,10)), 6) AS DOUBLE) AS r1
+    FROM sums
+    WHERE n >= 30
+      AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+    """,
+    doc="lag-1 autocorrelation of per-supplier daily revenue (the "
+    "persistence/mean-reversion diagnostic): Pearson closed form over "
+    "(x, lag(x)) pairs with every sum an exact decimal (2-decimal "
+    "values, 4-decimal products — both snaps lossless), identical "
+    "IEEE arithmetic and correctly-rounded sqrt, decimal-snapped "
+    "ROUND. Same discipline as corr_quantity_price_by_flag, applied "
+    "through a LAG window instead of two columns.",
+)
+def autocorr_lag1_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("d")
+    pairs = daily.select(
+        "l_suppkey",
+        F.col("rev").alias("x"),
+        F.lag("rev").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    sums = pairs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(20,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var_term = (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    r1 = F.round(
+        ((n * F.col("sxy") - sx * sy) / F.sqrt(var_term)).cast(
+            "decimal(28,10)"
+        ),
+        6,
+    ).cast("double")
+    return sums.filter((n >= 30) & (var_term > 0)).select(
+        "l_suppkey", "n", r1.alias("r1")
+    )
+
+
+@register(
+    "cusum_changepoint_by_supplier",
+    """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2)
+                  AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), means AS (
+      SELECT l_suppkey,
+             CAST(ROUND(CAST(CAST(SUM(CAST(rev AS DECIMAL(20,2)))
+                    AS DOUBLE) / COUNT(*) AS DECIMAL(28,10)), 6)
+                  AS DOUBLE) AS mu,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY l_suppkey
+    ), cusum AS (
+      SELECT d.l_suppkey, d.d, m.n_days,
+             SUM(CAST(d.rev - m.mu AS DECIMAL(22,6))) OVER (
+               PARTITION BY d.l_suppkey ORDER BY d.d
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily d JOIN means m ON d.l_suppkey = m.l_suppkey
+    )
+    SELECT l_suppkey, n_days, d AS changepoint_date,
+           CAST(ABS(s) AS DOUBLE) AS max_abs_cusum
+    FROM (
+      SELECT c.*, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                     ORDER BY ABS(s) DESC, d) AS rn
+      FROM cusum c
+    ) WHERE rn = 1 AND n_days >= 30
+    """,
+    doc="CUSUM change-point detection per supplier: running sum of "
+    "deviations from the series mean; the |cusum| peak locates the "
+    "most likely level-shift date — the classic drift detector for "
+    "monitoring pipelines. Deviations are exact decimals (2-decimal "
+    "revenue minus a 6-decimal-snapped mean), so the running sum and "
+    "the argmax ordering are bit-identical across engines. One "
+    "aggregate + one join-back + one window, all on the supplier "
+    "key.",
+)
+def cusum_changepoint_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    means = daily.groupBy("l_suppkey").agg(
+        round_div(
+            F.sum(F.col("rev").cast("decimal(20,2)")).cast("double"),
+            F.count(F.lit(1)),
+            6,
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = daily.join(means, "l_suppkey").select(
+        "l_suppkey",
+        "d",
+        "n_days",
+        F.sum((F.col("rev") - F.col("mu")).cast("decimal(22,6)"))
+        .over(w_run)
+        .alias("s"),
+    )
+    w_rank = Window.partitionBy("l_suppkey").orderBy(
+        F.abs(F.col("s")).desc(), "d"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .filter((F.col("rn") == 1) & (F.col("n_days") >= 30))
+        .select(
+            "l_suppkey",
+            "n_days",
+            F.col("d").alias("changepoint_date"),
+            F.abs(F.col("s")).cast("double").alias("max_abs_cusum"),
+        )
+    )

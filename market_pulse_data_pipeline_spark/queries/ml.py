@@ -332,3 +332,63 @@ def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     return pred.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "embedding_mean_pool_by_label",
+    """
+    WITH e AS (
+      SELECT label, i AS pos, CAST(embedding AS DOUBLE[])[i] AS val
+      FROM embeddings, UNNEST(range(1, 65)) t(i)
+    ), m AS (
+      SELECT label, pos,
+             CAST(ROUND(CAST(CAST(SUM(CAST(val AS DECIMAL(20,6)))
+                    AS DOUBLE) / COUNT(*) AS DECIMAL(28,10)), 6)
+                  AS DOUBLE) AS c
+      FROM e GROUP BY label, pos
+    )
+    SELECT label,
+           array_to_string(
+             list(CAST(CAST(c AS DECIMAL(12,6)) AS VARCHAR) ORDER BY pos),
+             ',') AS pooled_csv
+    FROM m GROUP BY label
+    """,
+    doc="mean-pooling embeddings per label (the pooling step that "
+    "turns chunk/token embeddings into document/class vectors): "
+    "posexplode -> per-(label, dim) exact-decimal mean (order-"
+    "independent, snapped at 1e-6) -> re-assembled in dim order as a "
+    "driver-hashable CSV. Determinism extends to the string: both "
+    "engines render the same snapped doubles via shortest-roundtrip "
+    "formatting. Shape: two hash aggregates, label-dim cardinality "
+    "bounded (|labels| x dim), rows never widen.",
+)
+def embedding_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.queries.common import round_div  # noqa: PLC0415
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    m = e.groupBy("label", "pos").agg(
+        round_div(
+            F.sum(F.col("val").cast("decimal(20,6)")).cast("double"),
+            F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    # fixed-scale decimal -> string renders identically on both engines
+    # (double -> string does NOT: Spark uses scientific notation below
+    # 1e-3 where DuckDB stays fixed-point)
+    c_str = F.col("c").cast("decimal(12,6)").cast("string")
+    return m.groupBy("label").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", c_str))),
+                lambda s: s["col2"],
+            ),
+        ).alias("pooled_csv")
+    )
