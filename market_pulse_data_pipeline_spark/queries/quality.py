@@ -436,3 +436,72 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < _KANON).alias("violates_k"),
         )
     )
+
+
+# log10(1 + 1/d) for d = 1..9, precomputed so BOTH engines consume the
+# same literal doubles (log10 itself is libm-dependent)
+_BENFORD_P = [
+    0.3010299957, 0.1760912591, 0.1249387366, 0.096910013, 0.079181246,
+    0.0669467896, 0.057991947, 0.0511525224, 0.0457574906,
+]
+
+
+@register(
+    "benford_first_digit_audit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), expected(digit, p) AS (
+      VALUES {", ".join(f"({d}, {p!r})" for d, p in enumerate(_BENFORD_P, 1))}
+    ), total AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(ROUND(CAST(e.p * t.n AS DECIMAL(28,10)), 2) AS DOUBLE)
+             AS n_expected,
+           CAST(ROUND(CAST((COALESCE(o.n_obs, 0) - e.p * t.n)
+                  * (COALESCE(o.n_obs, 0) - e.p * t.n) / (e.p * t.n)
+                  AS DECIMAL(28,10)), 4) AS DOUBLE) AS chi2_term
+    FROM expected e
+    LEFT JOIN (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY 1) o
+      ON o.digit = e.digit
+    CROSS JOIN total t
+    """,
+    doc="Benford's-law first-digit audit of order totals — the fraud/"
+    "synthetic-data smell test: observed first-digit counts vs "
+    "n*log10(1+1/d) with per-digit chi-square terms. The log10 "
+    "probabilities are PRECOMPUTED literals shared by both engines "
+    "(libm log10 is not portable; literals are), the first digit "
+    "comes from a fixed-scale decimal rendering (portable, unlike "
+    "double rendering), and the chi2 arithmetic is identical doubles "
+    "snapped before rounding. One scan + a 9-row broadcast.",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        digit.alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(_BENFORD_P, 1)], "digit int, p double"
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("n"))
+    exp_n = F.col("p") * F.col("n")
+    diff = F.coalesce(F.col("n_obs"), F.lit(0)) - exp_n
+    return (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.round(exp_n.cast("decimal(28,10)"), 2)
+            .cast("double")
+            .alias("n_expected"),
+            F.round((diff * diff / exp_n).cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("chi2_term"),
+        )
+    )
