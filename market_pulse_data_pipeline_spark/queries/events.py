@@ -430,3 +430,96 @@ def multi_step_funnel(
 def funnel_multi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return multi_step_funnel(ev, _FUNNEL_STEPS)
+
+
+@register(
+    "dow_hour_seasonality",
+    f"""
+    SELECT EXTRACT(isodow FROM CAST(ts AS TIMESTAMP)) AS dow,
+           EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hour,
+           COUNT(*) AS n_events,
+           {sql_round_sum('value', 6, 4)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="day-of-week x hour-of-day seasonality grid (the load/activity "
+    "heatmap behind capacity planning and anomaly baselines). "
+    "Calendar extraction note: Spark's dayofweek() is Sunday=1 while "
+    "DuckDB's dayofweek() is Sunday=0 — both sides use ISO numbering "
+    "(Monday=1, via weekday()+1 in Spark and isodow in DuckDB) so the "
+    "grid keys agree. One hash aggregate over a 7x24-bounded key "
+    "domain; all extraction in UTC.",
+)
+def dow_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_sum(F.col("value"), 6, 4).alias("total_value"),
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    f"""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ), aged AS (
+      SELECT f.cohort_week,
+             CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                   - f.cohort_week) / 7 AS BIGINT) AS age_weeks,
+             e.value
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), weekly AS (
+      SELECT cohort_week, age_weeks,
+             SUM(CAST(value AS DECIMAL(20,6))) AS v
+      FROM aged GROUP BY 1, 2
+    )
+    SELECT cohort_week, age_weeks,
+           CAST(ROUND(SUM(v) OVER (PARTITION BY cohort_week
+                                   ORDER BY age_weeks
+                                   ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE)
+             AS cum_value
+    FROM weekly
+    """,
+    doc="cohort LTV curve: per signup-cohort week, cumulative value by "
+    "cohort age — the growth metric retention_cohorts' user counts "
+    "feed into. Value sums stay exact decimals through BOTH the "
+    "weekly aggregate and the running cumulative frame, so the curve "
+    "hash-checks bit-for-bit; age arithmetic is integer date math. "
+    "One join on user (first-touch broadcast), one aggregate, one "
+    "cohort-partitioned window.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.scalars import week_start  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        week_start(F.min("ts")).alias("cohort_week")
+    )
+    aged = ev.join(F.broadcast(firsts), "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(week_start(F.col("ts")), F.col("cohort_week")) / 7
+        )
+        .cast("bigint")
+        .alias("age_weeks"),
+        "value",
+    )
+    weekly = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("v")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return weekly.select(
+        "cohort_week",
+        "age_weeks",
+        F.round(F.sum("v").over(w), 4).cast("double").alias("cum_value"),
+    )
