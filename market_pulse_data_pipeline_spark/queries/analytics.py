@@ -1687,3 +1687,75 @@ def cusum_changepoint_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
             F.abs(F.col("s")).cast("double").alias("max_abs_cusum"),
         )
     )
+
+
+@register(
+    "beta_vs_market_by_supplier",
+    """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2)
+                  AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), market AS (
+      SELECT d, CAST(SUM(CAST(rev AS DECIMAL(20,2))) AS DOUBLE) AS mkt
+      FROM daily GROUP BY d
+    ), joined AS (
+      SELECT s.l_suppkey, s.rev AS x, m.mkt AS y
+      FROM daily s JOIN market m ON s.d = m.d
+    ), sums AS (
+      SELECT l_suppkey, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(22,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(34,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(34,4))) AS DOUBLE) AS syy
+      FROM joined GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n,
+           CAST(ROUND(CAST((n * sxy - sx * sy) / (n * syy - sy * sy)
+                  AS DECIMAL(28,10)), 6) AS DOUBLE) AS beta
+    FROM sums
+    WHERE n >= 30 AND n * syy - sy * sy > 0
+    """,
+    doc="per-supplier beta against the 'market' (total daily revenue): "
+    "cov(x, market)/var(market) from the closed form, every sum an "
+    "exact decimal (2-decimal series, 4-decimal products — lossless "
+    "snaps), one identical double expression per row. The systematic-"
+    "vs-idiosyncratic decomposition every factor pipeline starts "
+    "with. Market series is a date-keyed aggregate joined back — one "
+    "extra shuffle on date, bounded by the calendar.",
+)
+def beta_vs_market_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    market = daily.groupBy("d").agg(
+        F.sum(F.col("rev").cast("decimal(20,2)")).cast("double").alias("mkt")
+    )
+    joined = daily.join(F.broadcast(market), "d").select(
+        "l_suppkey", F.col("rev").alias("x"), F.col("mkt").alias("y")
+    )
+    sums = joined.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(20,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(22,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(34,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(34,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var_m = n * F.col("syy") - sy * sy
+    beta = F.round(
+        ((n * F.col("sxy") - sx * sy) / var_m).cast("decimal(28,10)"), 6
+    ).cast("double")
+    return sums.filter((n >= 30) & (var_m > 0)).select(
+        "l_suppkey", "n", beta.alias("beta")
+    )

@@ -505,3 +505,58 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_term"),
         )
     )
+
+
+@register(
+    "chi2_independence_lang_source",
+    """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), rows_t AS (SELECT lang, SUM(n) AS nr FROM obs GROUP BY lang),
+    cols_t AS (SELECT source, SUM(n) AS nc FROM obs GROUP BY source),
+    tot AS (SELECT SUM(n) AS nt FROM obs)
+    SELECT o.lang, o.source, o.n,
+           CAST(ROUND(CAST(CAST(r.nr * c.nc AS DOUBLE) / t.nt
+                  AS DECIMAL(28,10)), 4) AS DOUBLE) AS n_expected,
+           CAST(ROUND(CAST((o.n - CAST(r.nr * c.nc AS DOUBLE) / t.nt)
+                  * (o.n - CAST(r.nr * c.nc AS DOUBLE) / t.nt)
+                  / (CAST(r.nr * c.nc AS DOUBLE) / t.nt)
+                  AS DECIMAL(28,10)), 4) AS DOUBLE) AS chi2_term
+    FROM obs o
+    JOIN rows_t r ON r.lang = o.lang
+    JOIN cols_t c ON c.source = o.source
+    CROSS JOIN tot t
+    """,
+    doc="chi-square independence audit of the (lang, source) "
+    "contingency table — the corpus-balance diagnostic that tells you "
+    "whether language mix differs by source (it should match the "
+    "mixture design; a large chi2 term flags a skewed cell). Expected "
+    "counts are exact-integer products over one division — identical "
+    "doubles both engines, decimal-snapped before rounding. Shape: "
+    "one aggregate + two marginal re-aggregates over a "
+    "|langs|x|sources|-bounded table.",
+)
+def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    rows_t = obs.groupBy("lang").agg(F.sum("n").alias("nr"))
+    cols_t = obs.groupBy("source").agg(F.sum("n").alias("nc"))
+    tot = obs.agg(F.sum("n").alias("nt"))
+    exp = (F.col("nr") * F.col("nc")).cast("double") / F.col("nt")
+    diff = F.col("n") - exp
+    return (
+        obs.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.round(exp.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("n_expected"),
+            F.round((diff * diff / exp).cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("chi2_term"),
+        )
+    )
