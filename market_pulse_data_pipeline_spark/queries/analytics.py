@@ -1759,3 +1759,94 @@ def beta_vs_market_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.filter((n >= 30) & (var_m > 0)).select(
         "l_suppkey", "n", beta.alias("beta")
     )
+
+
+@register(
+    "max_drawdown_summary",
+    f"""
+    WITH dd AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             {sql_round_div(
+                 "value",
+                 "MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+             )} AS dd_ratio
+      FROM events
+    )
+    SELECT user_id, dd_ratio AS max_drawdown, t_us AS trough_ts_us
+    FROM (
+      SELECT dd.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY dd_ratio, t_us, event_id)
+               AS rn
+      FROM dd
+    ) WHERE rn = 1
+    """,
+    doc="maximum drawdown per user — the single risk number the "
+    "rolling_drawdown series summarizes to: the deepest "
+    "value/running-max ratio and when it happened (argmin with "
+    "time/id tiebreaks). Two windows sharing the user_id "
+    "partitioning; ratios are the same deterministically-rounded "
+    "quotients as rolling_drawdown, so the argmin ordering is "
+    "cross-engine stable.",
+)
+def max_drawdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        round_div(F.col("value"), F.max("value").over(w_run)).alias(
+            "dd_ratio"
+        ),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        "dd_ratio", "t_us", "event_id"
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("dd_ratio").alias("max_drawdown"),
+            F.col("t_us").alias("trough_ts_us"),
+        )
+    )
+
+
+@register(
+    "quantile_normalize_value",
+    f"""
+    SELECT user_id, event_id,
+           {sql_round_div(
+               "CAST(RANK() OVER (PARTITION BY event_type "
+               "ORDER BY value, event_id) - 1 AS DOUBLE)",
+               "CAST(COUNT(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE)",
+           )} AS q_norm
+    FROM events
+    """,
+    doc="quantile normalization of value WITHIN each event_type: each "
+    "observation maps to its within-group rank fraction in [0, 1] — "
+    "the distribution-free rescaling that makes heterogeneous "
+    "populations comparable (feature preprocessing / fair cross-"
+    "segment comparison). RANK with an event_id tiebreak is "
+    "deterministic; the fraction is one rounded quotient of exact "
+    "integers. One window per group partition.",
+)
+def quantile_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        round_div(
+            (F.rank().over(w_rank) - F.lit(1)).cast("double"),
+            (F.count(F.lit(1)).over(w_all) - F.lit(1)).cast("double"),
+        ).alias("q_norm"),
+    )
