@@ -1850,3 +1850,70 @@ def quantile_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).over(w_all) - F.lit(1)).cast("double"),
         ).alias("q_norm"),
     )
+
+
+@register(
+    "ohlc_multi_granularity",
+    """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,2))), 2)
+                  AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), keyed AS (
+      SELECT l_suppkey, d, rev,
+             CAST(date_trunc('week', d) AS DATE) AS wk,
+             CAST(date_trunc('month', d) AS DATE) AS mo
+      FROM daily
+    )
+    SELECT l_suppkey,
+           CASE WHEN GROUPING(wk) = 0 THEN 'week' ELSE 'month' END AS grain,
+           COALESCE(wk, mo) AS bucket_start,
+           arg_min(rev, d) AS open_rev,
+           MAX(rev) AS high_rev,
+           MIN(rev) AS low_rev,
+           arg_max(rev, d) AS close_rev
+    FROM keyed
+    GROUP BY GROUPING SETS ((l_suppkey, wk), (l_suppkey, mo))
+    """,
+    doc="OHLC resampling at TWO granularities (week + month) in ONE "
+    "aggregation pass via GROUPING SETS — the multi-resolution "
+    "candlestick build that would otherwise scan the fact twice. "
+    "GROUPING() disambiguates the grain; open/close via min_by/max_by "
+    "over the unique daily grid (same discipline as weekly_ohlc). "
+    "Catalyst expands grouping sets into one Expand + one aggregate — "
+    "still a single shuffle.",
+)
+def ohlc_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.scalars import week_start  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    keyed = daily.select(
+        "l_suppkey",
+        "d",
+        "rev",
+        week_start(F.col("d")).alias("wk"),
+        F.date_trunc("month", "d").cast("date").alias("mo"),
+    )
+    keyed.createOrReplaceTempView("ohlc_keyed")
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               CASE WHEN GROUPING(wk) = 0 THEN 'week' ELSE 'month' END
+                 AS grain,
+               COALESCE(wk, mo) AS bucket_start,
+               min_by(rev, d) AS open_rev,
+               MAX(rev) AS high_rev,
+               MIN(rev) AS low_rev,
+               max_by(rev, d) AS close_rev
+        FROM ohlc_keyed
+        GROUP BY GROUPING SETS ((l_suppkey, wk), (l_suppkey, mo))
+        """
+    )
