@@ -523,3 +523,59 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age_weeks",
         F.round(F.sum("v").over(w), 4).cast("double").alias("cum_value"),
     )
+
+
+_DEBOUNCE_US = 5 * 60 * 1_000_000  # 5-minute cooldown
+
+
+@register(
+    "debounce_dedup_events",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_type, event_id, t_us,
+             CASE WHEN lag(t_us) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY t_us, event_id) IS NULL
+                    OR t_us - lag(t_us) OVER (PARTITION BY user_id, event_type
+                                              ORDER BY t_us, event_id)
+                       > {_DEBOUNCE_US}
+                  THEN 1 ELSE 0 END AS keep
+      FROM seq
+    )
+    SELECT user_id, event_type, event_id, t_us
+    FROM flagged WHERE keep = 1
+    """,
+    doc="telemetry debounce: an event survives iff the gap to its "
+    "(user, event_type) predecessor exceeds a 5-minute cooldown — "
+    "the lag-gap formulation of alert/click-spam suppression "
+    "(relational, deterministic; note this is gap-to-predecessor, "
+    "not gap-to-last-kept, which would need a sessionization-style "
+    "running reset). One window per key; the streaming twin is "
+    "dropDuplicatesWithinWatermark with a keyed TTL. Epoch-micro "
+    "outputs keep the compared bytes render-independent.",
+)
+def debounce_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        t_us, "event_id"
+    )
+    prev = F.lag(t_us).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            t_us.alias("t_us"),
+            F.when(
+                prev.isNull() | ((t_us - prev) > _DEBOUNCE_US), 1
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )
