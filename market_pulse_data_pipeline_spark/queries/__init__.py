@@ -90,6 +90,37 @@ _R4_DEFER = [
     "rank_functions_suite", "grouping_sets_flags",
 ]
 
+# Queries added AFTER the round-3 window was verified 50/50 green:
+# deferred to the round-4 rotation so they cannot displace the
+# already-committed window composition (tier-1 order follows module
+# import order, so an append to an early module would otherwise push
+# verified entries out of the snapshot). All are green in the local
+# gate; they take driver rows next round.
+_R3_SESSION2 = [
+    "kmv_distinct_partkeys", "countmin_user_freq",
+    "weighted_sample_per_lang", "bigram_fluency_score",
+    "kmv_join_cardinality_estimate",
+    "cdc_version_diff", "cdc_apply_changes", "table_fingerprint_orders",
+    "ewma_value_10tap", "rolling_drawdown",
+    "running_distinct_event_types", "hourly_activity_bitmask",
+    "range_frame_7day_revenue", "vwap_per_part", "bollinger_bands_20d",
+    "twap_value_per_user", "rsi_14_daily_revenue",
+    "autocorr_lag1_daily_revenue", "cusum_changepoint_by_supplier",
+    "beta_vs_market_by_supplier", "max_drawdown_summary",
+    "quantile_normalize_value", "ohlc_multi_granularity",
+    "dedup_survivor_policy", "dedup_prefix_filter_join",
+    "pq_encode_embeddings", "ann_pq_adc_topk",
+    "centroid_classifier_confusion", "embedding_mean_pool_by_label",
+    "bpe_learned_merges", "corpus_pipeline_end_to_end",
+    "matryoshka_truncation_quality", "contrastive_negative_sampling",
+    "event_type_transition_matrix", "funnel_multi_step",
+    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
+    "streaming_cdc_apply", "sql_lateral_top2_orders",
+    "udtf_split_sentences", "k_anonymity_check",
+    "chi2_independence_lang_source", "benford_first_digit_audit",
+    "media_audio_windows", "kwic_concordance",
+]
+
 _DRIVER_GREEN = {
     # CORRECTNESS_r02.json — 49 green rows (embedding_int8_quantize errs
     # there and is deliberately NOT listed: its fixed output shape needs
@@ -126,7 +157,7 @@ def all_queries():
     deferred to round 4's window, (4) round-2 driver-green rows.
     """
     prio_rank = {n: i for i, n in enumerate(_R3_PRIORITY)}
-    defer = set(_R4_DEFER)
+    defer = set(_R4_DEFER) | set(_R3_SESSION2)
 
     def tier(n: str) -> tuple:
         if n in prio_rank:
