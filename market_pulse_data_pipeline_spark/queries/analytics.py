@@ -1137,8 +1137,12 @@ def rolling_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_distinct_event_types",
     """
     SELECT user_id, event_id,
-           SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           -- CAST: DuckDB windowed SUM(INTEGER) is HUGEINT -> float64 via
+           -- the driver's pandas path; Spark emits int64. Same root cause
+           -- as the sessionization driver-hash mismatch.
+           CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
              AS n_types_seen
     FROM (
       SELECT user_id, event_id, ts,
@@ -1185,7 +1189,9 @@ def running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly_activity_bitmask",
     """
     SELECT user_id, day,
-           SUM(1::BIGINT << h) AS hour_mask,
+           -- CAST: DuckDB SUM over integer types is HUGEINT -> float64 via
+           -- the driver's pandas path; Spark emits int64.
+           CAST(SUM(1::BIGINT << h) AS BIGINT) AS hour_mask,
            COUNT(*) AS n_active_hours
     FROM (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
@@ -1777,7 +1783,8 @@ def beta_vs_market_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, dd_ratio AS max_drawdown, t_us AS trough_ts_us
     FROM (
       SELECT dd.*, ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY dd_ratio, t_us, event_id)
+                                      ORDER BY dd_ratio NULLS LAST,
+                                               t_us, event_id)
                AS rn
       FROM dd
     ) WHERE rn = 1
@@ -1805,8 +1812,12 @@ def max_drawdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dd_ratio"
         ),
     )
+    # NULLS LAST explicitly on both sides: dd_ratio is NULL when value is
+    # NULL or the running max is 0, and Spark's ascending default is
+    # NULLS FIRST while DuckDB's is NULLS LAST — one NULL ratio would
+    # otherwise flip the rn=1 argmin row between engines.
     w_rank = Window.partitionBy("user_id").orderBy(
-        "dd_ratio", "t_us", "event_id"
+        F.col("dd_ratio").asc_nulls_last(), "t_us", "event_id"
     )
     return (
         dd.withColumn("rn", F.row_number().over(w_rank))

@@ -152,7 +152,9 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_source AS (
       SELECT source, lang, COUNT(*) AS n_docs,
-             SUM(n_chars) AS n_chars_total
+             -- CAST: DuckDB SUM(integer) is HUGEINT -> float64 via the
+             -- driver's pandas path; Spark emits int64.
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
       FROM documents GROUP BY source, lang
     ), tot AS (
       SELECT SUM(n_docs) AS total_docs,

@@ -102,8 +102,13 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB types windowed SUM(INTEGER) as HUGEINT, which
+             -- its pandas path (.df(), the driver's canonicalizer input)
+             -- converts to float64 (1.0) while Spark supplies int64 (1) —
+             -- the round-1..3 driver-hash mismatch on this query.
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -401,7 +401,11 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COUNT(*) AS n_rows,
            bit_xor(h) AS xor_fp,
-           SUM(h % 1000000007) AS sum_fp
+           -- CAST: DuckDB SUM(BIGINT) is HUGEINT -> float64 via the
+           -- driver's pandas path; Spark emits int64. The sum itself is
+           -- bounded: n_rows * (1e9+7) stays far below 2^63 (and below
+           -- 2^53 through sf1 — pinned by tests/test_fingerprint_bounds.py).
+           CAST(SUM(h % 1000000007) AS BIGINT) AS sum_fp
     FROM (
       SELECT ('0x' || substring(md5(
                CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||

@@ -12,29 +12,32 @@ the same commit.
 
 from market_pulse_data_pipeline_spark.queries import all_queries
 
+# Round-4 rotation: sessionization re-witnessed at slot 1 (oracle
+# HUGEINT fix), the four same-bug queries, CDC family, sketch suite,
+# indicator suite, then FIFO registration-order unwitnessed queries.
 EXPECTED_WINDOW = [
-    "sessionization", "event_hourly_windows", "event_sliding_windows",
-    "dedup_cluster_assignment", "market_pulse_end_to_end",
-    "minhash_lsh_portable", "asof_join_latest_anchor",
-    "range_join_price_bands", "rolling_avg_7rows", "weekly_ohlc",
-    "embedding_int8_quantize", "streaming_ingest_upsert",
-    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
-    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
-    "set_ops_nations", "except_user_event_pairs", "lag_lead_weekly",
-    "regr_slope_by_event_type", "value_histogram_by_event_type",
-    "corr_quantity_price_by_flag", "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit", "tpch_q11_important_stock",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_suppliers",
-    "exact_substring_spans", "label_centroid_pairwise_cosine",
-    "session_window_native", "retention_cohorts",
-    "event_funnel_signup_purchase", "media_frame_sample",
-    "numeric_functions_suite", "zscore_outliers", "bool_aggregates",
-    "variance_by_event_type", "regex_extract_props",
-    "percentiles_by_event_type", "approx_distinct_parts",
-    "collect_sorted_event_types", "string_functions_suite",
-    "date_functions_suite", "approx_percentiles_events",
-    "full_outer_reconciliation", "array_functions_suite",
+    "sessionization", "running_distinct_event_types",
+    "hourly_activity_bitmask", "source_mixture_weights",
+    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
+    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
+    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
+    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
+    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
+    "rsi_14_daily_revenue", "max_drawdown_summary",
+    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
+    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
+    "quantile_normalize_value", "kwic_concordance",
+    "dedup_survivor_policy", "dedup_prefix_filter_join",
+    "matryoshka_truncation_quality", "contrastive_negative_sampling",
+    "event_type_transition_matrix", "funnel_multi_step",
+    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
+    "rank_functions_suite", "grouping_sets_flags",
+    "profile_columns_lineitem", "skew_heavy_hitters",
+    "streaming_dedup_watermark", "streaming_interval_join_attribution",
+    "streaming_stateful_user_stats", "streaming_static_enrich",
+    "vocab_top_tokens", "cross_corpus_dedup_exact", "doc_chunking",
+    "mixture_rebalanced_sample", "bernoulli_sample_hash",
+    "corpus_pipeline_end_to_end", "corpus_quality_filter",
 ]
 
 

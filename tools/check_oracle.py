@@ -43,6 +43,74 @@ def value_repr(v) -> str:
     return str(v)
 
 
+def dtype_class(dt) -> str:
+    """Collapse a pandas/numpy dtype to the class the driver's hash sees.
+
+    int64 vs float64 is the distinction that matters: DuckDB types
+    SUM(integer) / windowed SUM(integer) as HUGEINT, which its pandas
+    path (`cur.df()`, the driver's canonicalizer input) converts to
+    float64 — so the driver hashes `1.0` where Spark supplies int64 `1`
+    even though fetchall() returns Python ints and the stringified
+    comparison below sees no difference. That blind spot shipped a
+    locally-green, driver-red sessionization row in rounds 1-3.
+    """
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "object"
+
+
+def column_class(series) -> str:
+    """dtype_class, but resolves object columns by their values.
+
+    Spark DATE values collect as datetime.date objects (pandas dtype
+    `object`) while duckdb's `.df()` returns DATE as datetime64 — yet
+    date-emitting queries (weekly_rollup, weekly_ohlc, ...) are
+    driver-green, so the driver canonicalizes the two representations
+    equal. Classify an object column holding date/datetime values as
+    "datetime" so only genuine class divergences (int vs float) fail.
+    """
+    import datetime  # noqa: PLC0415
+
+    cls = dtype_class(series.dtype)
+    if cls != "object":
+        return cls
+    non_null = series.dropna()
+    if len(non_null) and isinstance(
+        non_null.iloc[0], (datetime.date, datetime.datetime)
+    ):
+        return "datetime"
+    return cls
+
+
+def dtype_mismatches(spark_pdf, oracle_pdf) -> list:
+    """Columns whose pandas dtype class differs between the two engines.
+
+    The Spark frame is built from the collected rows (how the driver
+    materializes the Spark result); the oracle frame comes from
+    duckdb's `.df()` (how the driver materializes the oracle result).
+    Entirely-null columns are skipped: their inferred dtype is an
+    artifact of the null representation, not an engine divergence.
+    """
+    bad = []
+    for col in spark_pdf.columns:
+        if col not in oracle_pdf.columns:
+            continue
+        s, o = spark_pdf[col], oracle_pdf[col]
+        if s.isna().all() or o.isna().all():
+            continue
+        sc, oc = column_class(s), column_class(o)
+        if sc != oc:
+            bad.append((col, sc, oc))
+    return bad
+
+
 def frame_fingerprint(columns, rows) -> tuple[int, tuple, str]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols = tuple(columns[i] for i in order)
@@ -97,12 +165,33 @@ def main() -> int:
         cols = [d[0] for d in cur.description]
         orows = cur.fetchall()
         o_fp = frame_fingerprint(cols, orows)
+        # Driver-faithful dtype check: re-run the oracle through duckdb's
+        # pandas path and compare dtype classes against a pandas frame
+        # built from the collected Spark rows (what the driver hashes).
+        bad_dtypes = []
+        if s_fp[0] > 0 and o_fp[0] > 0:
+            import pandas as pd  # noqa: PLC0415
+
+            spark_pdf = pd.DataFrame(
+                [tuple(r) for r in srows], columns=list(sdf.columns)
+            )
+            oracle_pdf = con.execute(oracles[name]).df()
+            bad_dtypes = dtype_mismatches(spark_pdf, oracle_pdf)
         duck_t = time.time() - t0
-        ok = s_fp == o_fp
+        ok = s_fp == o_fp and not bad_dtypes
         status = "OK " if ok else "FAIL"
         print(f"  {name:34s} {status} rows={s_fp[0]:>8} hash={s_fp[2]} "
               f"[spark {spark_t:.1f}s, duckdb {duck_t:.1f}s]")
         if not ok:
+            if bad_dtypes:
+                failures.append((name, f"dtype mismatch: {bad_dtypes}"))
+                for col, sc, oc in bad_dtypes:
+                    print(
+                        f"    dtype: {col!r} spark={sc} oracle={oc} "
+                        "(driver pandas path diverges even if values match)"
+                    )
+                if s_fp == o_fp:
+                    continue
             failures.append((name, f"spark={s_fp} oracle={o_fp}"))
             if s_fp[1] != o_fp[1]:
                 print(f"    schema: spark={s_fp[1]} oracle={o_fp[1]}")
