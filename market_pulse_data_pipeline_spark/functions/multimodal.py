@@ -297,3 +297,68 @@ def audio_window_energy(
         "media_id", "content"
     )
     return audio.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_amp", T.LongType(), False),
+        T.StructField("ssq_amp", T.LongType(), False),
+        T.StructField("n_mean_cross", T.LongType(), False),
+    ]
+)
+
+
+def audio_window_stats(
+    media: DataFrame, win: int = 400, hop: int = 160
+) -> DataFrame:
+    """``audio_window_energy`` with integer-exact outputs — the
+    hash-checkable twin.
+
+    Same framing (win/hop overlapping windows, one truncated window for
+    short clips) and the same Arrow-batched mapInPandas plumbing, but
+    per-window RMS (a libm sqrt — not cross-engine portable) is replaced
+    by its sufficient statistics: ``sum_amp`` and ``ssq_amp`` (int64
+    sums of raw u8 samples and their squares; RMS of the centered signal
+    is derivable as sqrt(ssq/n - (sum/n - clip_mean)^2 ...) driver-side),
+    and the mean-crossing count is computed on exact integers —
+    ``x*n < S`` replaces ``signbit(x - S/n)`` without ever forming the
+    float mean. Every output column is int64, so a SQL engine exploding
+    the same bytes reproduces the values bit-for-bit.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_STATS_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                x = np.frombuffer(payload or b"", dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(x)
+                if n == 0:
+                    continue
+                total = int(x.sum())
+                # sample is "below clip mean" iff x*n < S — exact in int64
+                neg = x * n < total
+                n_win = (n - win) // hop + 1 if n >= win else 1
+                for w_i in range(n_win):
+                    seg = x[w_i * hop : w_i * hop + win]
+                    seg_neg = neg[w_i * hop : w_i * hop + win]
+                    out["media_id"].append(mid)
+                    out["win_id"].append(w_i)
+                    out["n_samples"].append(len(seg))
+                    out["sum_amp"].append(int(seg.sum()))
+                    out["ssq_amp"].append(int((seg * seg).sum()))
+                    out["n_mean_cross"].append(
+                        int((seg_neg[1:] != seg_neg[:-1]).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    audio = media.filter(F.col("media_type") == "audio").select(
+        "media_id", "content"
+    )
+    return audio.mapInPandas(batches, AUDIO_STATS_SCHEMA)

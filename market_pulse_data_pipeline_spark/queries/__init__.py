@@ -94,7 +94,7 @@ _R5_DEFER = [
     # rows-only (no oracle)
     "minhash_lsh_near_dups", "simhash_near_dups", "ann_lsh_topk",
     "embedding_near_dups", "media_decode_features", "ann_recall_at_10",
-    "ann_ivf_topk", "media_resize", "media_audio_windows",
+    "ann_ivf_topk", "media_resize",
     "bpe_learned_merges", "embedding_kmeans_clusters",
     "embedding_kmeans_sizes", "embedding_pca_project",
     "pq_encode_embeddings", "ann_pq_adc_topk",
@@ -112,6 +112,9 @@ _R5_DEFER = [
     "calendar_gapfill_ffill", "pointer_swap_time_travel",
     "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
     "zorder_locality_boxes", "bigram_fluency_score",
+    # oracle added in round 4 (was rows-only): integer-exact window
+    # stats replace float RMS in the query output
+    "media_audio_windows",
 ]
 
 _DRIVER_GREEN = {

@@ -501,21 +501,67 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_audio_windows",
-    None,  # float RMS from numpy — structural invariants pinned in
-    # tests/test_multimodal.py (window counts, pruning, determinism)
+    # The oracle replays the mapInPandas windowing relationally: the
+    # fixture payload is encode(text, 'utf-8') and the corpus is pure
+    # ASCII, so ord(substr(text, i, 1)) IS the u8 sample. Mean-crossing
+    # uses the exact-integer test x*n < S (no float mean), so every
+    # output is an int64 both engines agree on bit-for-bit.
+    """
+    WITH audio AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents
+      WHERE doc_id % 3 = 1 AND text IS NOT NULL AND length(text) > 0
+    ), samples AS (
+      SELECT media_id, n, i - 1 AS pos,
+             CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS x
+      FROM (
+        SELECT media_id, text, n, UNNEST(generate_series(1, n)) AS i
+        FROM audio
+      )
+    ), clip AS (
+      SELECT media_id, SUM(x) AS s_total FROM samples GROUP BY media_id
+    ), flagged AS (
+      SELECT s.media_id, s.n, s.pos, s.x,
+             (s.x * s.n < c.s_total) AS neg,
+             LEAD(s.x * s.n < c.s_total)
+               OVER (PARTITION BY s.media_id ORDER BY s.pos) AS next_neg
+      FROM samples s JOIN clip c USING (media_id)
+    ), wins AS (
+      SELECT media_id, n,
+             UNNEST(generate_series(
+               0, CASE WHEN n >= 400 THEN (n - 400) // 160 ELSE 0 END
+             )) AS w
+      FROM audio
+    )
+    SELECT w.media_id,
+           CAST(w.w AS BIGINT) AS win_id,
+           COUNT(*) AS n_samples,
+           CAST(SUM(f.x) AS BIGINT) AS sum_amp,
+           CAST(SUM(f.x * f.x) AS BIGINT) AS ssq_amp,
+           CAST(SUM(CASE WHEN f.pos + 1 < LEAST(w.w * 160 + 400, w.n)
+                          AND f.neg <> f.next_neg
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_cross
+    FROM wins w
+    JOIN flagged f ON f.media_id = w.media_id
+      AND f.pos >= w.w * 160 AND f.pos < LEAST(w.w * 160 + 400, w.n)
+    GROUP BY w.media_id, w.w
+    """,
     doc="audio windowing front end (functions/multimodal.py::"
-    "audio_window_energy): payload bytes as u8 PCM framed into "
-    "25ms/10ms-style overlapping windows with RMS + mean-crossing "
-    "counts — the VAD/segmentation step before any audio model. "
-    "Audio rows pruned JVM-side before Python; Arrow-batched "
-    "mapInPandas over numpy views; output is windows (~n/hop rows), "
-    "never samples.",
+    "audio_window_stats): payload bytes as u8 PCM framed into "
+    "25ms/10ms-style overlapping windows (win=400/hop=160 @16kHz) with "
+    "integer-exact per-window sufficient statistics (sum, sum-of-"
+    "squares, mean-crossing counts via the exact x*n<S test) — the "
+    "VAD/segmentation step before any audio model, now hash-checkable "
+    "cross-engine (the float-RMS variant audio_window_energy stays for "
+    "API users, pytest-pinned). Audio rows pruned JVM-side before "
+    "Python; Arrow-batched mapInPandas over numpy views; output is "
+    "windows (~n/hop rows), never samples.",
 )
 def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.multimodal import (  # noqa: PLC0415
-        audio_window_energy,
+        audio_window_stats,
         documents_to_media,
     )
 
     media = documents_to_media(t(spark, sf_dir, "documents"))
-    return audio_window_energy(media)
+    return audio_window_stats(media)
