@@ -115,6 +115,9 @@ _R5_DEFER = [
     # oracle added in round 4 (was rows-only): integer-exact window
     # stats replace float RMS in the query output
     "media_audio_windows",
+    # round-4 session additions (deferred so they cannot displace the
+    # verified round-4 window — the round-3 lesson)
+    "array_setops_user_events", "higher_order_array_suite",
 ]
 
 _DRIVER_GREEN = {

@@ -1928,3 +1928,107 @@ def ohlc_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_suppkey, wk), (l_suppkey, mo))
         """
     )
+
+
+@register(
+    "array_setops_user_events",
+    """
+    WITH per_type AS (
+      SELECT user_id, event_type,
+             BOOL_OR(value >= 50) AS has_hi,
+             BOOL_OR(value < 50) AS has_lo
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN has_hi AND has_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS n_either,
+           CAST(SUM(CASE WHEN has_hi AND NOT has_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hi_only,
+           SUM(CASE WHEN has_hi AND has_lo THEN 1 ELSE 0 END) > 0
+             AS overlaps,
+           COALESCE(array_to_string(list_sort(
+             list(event_type) FILTER (WHERE has_hi AND has_lo)), ','), '')
+             AS both_types
+    FROM per_type GROUP BY user_id
+    """,
+    doc="array set algebra per user: the event-type sets of high-value "
+    "(value >= 50) vs low-value events compared with array_intersect / "
+    "array_union / array_except / arrays_overlap on sorted-distinct "
+    "collected arrays — the segment-overlap primitive (did big "
+    "transactions involve different behaviors?). Sets are normalized "
+    "(array_sort . array_distinct) so every derived value is "
+    "deterministic; the oracle computes the same algebra relationally "
+    "via per-(user,type) BOOL_OR flags. One shuffle on user_id; array "
+    "kernels are JVM-side codegen. NULL values are excluded from both "
+    "sets on both engines.",
+)
+def array_setops_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    norm = lambda c: F.array_sort(F.array_distinct(F.collect_list(c)))  # noqa: E731
+    sets_ = ev.groupBy("user_id").agg(
+        norm(
+            F.when(F.col("value") >= 50, F.col("event_type"))
+        ).alias("hi"),
+        norm(
+            F.when(F.col("value") < 50, F.col("event_type"))
+        ).alias("lo"),
+    )
+    inter = F.array_intersect("hi", "lo")
+    return sets_.select(
+        "user_id",
+        F.size(inter).cast("long").alias("n_both"),
+        F.size(F.array_union("hi", "lo")).cast("long").alias("n_either"),
+        F.size(F.array_except("hi", "lo")).cast("long").alias("n_hi_only"),
+        F.arrays_overlap("hi", "lo").alias("overlaps"),
+        F.concat_ws(",", inter).alias("both_types"),
+    )
+
+
+@register(
+    "higher_order_array_suite",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(tk, x -> length(x) > 4)) AS BIGINT)
+             AS n_long,
+           len(list_filter(tk, x -> x LIKE 's%')) > 0 AS has_s_token,
+           len(list_filter(tk, x -> length(x) = 0)) = 0 AS all_nonempty,
+           CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           CAST(list_max(list_transform(tk, x -> length(x))) AS BIGINT)
+             AS max_token_len
+    FROM toks ORDER BY doc_id
+    """,
+    doc="higher-order lambda function suite over tokenized documents: "
+    "filter (predicate count), exists (prefix test), forall "
+    "(universal emptiness check), aggregate (fold to total chars), "
+    "transform + array_max (mapped maximum) — the lambda-expression "
+    "API surface (Spark HigherOrderFunctions, codegen'd JVM-side, "
+    "no Python). DuckDB twins are the list_* lambda kernels; every "
+    "output folds to a scalar so the hash contract holds. Map-only "
+    "except the final presentation sort.",
+)
+def higher_order_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    return toks.select(
+        "doc_id",
+        F.size(F.filter("tk", lambda x: F.length(x) > 4))
+        .cast("long")
+        .alias("n_long"),
+        F.exists("tk", lambda x: x.startswith("s")).alias("has_s_token"),
+        F.forall("tk", lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            "tk", F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        .cast("long")
+        .alias("total_chars"),
+        F.array_max(F.transform("tk", lambda x: F.length(x)))
+        .cast("long")
+        .alias("max_token_len"),
+    ).orderBy("doc_id")
