@@ -310,6 +310,22 @@ def main() -> int:
         .count(),
     )
 
+    # audio windowing (functions/multimodal.py::audio_window_stats):
+    # map-only mapInPandas — the embarrassingly-parallel shape. Must be
+    # exactly linear in clips: zero shuffles, output ~n/hop rows/clip.
+    from market_pulse_data_pipeline_spark.functions.multimodal import (
+        audio_window_stats,
+        documents_to_media,
+    )
+
+    media_docs = multiplied(
+        load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+    )
+    run(
+        "audio_window_stats",
+        audio_window_stats(documents_to_media(media_docs)),
+    )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
