@@ -123,6 +123,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check exactly the first 50 queries() entries — the "
+        "driver's CORRECTNESS snapshot",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -139,6 +145,8 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if args.window:
+        only = set(list(qs)[:50]) | (only or set())
 
     failures = []
     for name, fn in qs.items():
