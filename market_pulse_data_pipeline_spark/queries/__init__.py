@@ -118,6 +118,7 @@ _R5_DEFER = [
     # round-4 session additions (deferred so they cannot displace the
     # verified round-4 window — the round-3 lesson)
     "array_setops_user_events", "higher_order_array_suite",
+    "sql_scalar_udf_params", "sql_table_function_orders",
 ]
 
 _DRIVER_GREEN = {

@@ -149,3 +149,84 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 40
         """
     )
+
+
+@register(
+    "sql_scalar_udf_params",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_disc,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Spark 4 SQL-body scalar UDF + parameterized SQL surface: "
+    "CREATE TEMPORARY FUNCTION ... RETURNS INT RETURN CASE ... (a "
+    "catalog function whose body is pure SQL — Catalyst inlines it, so "
+    "it costs nothing at 100 TB, unlike a Python UDF), invoked from a "
+    "query bound with named parameter markers (spark.sql(..., "
+    "args={'minq': 30}) — injection-safe plan-cacheable parameter "
+    "binding). The oracle is the inlined-by-hand equivalent.",
+)
+def sql_scalar_udf_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_high_disc(d DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN d >= 0.05 THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(is_high_disc(l_discount)) AS BIGINT)
+                 AS n_high_disc,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_quantity >= :minq
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        args={"minq": 30},
+    )
+
+
+@register(
+    "sql_table_function_orders",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_big
+    FROM orders WHERE o_totalprice >= 400000
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="Spark 4 SQL table-valued UDF surface: CREATE TEMPORARY "
+    "FUNCTION ... RETURNS TABLE(...) RETURN SELECT ... — a "
+    "parameterized view the planner inlines (the scan keeps its "
+    "pushed filters; no materialization boundary), then an "
+    "aggregation over the TVF call. The exact-decimal SUM keeps the "
+    "float total portable. Oracle is the inlined equivalent.",
+)
+def sql_table_function_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION big_orders(minp DOUBLE) "
+        "RETURNS TABLE(o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_totalprice DOUBLE) "
+        "RETURN SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders WHERE o_totalprice >= minp"
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS total_big
+        FROM big_orders(400000.0)
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+        """
+    )
