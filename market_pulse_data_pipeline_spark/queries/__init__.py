@@ -32,6 +32,7 @@ from market_pulse_data_pipeline_spark.queries import incremental  # noqa: F401, 
 from market_pulse_data_pipeline_spark.queries import relevance  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import layout  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import sketches  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import shuffle_ops  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -119,6 +120,8 @@ _R5_DEFER = [
     # verified round-4 window — the round-3 lesson)
     "array_setops_user_events", "higher_order_array_suite",
     "sql_scalar_udf_params", "sql_table_function_orders",
+    "salted_skew_aggregate", "bucketed_join_colocated",
+    "bloom_filter_prejoin", "compaction_roundtrip",
 ]
 
 _DRIVER_GREEN = {
