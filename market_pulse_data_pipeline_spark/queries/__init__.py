@@ -33,6 +33,7 @@ from market_pulse_data_pipeline_spark.queries import relevance  # noqa: F401, E4
 from market_pulse_data_pipeline_spark.queries import layout  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import sketches  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import shuffle_ops  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import mining  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -122,6 +123,8 @@ _R5_DEFER = [
     "sql_scalar_udf_params", "sql_table_function_orders",
     "salted_skew_aggregate", "bucketed_join_colocated",
     "bloom_filter_prejoin", "compaction_roundtrip",
+    "basket_lift_pairs", "triangle_count_parts", "split_leakage_safe",
+    "unpivot_nation_metrics",
 ]
 
 _DRIVER_GREEN = {

@@ -1,0 +1,434 @@
+"""Relational data-mining operators: co-occurrence, graph triangles,
+leakage-safe dataset splits, and wide→long reshaping.
+
+Each is a classic large-scale pattern whose 100 TB shape is a bounded
+self-join or a single aggregate — no all-pairs blowups:
+
+- basket lift: the pair fan-out is per-basket C(k,2), bounded by the
+  basket size, never corpus-quadratic;
+- triangle counting: candidate wedges come only from the canonical
+  u < v < w edge orientation (each triangle enumerated exactly once);
+  a support floor prunes the edge set before the two-hop join;
+- leakage-safe split: train/val/test assignment hangs off the CONTENT
+  group, so exact duplicates can never straddle splits — the check the
+  naive per-doc split provably fails (witnessed side by side);
+- unpivot: Spark's native melt is one Expand pass, not N self-unions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_div,
+    sql_exact_sum,
+    sql_round_div,
+    t,
+)
+
+# --------------------------------------------------------------------------
+# market-basket association: support / confidence / lift
+# --------------------------------------------------------------------------
+
+_MIN_SUPPORT = 5
+
+
+@register(
+    "basket_lift_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+    brand_counts AS (
+      SELECT p_brand, COUNT(*) AS c FROM items GROUP BY p_brand
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+      HAVING COUNT(*) >= {_MIN_SUPPORT}
+    )
+    SELECT brand_a, brand_b, support,
+           {sql_round_div('support', 'ca.c', 6)} AS confidence,
+           {sql_round_div('support * n_baskets', 'ca.c * cb.c', 6)} AS lift
+    FROM pairs
+    JOIN brand_counts ca ON ca.p_brand = brand_a
+    JOIN brand_counts cb ON cb.p_brand = brand_b
+    CROSS JOIN n
+    """,
+    doc="market-basket association rules over order baskets: distinct "
+    "(order, brand) items, within-basket brand pairs (canonical "
+    "brand_a < brand_b), support / confidence / lift vs the "
+    f"independence baseline, support floor {_MIN_SUPPORT}. The pair "
+    "generator is a per-basket self-join — fan-out C(k,2) bounded by "
+    "basket size, never corpus-quadratic — and brand marginals + the "
+    "1-row basket total broadcast back onto the pair aggregate. "
+    "Ratios go through the shared decimal-rounded division so both "
+    "engines emit identical doubles. At 100 TB: one shuffle on "
+    "basket id for the pair generation, one on the (tiny) pair key.",
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    brand_counts = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _MIN_SUPPORT)
+    )
+    ca = brand_counts.select(
+        F.col("p_brand").alias("brand_a"), F.col("c").alias("c_a")
+    )
+    cb = brand_counts.select(
+        F.col("p_brand").alias("brand_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            round_div(F.col("support"), F.col("c_a"), 6).alias("confidence"),
+            round_div(
+                F.col("support") * F.col("n_baskets"),
+                F.col("c_a") * F.col("c_b"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# triangle counting over the co-purchase graph
+# --------------------------------------------------------------------------
+
+_TRI_MOD = 500  # part-bucket node domain
+_TRI_MIN_W = 2  # edge support floor: co-occurred in >= 2 baskets
+
+
+@register(
+    "triangle_count_parts",
+    f"""
+    WITH io AS (
+      SELECT DISTINCT l_orderkey, (l_partkey % {_TRI_MOD}) AS node
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT a.node AS u, b.node AS v
+      FROM io a JOIN io b
+        ON a.l_orderkey = b.l_orderkey AND a.node < b.node
+      GROUP BY a.node, b.node
+      HAVING COUNT(*) >= {_TRI_MIN_W}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           n_triangles,
+           {sql_round_div('3 * n_triangles',
+                          '(SELECT SUM((d * (d - 1)) // 2) FROM deg)',
+                          6)} AS clustering_coeff
+    FROM tri
+    """,
+    doc="triangle counting + global clustering coefficient over the "
+    f"co-purchase graph (part buckets mod {_TRI_MOD}; edge iff two "
+    f"buckets share >= {_TRI_MIN_W} orders — the support floor that "
+    "prunes coincidental edges AND bounds the join). Canonical "
+    "u < v < w enumeration counts each triangle exactly once: wedge "
+    "candidates from e1(u,v)⋈e2(v,w), closed against e3(u,w). "
+    "Clustering coeff = 3·triangles / wedges via the shared decimal "
+    "division. At 100 TB the standard hardening is degree-ordered "
+    "orientation (point each edge at its higher-degree endpoint) so "
+    "wedge fan-out is bounded by sqrt(m) per node; the support floor "
+    "plus the canonical order already keeps this instance linear in "
+    "wedges. Completes the graph family next to connected components "
+    "(functions/graph.py) and PageRank (queries/ml.py).",
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", (F.col("l_partkey") % _TRI_MOD).alias("node")
+        )
+        .distinct()
+    )
+    a = io.alias("a")
+    b = io.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v")
+    )
+    edges = edges.localCheckpoint()  # reused 5x: cut the self-join lineage
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            round_div(
+                3 * F.col("n_triangles"), F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# --------------------------------------------------------------------------
+
+# 256 two-hex-digit buckets: [0,204) train ≈ 80%, [204,230) val ≈ 10%,
+# [230,256) test ≈ 10%
+_TRAIN_HI, _VAL_HI = 204, 230
+
+_SQL_BUCKET = (
+    "(('0x' || substring(md5(concat('split:', {expr})), 1, 2))::BIGINT)"
+)
+_SQL_SPLIT = (
+    f"CASE WHEN {{b}} < {_TRAIN_HI} THEN 'train' "
+    f"WHEN {{b}} < {_VAL_HI} THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_col(expr: F.Column) -> F.Column:
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), expr).cast("binary")), 1, 2),
+        16,
+        10,
+    ).cast("long")
+    return (
+        F.when(bucket < _TRAIN_HI, F.lit("train"))
+        .when(bucket < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "split_leakage_safe",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             md5(array_to_string((string_split(text, ' '))[1:3], ' '))
+               AS ghash
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, ghash,
+             {_SQL_SPLIT.format(b=_SQL_BUCKET.format(expr='ghash'))}
+               AS split,
+             {_SQL_SPLIT.format(
+                 b=_SQL_BUCKET.format(expr='CAST(doc_id AS VARCHAR)'))}
+               AS naive_split
+      FROM docs
+    ),
+    spans AS (
+      SELECT ghash,
+             CAST(COUNT(DISTINCT split) AS BIGINT) AS group_spans,
+             CAST(COUNT(DISTINCT naive_split) AS BIGINT) AS naive_spans
+      FROM assigned GROUP BY ghash
+    )
+    SELECT a.doc_id, a.split, a.naive_split,
+           s.group_spans, s.naive_spans,
+           (s.naive_spans > 1) AS naive_leaked
+    FROM assigned a JOIN spans s USING (ghash)
+    """,
+    doc="leakage-safe train/val/test split (80/10/10): the split key is "
+    "a content-group fingerprint (here the 3-token prefix — the cheap "
+    "stand-in for a near-dup cluster id), so every member of a "
+    "duplicate group lands in the same split by construction — "
+    "group_spans is pinned to 1 by the value hash. The naive "
+    "per-doc-id split is computed side by side and its per-group span "
+    "count witnesses the leak it causes (the fixture's multi-doc "
+    "groups straddle naive train/test — contaminating held-out "
+    "evaluation). Assignment is a map-only md5 bucket (RNG-free, "
+    "reproducible under repartitioning); the span check is one "
+    "groupBy on the group key. At 100 TB the same pattern runs off "
+    "the connected-component cluster id (functions/graph.py) or the "
+    "exact content hash, whichever dedup granularity the corpus uses.",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 3), " "
+            ).cast("binary")
+        ).alias("ghash"),
+    )
+    assigned = docs.select(
+        "doc_id",
+        "ghash",
+        _split_col(F.col("ghash")).alias("split"),
+        _split_col(F.col("doc_id").cast("string")).alias("naive_split"),
+    )
+    spans = assigned.groupBy("ghash").agg(
+        F.countDistinct("split").alias("group_spans"),
+        F.countDistinct("naive_split").alias("naive_spans"),
+    )
+    return assigned.join(spans, "ghash").select(
+        "doc_id",
+        "split",
+        "naive_split",
+        "group_spans",
+        "naive_spans",
+        (F.col("naive_spans") > 1).alias("naive_leaked"),
+    )
+
+
+# --------------------------------------------------------------------------
+# native unpivot (melt)
+# --------------------------------------------------------------------------
+
+@register(
+    "unpivot_nation_metrics",
+    f"""
+    WITH wide AS (
+      SELECT n_name,
+             COALESCE(c.n_customers, 0) AS n_customers,
+             COALESCE(s.n_suppliers, 0) AS n_suppliers,
+             COALESCE(c.cust_acctbal, 0.0) AS cust_acctbal,
+             COALESCE(s.supp_acctbal, 0.0) AS supp_acctbal
+      FROM nation
+      LEFT JOIN (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {sql_exact_sum('c_acctbal', 2)} AS cust_acctbal
+        FROM customer GROUP BY c_nationkey
+      ) c ON c.c_nationkey = n_nationkey
+      LEFT JOIN (
+        SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               {sql_exact_sum('s_acctbal', 2)} AS supp_acctbal
+        FROM supplier GROUP BY s_nationkey
+      ) s ON s.s_nationkey = n_nationkey
+    )
+    SELECT n_name, 'n_customers' AS metric,
+           CAST(n_customers AS DOUBLE) AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'n_suppliers', CAST(n_suppliers AS DOUBLE) FROM wide
+    UNION ALL
+    SELECT n_name, 'cust_acctbal', cust_acctbal FROM wide
+    UNION ALL
+    SELECT n_name, 'supp_acctbal', supp_acctbal FROM wide
+    """,
+    doc="native wide→long unpivot (DataFrame.unpivot / melt — the "
+    "inverse of pivot_lang_counts): per-nation metrics melted to "
+    "(nation, metric, value) rows. Spark plans ONE Expand pass over "
+    "the wide input — the oracle's 4-way self-UNION reads it four "
+    "times, which is exactly the rewrite unpivot exists to avoid at "
+    "100 TB. Value columns cast to a common double type (unpivot "
+    "requires it); account-balance sums ride exact decimals first.",
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("cust_acctbal"),
+        )
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("supp_acctbal"),
+        )
+    )
+    wide = (
+        nation.join(cust, nation["n_nationkey"] == cust["c_nationkey"], "left")
+        .join(supp, nation["n_nationkey"] == supp["s_nationkey"], "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n_customers"), F.lit(0))
+            .cast("double")
+            .alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0))
+            .cast("double")
+            .alias("n_suppliers"),
+            F.coalesce(F.col("cust_acctbal"), F.lit(0.0)).alias(
+                "cust_acctbal"
+            ),
+            F.coalesce(F.col("supp_acctbal"), F.lit(0.0)).alias(
+                "supp_acctbal"
+            ),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["n_customers", "n_suppliers", "cust_acctbal", "supp_acctbal"],
+        "metric",
+        "value",
+    )
