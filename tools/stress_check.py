@@ -326,6 +326,133 @@ def main() -> int:
         audio_window_stats(documents_to_media(media_docs)),
     )
 
+    # salted two-phase aggregation (operators/skew.py): grouping-key
+    # count stays constant while rows multiply — exactly the hot-key
+    # profile salting exists for. Linear iff both phases stay
+    # partial-aggregated (phase-1 key space = keys x salt).
+    from market_pulse_data_pipeline_spark.operators.skew import salted_aggregate
+
+    run(
+        "salted_agg",
+        salted_aggregate(
+            ev,
+            ["event_type"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (
+                    F.sum(F.col("value").cast("decimal(20,6)")),
+                    F.sum("total"),
+                ),
+            },
+            salt_buckets=16,
+        ),
+    )
+
+    # basket pair generation (queries/mining.py): per-basket self-join —
+    # fan-out C(k,2) per basket, baskets x mult, so candidates scale
+    # linearly; a corpus-quadratic pair generator would scale x mult^2.
+    items = li.select("l_orderkey", (F.col("l_partkey") % 25).alias("brand"))
+    items = items.distinct()
+    run(
+        "basket_pairs",
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand"), F.col("b.brand"))
+        .count(),
+    )
+
+    # triangle closure (queries/mining.py): pair generation is linear
+    # (per-basket), and the closure join is bounded by the node domain
+    # (<= C(500,2) edges whatever the mult) — cost must flatten, not
+    # grow, as the co-purchase graph saturates.
+    io_t = li.select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("node")
+    ).distinct()
+    edges_t = (
+        io_t.alias("a")
+        .join(
+            io_t.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    run(
+        "triangle_closure",
+        edges_t.alias("e1")
+        .join(edges_t.alias("e2"), F.col("e2.u") == F.col("e1.v"))
+        .join(
+            edges_t.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        ),
+    )
+
+    # bloom pre-join pruning (queries/shuffle_ops.py): bit-position
+    # table is capped at m rows however large the build side gets, so
+    # probe cost is one broadcast hash probe per row — linear. (In
+    # production m scales with build cardinality; here saturation just
+    # raises fp_rate, never cost.)
+    bloom_m = 8192
+    bld_s = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits_s = (
+        bld_s.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            portable_hash60(
+                                F.concat(
+                                    F.lit(s), F.col("c_custkey").cast("string")
+                                )
+                            ),
+                            F.lit(bloom_m),
+                        )
+                        for s in ("b0:", "b1:", "b2:")
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ppos_s = orders.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        portable_hash60(
+                            F.concat(F.lit(s), F.col("o_custkey").cast("string"))
+                        ),
+                        F.lit(bloom_m),
+                    )
+                    for s in ("b0:", "b1:", "b2:")
+                ]
+            )
+        ).alias("pos"),
+    )
+    run(
+        "bloom_prejoin_probe",
+        ppos_s.join(F.broadcast(bits_s), "pos", "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.countDistinct("pos").alias("n_req"),
+            F.countDistinct(
+                F.when(F.col("hit").isNotNull(), F.col("pos"))
+            ).alias("n_hit"),
+        )
+        .filter(F.col("n_hit") == F.col("n_req")),
+    )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
