@@ -124,7 +124,9 @@ _R5_DEFER = [
     "salted_skew_aggregate", "bucketed_join_colocated",
     "bloom_filter_prejoin", "compaction_roundtrip",
     "basket_lift_pairs", "triangle_count_parts", "split_leakage_safe",
-    "unpivot_nation_metrics",
+    "unpivot_nation_metrics", "sql_recursive_cte", "xml_parse_roundtrip",
+    "hll_sketch_mergeability", "mad_robust_outliers",
+    "cogroup_signup_purchase_counts",
 ]
 
 _DRIVER_GREEN = {

@@ -584,3 +584,72 @@ def debounce_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep") == 1)
         .drop("keep")
     )
+
+
+@register(
+    "cogroup_signup_purchase_counts",
+    """
+    SELECT e.user_id, e.event_id,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS p_us,
+           CAST((SELECT COUNT(*) FROM events s
+                 WHERE s.event_type = 'signup'
+                   AND s.user_id = e.user_id
+                   AND s.ts <= e.ts) AS BIGINT) AS n_signups_before
+    FROM events e
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="cogrouped applyInPandas (the two-sided Arrow-batched custom "
+    "operator surface): per user, the purchases cogroup meets the "
+    "signups cogroup in ONE pandas function that counts, for every "
+    "purchase, the signups at or before it (vectorized searchsorted "
+    "over the sorted signup times — the merge-asof kernel). The "
+    "oracle is the correlated COUNT subquery. This is the surface "
+    "for per-key logic that genuinely needs BOTH sides as local "
+    "arrays (asof matching, interval algebra, per-entity model "
+    "scoring against history); both inputs shuffle once on the "
+    "cogroup key and batches stream through Arrow, so state per task "
+    "is one user's rows, never a partition. Relational twins remain "
+    "the default where they exist (operators/asof.py) — this query "
+    "pins that the escape hatch computes exactly what SQL computes.",
+)
+def cogroup_signup_purchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("p_us"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("s_us")
+    )
+
+    def count_before(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "p_us", "n_signups_before"]
+            )
+        s = np.sort(right["s_us"].to_numpy()) if not right.empty else np.array(
+            [], dtype="int64"
+        )
+        n = np.searchsorted(s, left["p_us"].to_numpy(), side="right")
+        return pd.DataFrame(
+            {
+                "user_id": left["user_id"],
+                "event_id": left["event_id"],
+                "p_us": left["p_us"],
+                "n_signups_before": n.astype("int64"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(
+            count_before,
+            "user_id bigint, event_id bigint, p_us bigint, "
+            "n_signups_before bigint",
+        )
+    )

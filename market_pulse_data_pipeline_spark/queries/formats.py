@@ -210,3 +210,54 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@register(
+    "xml_parse_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM orders
+    """,
+    doc="XML ingestion surface (from_xml — native in Spark 4): each "
+    "order rendered as an XML element (key as an ATTRIBUTE, fields as "
+    "child elements) and parsed back through from_xml with an "
+    "explicit schema; the oracle reads the original table, so the "
+    "hash match proves the render→parse cycle is lossless, including "
+    "the double (Java's shortest-round-trip double rendering) and the "
+    "date. Parsing is a map-only expression — at 100 TB, XML feeds "
+    "shred in the scan stage with zero shuffle, same as the JSON "
+    "path (spark.read.format('xml') shares this parser for files).",
+)
+def xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    xml = orders.select(
+        F.concat(
+            F.lit('<order id="'),
+            F.col("o_orderkey").cast("string"),
+            F.lit('"><status>'),
+            F.col("o_orderstatus"),
+            F.lit("</status><total>"),
+            F.col("o_totalprice").cast("string"),
+            F.lit("</total><odate>"),
+            F.col("o_orderdate").cast("date").cast("string"),
+            F.lit("</odate><prio>"),
+            F.col("o_orderpriority"),
+            F.lit("</prio></order>"),
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc",
+            "_id BIGINT, status STRING, total DOUBLE, odate DATE, "
+            "prio STRING",
+        ).alias("v")
+    )
+    return parsed.select(
+        F.col("v._id").alias("o_orderkey"),
+        F.col("v.status").alias("o_orderstatus"),
+        F.col("v.total").alias("o_totalprice"),
+        F.col("v.odate").alias("o_orderdate"),
+        F.col("v.prio").alias("o_orderpriority"),
+    )

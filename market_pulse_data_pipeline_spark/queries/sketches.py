@@ -404,3 +404,58 @@ def kmv_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("within_band"),
         )
     )
+
+
+@register(
+    "hll_sketch_mergeability",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS merged_within_band,
+           TRUE AS global_within_band
+    FROM lineitem
+    """,
+    doc="native Datasketches HLL mergeability (hll_sketch_agg / "
+    "hll_union_agg / hll_sketch_estimate): per-supplier HLL sketches "
+    "of l_partkey, unioned via hll_union_agg, estimated, and band-checked next to the "
+    "single global sketch. HLL registers combine by max (a "
+    "commutative idempotent monoid), which is the whole reason "
+    "sketches are the 100 TB distinct-count tool: partial sketches "
+    "flow through map-side combine and re-aggregate at any grouping "
+    "without touching rows again. One honest subtlety, learned by "
+    "measurement: a low-cardinality sketch still in SPARSE (list) "
+    "mode estimates exactly, while a union promotes to the dense "
+    "register array — so merged and global ESTIMATES differ slightly "
+    "and exact equality is the wrong contract. The hash-checked "
+    "contract is therefore a 5% error band against the exact count "
+    "for BOTH the merged and the global estimate (any excursion "
+    "flips a boolean). Complements the portable "
+    "KMV sketch (kmv_distinct_partkeys), whose bits ARE hash-checked "
+    "cross-engine.",
+)
+def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.hll_sketch_agg("l_partkey", 14).alias("sk")
+    )
+    merged = per_supp.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    global_ = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", 14)).alias(
+            "global_est"
+        ),
+        F.countDistinct("l_partkey").alias("n_exact"),
+    )
+    band = F.greatest(F.lit(1.0), F.col("n_exact") * F.lit(0.05))
+    return (
+        global_.crossJoin(F.broadcast(merged))
+        .select(
+            "n_exact",
+            (
+                F.abs(F.col("merged_est") - F.col("n_exact")) <= band
+            ).alias("merged_within_band"),
+            (
+                F.abs(F.col("global_est") - F.col("n_exact")) <= band
+            ).alias("global_within_band"),
+        )
+    )

@@ -230,3 +230,51 @@ def sql_table_function_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey
         """
     )
+
+
+@register(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE walk(start_key, node, depth) AS (
+      SELECT p_partkey, p_partkey, 0
+      FROM part WHERE p_partkey % 97 = 0
+      UNION ALL
+      SELECT start_key, node // 4, depth + 1
+      FROM walk WHERE node > 0
+    )
+    SELECT start_key,
+           CAST(MAX(depth) AS BIGINT) AS depth_to_zero,
+           COUNT(*) AS n_steps,
+           CAST(SUM(node) AS BIGINT) AS path_sum
+    FROM walk GROUP BY start_key
+    """,
+    doc="recursive CTE (WITH RECURSIVE — new in Spark 4): an iterated "
+    "ancestor walk (node -> node/4 until 0) from every 97th part key, "
+    "aggregated to per-start depth, step count, and path sum — the "
+    "hierarchy/graph-reachability SQL surface, verified against "
+    "DuckDB's recursive CTE on the same seed rows. Catalyst executes "
+    "it as an iterated loop over the recursion relation (UnionLoop) "
+    "with a recursion-depth guard; depth here is O(log key), and at "
+    "100 TB each iteration is one distributed join/scan pass, the "
+    "same shape as the iterative connected-components operator "
+    "(functions/graph.py) this surface complements. SUM over the "
+    "BIGINT nodes is CAST on the oracle side (DuckDB HUGEINT rule).",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(start_key, node, depth) AS (
+          SELECT p_partkey, p_partkey, 0
+          FROM part WHERE p_partkey % 97 = 0
+          UNION ALL
+          SELECT start_key, node DIV 4, depth + 1
+          FROM walk WHERE node > 0
+        )
+        SELECT start_key,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_zero,
+               COUNT(*) AS n_steps,
+               SUM(node) AS path_sum
+        FROM walk GROUP BY start_key
+        """
+    )
