@@ -126,7 +126,8 @@ _R5_DEFER = [
     "basket_lift_pairs", "triangle_count_parts", "split_leakage_safe",
     "unpivot_nation_metrics", "sql_recursive_cte", "xml_parse_roundtrip",
     "hll_sketch_mergeability", "mad_robust_outliers",
-    "cogroup_signup_purchase_counts",
+    "cogroup_signup_purchase_counts", "event_sequence_pattern_match",
+    "peak_concurrency_sweep",
 ]
 
 _DRIVER_GREEN = {

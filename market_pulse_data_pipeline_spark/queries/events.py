@@ -653,3 +653,182 @@ def cogroup_signup_purchase_counts(spark: SparkSession, sf_dir: str) -> DataFram
             "n_signups_before bigint",
         )
     )
+
+
+@register(
+    "event_sequence_pattern_match",
+    """
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 'S'
+                             WHEN 'purchase' THEN 'P'
+                             WHEN 'click' THEN 'C'
+                             WHEN 'view' THEN 'V'
+                             ELSE 'E' END AS ch
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id, seq,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'S[CV]*P')) AS BIGINT)
+             AS n_clean_conversions,
+           regexp_matches(seq, 'S[^P]*E[^P]*P') AS error_in_funnel
+    FROM seqs
+    """,
+    doc="sequence-pattern matching over per-user event strings (the "
+    "MATCH_RECOGNIZE shape, relationally): event types encode to "
+    "single characters, each user's history becomes one ordered "
+    "string (deterministic (ts, event_id) order), and funnels become "
+    "REGEXES — 'S[CV]*P' counts signup→purchase runs interrupted only "
+    "by engagement, 'S[^P]*E[^P]*P' flags an error inside an open "
+    "funnel. Patterns stay in the RE2∩Java common subset; both "
+    "engines scan non-overlapping matches left-to-right, so counts "
+    "agree. Per-user strings are bounded by per-user event counts — "
+    "the same per-key locality every window operator here relies on; "
+    "one shuffle on user_id, then map-only regex. The relational "
+    "funnel operators (funnel_multi_step) remain the composable "
+    "form; this is the expressiveness witness for arbitrary ordered "
+    "patterns (retry storms, abandoned carts, bot loops).",
+)
+def event_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    coded = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "view", "V")
+        .otherwise("E")
+        .alias("ch"),
+    )
+    seqs = (
+        coded.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_us", "event_id", "ch"))
+                    ),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "seq",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count(F.col("seq"), F.lit(r"S[CV]*P"))
+        .cast("long")
+        .alias("n_clean_conversions"),
+        F.col("seq").rlike(r"S[^P]*E[^P]*P").alias("error_in_funnel"),
+    )
+
+
+@register(
+    "peak_concurrency_sweep",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us
+      FROM (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS BIGINT) AS session_id
+        FROM flagged
+      )
+      GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT start_us AS t, 1 AS delta,
+             user_id * 1000000 + session_id AS skey
+      FROM sessions
+      UNION ALL
+      SELECT end_us + 1 AS t, -1 AS delta,
+             user_id * 1000000 + session_id AS skey
+      FROM sessions
+    ),
+    swept AS (
+      SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta DESC, skey)
+                     AS BIGINT) AS concurrency
+      FROM deltas
+    )
+    SELECT CAST(t // 86400000000 AS BIGINT) AS day_num,
+           CAST(MAX(concurrency) AS BIGINT) AS peak_concurrent,
+           COUNT(*) AS n_boundary_events
+    FROM swept
+    GROUP BY 1
+    """,
+    doc="sweep-line peak concurrency: 30-min-gap sessions (the "
+    "sessionization construction, driver-green) reduce to ±1 boundary "
+    "deltas; an ordered running sum over the boundary stream is the "
+    "live-session count, and its per-day max is the capacity metric "
+    "(peak simultaneous sessions — what you provision for). The "
+    "running sum rides an explicit total order (t, delta DESC, skey) "
+    "so both engines sweep identically, and the windowed "
+    "SUM(integer) is CAST BIGINT on the oracle side (the DuckDB "
+    "HUGEINT rule). Scale shape: the swept stream is 2 rows per "
+    "SESSION (orders of magnitude below raw events); the global "
+    "ordered window is the textbook two-phase prefix sum — per-range "
+    "partials + carry-in offsets via repartitionByRange — when even "
+    "the boundary stream outgrows one task.",
+)
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0),
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        flagged.withColumn("session_id", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+        )
+    )
+    skey = (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("skey")
+    deltas = sessions.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("delta"), skey
+    ).unionByName(
+        sessions.select(
+            (F.col("end_us") + 1).alias("t"), F.lit(-1).alias("delta"), skey
+        )
+    )
+    sweep = Window.orderBy(
+        F.col("t"), F.col("delta").desc(), F.col("skey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    swept = deltas.select(
+        "t", F.sum("delta").over(sweep).cast("long").alias("concurrency")
+    )
+    return swept.select(
+        F.expr("t DIV 86400000000").cast("long").alias("day_num"),
+        "concurrency",
+    ).groupBy("day_num").agg(
+        F.max("concurrency").cast("long").alias("peak_concurrent"),
+        F.count(F.lit(1)).alias("n_boundary_events"),
+    )
