@@ -127,7 +127,9 @@ _R5_DEFER = [
     "unpivot_nation_metrics", "sql_recursive_cte", "xml_parse_roundtrip",
     "hll_sketch_mergeability", "mad_robust_outliers",
     "cogroup_signup_purchase_counts", "event_sequence_pattern_match",
-    "peak_concurrency_sweep",
+    "peak_concurrency_sweep", "streaming_session_window",
+    "collation_case_insensitive_group", "try_functions_suite",
+    "salted_replicate_join",
 ]
 
 _DRIVER_GREEN = {

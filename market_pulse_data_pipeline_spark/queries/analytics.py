@@ -2099,3 +2099,96 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med", "mad", "n_outliers")
     )
+
+
+@register(
+    "collation_case_insensitive_group",
+    """
+    SELECT lower(mixed) AS event_type_ci,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_case_variants
+    FROM (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS mixed
+      FROM events
+    )
+    GROUP BY lower(mixed)
+    """,
+    doc="string collation surface (Spark 4 COLLATE): event types "
+    "case-mangled per row, then grouped under the UTF8_LCASE "
+    "collation — 'CLICK' and 'click' land in ONE group natively, no "
+    "lower() rewrite in the grouping key. The oracle is the classic "
+    "lower()-normalized GROUP BY; n_case_variants pins that the "
+    "collated group genuinely merged distinct binary strings. "
+    "Collation-aware grouping matters at 100 TB because the "
+    "normalization stays inside codegen and the optimizer can still "
+    "prune/push on the original column — no derived-column "
+    "materialization. Output keys are lower-cased for a "
+    "render-deterministic comparison (the collated group's "
+    "representative string is engine-chosen).",
+)
+def collation_case_insensitive_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper(F.col("event_type"))
+        )
+        .otherwise(F.col("event_type"))
+        .alias("mixed")
+    )
+    coll = mixed.select(F.collate(F.col("mixed"), "UTF8_LCASE").alias("m"))
+    return (
+        coll.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.collate(F.col("m"), "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("m")).alias("event_type_ci"), "n", "n_case_variants"
+        )
+    )
+
+
+@register(
+    "try_functions_suite",
+    """
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 3, 0) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           CASE WHEN o_orderkey > 0 THEN CAST(NULL AS BIGINT)
+                ELSE o_orderkey + 9223372036854775807 END AS overflow_add,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)
+             AS prio_digit
+    FROM orders
+    """,
+    doc="ANSI-safe try_* function family (try_divide / try_cast / "
+    "try_add): division by a sometimes-zero denominator yields NULL "
+    "instead of an error (oracle: NULLIF guard — identical IEEE "
+    "division where defined), a non-numeric cast yields NULL "
+    "(TRY_CAST both engines), try_add at LONG_MAX overflows to NULL "
+    "for every positive key (oracle pins the conditional NULL — "
+    "DuckDB has no non-erroring bigint overflow to mirror; the "
+    "o_orderkey = 0 row does NOT overflow and carries the real sum "
+    "on both sides), and the leading priority digit parses "
+    "through try_cast. This is the error-handling contract that "
+    "keeps a 100 TB job from dying on one malformed row while "
+    "staying entirely inside codegen — the declarative alternative "
+    "to row-level try/except UDFs.",
+)
+def try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), F.col("o_custkey") % 3
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.try_add(
+            F.col("o_orderkey"), F.lit(9223372036854775807)
+        ).alias("overflow_add"),
+        F.substring(F.col("o_orderpriority"), 1, 1)
+        .try_cast("int")
+        .alias("prio_digit"),
+    )

@@ -348,3 +348,44 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@register(
+    "salted_replicate_join",
+    f"""
+    SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice', 2)} AS total_price
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="replicate-the-small-side salted join (operators/skew.py::"
+    "salted_broadcast_left) computes the plain left join's exact "
+    "aggregate: the fact side gets a uniform salt, the dim side is "
+    "replicated once per salt bucket, and the join key becomes "
+    "(key, salt) — so a hot key's rows land on salt_buckets tasks "
+    "instead of one. This is the fix when the dim is too big to "
+    "broadcast whole but a fact key is hot and AQE's skew split "
+    "cannot apply (e.g. the skew is in a non-shuffle child). "
+    "Hash-checked against the unsalted relational oracle; exact "
+    "decimal sums make the re-association across salt buckets "
+    "invisible.",
+)
+def salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.operators.skew import (  # noqa: PLC0415
+        salted_broadcast_left,
+    )
+
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_broadcast_left(orders, cust, "o_custkey", salt_buckets=8)
+    return joined.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -534,3 +534,62 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state["cur"])
+
+
+@register(
+    "streaming_session_window",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS window_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS window_end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="session_window through a REAL streaming query: "
+    "readStream(events) -> withWatermark -> groupBy(user_id, "
+    "session_window(ts, '30 minutes')) -> complete-mode memory sink, "
+    "availableNow. This exercises the state-store-backed session "
+    "MERGING path (overlapping per-batch sessions coalesce as late "
+    "rows extend them) that the batch generator never touches; the "
+    "finished sink must equal the relational lag+running-sum "
+    "construction — the same oracle session_window_native (batch) "
+    "hash-checks against, closing batch ≡ streaming ≡ relational as "
+    "a three-way equivalence. Watermark bounds session state at "
+    "scale; complete mode is used so the final table reflects all "
+    "merges regardless of batch boundaries.",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir, max_files=8)
+    sink = f"stream_session_{os.getpid()}"
+    q = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
