@@ -129,7 +129,8 @@ _R5_DEFER = [
     "cogroup_signup_purchase_counts", "event_sequence_pattern_match",
     "peak_concurrency_sweep", "streaming_session_window",
     "collation_case_insensitive_group", "try_functions_suite",
-    "salted_replicate_join",
+    "salted_replicate_join", "hashed_linear_quality_score",
+    "mixture_epoch_expansion",
 ]
 
 _DRIVER_GREEN = {

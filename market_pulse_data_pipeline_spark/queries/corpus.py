@@ -475,3 +475,90 @@ def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_id"),
     )
+
+
+@register(
+    "mixture_epoch_expansion",
+    """
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS n_docs
+      FROM documents GROUP BY source, lang
+    ),
+    target AS (
+      SELECT CAST(CEIL(SUM(n_docs) * 1.0 / COUNT(*)) AS BIGINT) AS tgt
+      FROM cells
+    ),
+    factors AS (
+      SELECT source, lang, n_docs,
+             LEAST(3, GREATEST(1,
+               CAST(CEIL(tgt * 1.0 / n_docs) AS BIGINT))) AS factor
+      FROM cells CROSS JOIN target
+    ),
+    expanded AS (
+      SELECT d.source, d.lang, d.doc_id,
+             UNNEST(range(1, f.factor + 1)) AS epoch
+      FROM documents d JOIN factors f
+        ON d.source = f.source AND d.lang = f.lang
+    )
+    SELECT e.source, e.lang,
+           f.n_docs, f.factor,
+           COUNT(*) AS n_expanded,
+           CAST(COUNT(DISTINCT e.epoch) AS BIGINT) AS n_epochs
+    FROM expanded e JOIN factors f
+      ON e.source = f.source AND e.lang = f.lang
+    GROUP BY e.source, e.lang, f.n_docs, f.factor
+    """,
+    doc="mixture up-sampling by epoch expansion — the other half of "
+    "mixture re-weighting: under-represented (source, lang) cells are "
+    "REPEATED (bounded at 3 epochs, the standard cap before "
+    "memorization risk outweighs balance) toward the uniform target "
+    "share, each copy tagged with its epoch index for shuffle-order "
+    "independence downstream. The expansion is a generator explode "
+    "(sequence(1, factor)) against a broadcast per-cell factor table "
+    "— map-only row amplification, no shuffle of the amplified rows "
+    "until the next keyed stage; the aggregate pins n_expanded = "
+    "n_docs x factor per cell. Epoch repetition factors are exactly "
+    "how production training mixes express 'see wiki 3 times, crawl "
+    "once' at 100 TB.",
+)
+def mixture_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "lang", "doc_id")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    target = cells.agg(
+        F.ceil(F.sum("n_docs") / F.count(F.lit(1))).alias("tgt")
+    )
+    factors = cells.crossJoin(F.broadcast(target)).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(3),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("tgt") / F.col("n_docs")),
+            ),
+        )
+        .cast("long")
+        .alias("factor"),
+    )
+    expanded = (
+        docs.join(F.broadcast(factors), ["source", "lang"])
+        .select(
+            "source",
+            "lang",
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("factor"))
+            ).alias("epoch"),
+        )
+    )
+    return (
+        expanded.join(F.broadcast(factors), ["source", "lang"])
+        .groupBy("source", "lang", "n_docs", "factor")
+        .agg(
+            F.count(F.lit(1)).alias("n_expanded"),
+            F.countDistinct("epoch").alias("n_epochs"),
+        )
+    )

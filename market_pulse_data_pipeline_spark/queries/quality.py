@@ -560,3 +560,92 @@ def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("chi2_term"),
         )
     )
+
+
+_FH_BUCKETS = 256
+_FH_SQL_H60 = "(('0x' || substring(md5({e}), 1, 15))::BIGINT)"
+
+
+@register(
+    "hashed_linear_quality_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             {_FH_SQL_H60.format(e="concat('f:', tok)")} % {_FH_BUCKETS}
+               AS bucket
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(({_FH_SQL_H60.format(
+                 e="concat('w:', CAST(bucket AS VARCHAR))")}
+                 % 2001) - 1000) AS BIGINT) AS raw_milli
+      FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, raw_milli,
+           CAST(ROUND(CAST(raw_milli / (1000.0 * n_tokens)
+                AS DECIMAL(28,10)), 6) AS DOUBLE) AS score,
+           (raw_milli > 0) AS keep
+    FROM scored
+    """,
+    doc="hashing-trick linear quality classifier (the fasttext-style "
+    "shape every corpus pipeline runs): tokens hash into "
+    f"{_FH_BUCKETS} feature buckets, each bucket carries a fixed "
+    "weight (here deterministic md5-derived milli-weights standing in "
+    "for trained coefficients — integer-exact, so the score is an "
+    "exact rational and the decision boundary is engine-stable), and "
+    "the document score is the mean token weight with keep = "
+    "score > 0. Inference is explode + map-side expression + one "
+    "hash aggregate per doc — NO model join (weights derive in "
+    "codegen; a real model would broadcast a 256-row weight table). "
+    "At 100 TB this is the map-only scoring pass that gates "
+    "documents before expensive dedup/embedding stages; swapping the "
+    "pseudo-weights for trained ones changes one expression.",
+)
+def hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        portable_hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    feat = toks.select(
+        "doc_id",
+        F.pmod(
+            portable_hash60(F.concat(F.lit("f:"), F.col("tok"))),
+            F.lit(_FH_BUCKETS),
+        ).alias("bucket"),
+    )
+    w = (
+        F.pmod(
+            portable_hash60(
+                F.concat(F.lit("w:"), F.col("bucket").cast("string"))
+            ),
+            F.lit(2001),
+        )
+        - 1000
+    )
+    scored = feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(w).cast("long").alias("raw_milli"),
+    )
+    score = F.round(
+        (F.col("raw_milli") / (1000.0 * F.col("n_tokens"))).cast(
+            "decimal(28,10)"
+        ),
+        6,
+    ).cast("double")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "raw_milli",
+        score.alias("score"),
+        (F.col("raw_milli") > 0).alias("keep"),
+    )
