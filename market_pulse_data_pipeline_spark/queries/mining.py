@@ -62,6 +62,7 @@ _MIN_SUPPORT = 5
     JOIN brand_counts cb ON cb.p_brand = brand_b
     CROSS JOIN n
     """,
+    bench=True,
     doc="market-basket association rules over order baskets: distinct "
     "(order, brand) items, within-basket brand pairs (canonical "
     "brand_a < brand_b), support / confidence / lift vs the "

@@ -227,6 +227,7 @@ def _pos(seed: str, col: F.Column) -> F.Column:
                'COUNT(*)', 6)} AS fp_rate
     FROM flags
     """,
+    bench=True,
     doc="bloom-filter pre-join pruning with portable bits: a "
     f"{_BLOOM_M}-bit / 3-hash bloom filter of the selective build side "
     "(BUILDING-segment customers) is realized as a distinct bit-position "
