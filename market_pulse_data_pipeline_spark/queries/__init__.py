@@ -130,7 +130,7 @@ _R5_DEFER = [
     "peak_concurrency_sweep", "streaming_session_window",
     "collation_case_insensitive_group", "try_functions_suite",
     "salted_replicate_join", "hashed_linear_quality_score",
-    "mixture_epoch_expansion",
+    "mixture_epoch_expansion", "watermark_delay_estimate",
 ]
 
 _DRIVER_GREEN = {

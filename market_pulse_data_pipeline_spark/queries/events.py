@@ -832,3 +832,82 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrency").cast("long").alias("peak_concurrent"),
         F.count(F.lit(1)).alias("n_boundary_events"),
     )
+
+
+@register(
+    "watermark_delay_estimate",
+    """
+    WITH arr AS (
+      SELECT event_type, ts,
+             md5(concat('arr:', CAST(event_id AS VARCHAR))) AS akey
+      FROM events
+    ),
+    lateness AS (
+      SELECT event_type,
+             GREATEST(0, epoch_us(CAST(high_ts AS TIMESTAMP))
+                         - epoch_us(CAST(ts AS TIMESTAMP))) AS late_us
+      FROM (
+        SELECT event_type, ts,
+               MAX(ts) OVER (PARTITION BY event_type ORDER BY akey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS high_ts
+        FROM arr
+      )
+      WHERE high_ts IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           MAX(late_us) AS max_late_us,
+           quantile_cont(late_us, 0.95) AS p95_late_us
+    FROM lateness GROUP BY event_type
+    """,
+    doc="watermark-delay estimation — the measurement that SIZES "
+    "withWatermark(): replay the stream in a deterministic "
+    "pseudo-arrival order (md5 of the event id — the multi-source "
+    "collector's interleaving, RNG-free so both engines see the same "
+    "arrival sequence), track the running event-time high-water mark, "
+    "and measure each event's lateness against it. max / exact-p95 "
+    "lateness per stream are exactly the numbers that choose the "
+    "watermark delay (p95 keeps 95% of late data at p95 cost; max is "
+    "loss-free). One window pass over the arrival order + one "
+    "aggregate; the high-water-mark window is the batch twin of the "
+    "state the streaming engine keeps per partition. Frame excludes "
+    "the current row, so a new high-water event has lateness 0 by "
+    "construction (oracle and Spark agree on the NULL-first-row "
+    "drop).",
+)
+def watermark_delay_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.md5(
+            F.concat(F.lit("arr:"), F.col("event_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("akey"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("akey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lateness = (
+        arr.withColumn("high_ts", F.max("ts").over(w))
+        .filter(F.col("high_ts").isNotNull())
+        .select(
+            "event_type",
+            F.greatest(
+                F.lit(0),
+                F.unix_micros(F.col("high_ts")) - F.unix_micros(F.col("ts")),
+            ).alias("late_us"),
+        )
+    )
+    return lateness.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("late_us") > 0).cast("int")).cast("long").alias("n_late"),
+        F.max("late_us").alias("max_late_us"),
+        F.expr("percentile(late_us, 0.95)").alias("p95_late_us"),
+    )
