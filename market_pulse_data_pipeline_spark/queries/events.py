@@ -911,3 +911,40 @@ def watermark_delay_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("late_us").alias("max_late_us"),
         F.expr("percentile(late_us, 0.95)").alias("p95_late_us"),
     )
+
+
+@register(
+    "prefix_sum_two_phase",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) AS running_total
+    FROM events
+    """,
+    doc="two-phase distributed prefix sum (functions/prefix.py): the "
+    "global cumulative value curve ordered by (ts, event_id), "
+    "computed WITHOUT the single-partition window Spark would plan "
+    "for SUM OVER (ORDER BY ...) — range-partition on the order key, "
+    "parallel per-partition local cumsums, collect only the "
+    "per-partition totals (bounded by partition count), broadcast "
+    "the exclusive carry-in offsets back. Decimal accumulation in "
+    "every phase makes the result bit-identical to the oracle's "
+    "single serial window — the hash match IS the two-phase "
+    "correctness proof. This is the scale fix the sweep-line and "
+    "cumulative-metric family names: at 100 TB the serial form is a "
+    "one-task bottleneck; this form is two parallel passes plus an "
+    "O(partitions) driver step.",
+)
+def prefix_sum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.prefix import (  # noqa: PLC0415
+        partitioned_prefix_sum,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    out = partitioned_prefix_sum(
+        ev, ["ts", "event_id"], F.col("value"), n_ranges=8, scale=6
+    )
+    return out.select(
+        "event_id", F.col("running_total").cast("double").alias("running_total")
+    )
