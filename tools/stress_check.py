@@ -453,6 +453,32 @@ def main() -> int:
         .filter(F.col("n_hit") == F.col("n_req")),
     )
 
+    # global prefix sum: serial single-partition window vs the
+    # two-phase range-partitioned form (functions/prefix.py) on the
+    # SAME input — the direct measurement of the one-task bottleneck
+    # and its fix. Same result bit-for-bit (tests/test_prefix_sum.py).
+    from market_pulse_data_pipeline_spark.functions.prefix import (
+        partitioned_prefix_sum,
+    )
+    from pyspark.sql import Window as W3
+
+    serial_w = W3.orderBy("ts", "event_id").rowsBetween(
+        W3.unboundedPreceding, 0
+    )
+    run(
+        "prefix_sum_serial",
+        ev.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(38,6)")).over(serial_w),
+        ),
+    )
+    run(
+        "prefix_sum_two_phase",
+        partitioned_prefix_sum(
+            ev, ["ts", "event_id"], F.col("value"), n_ranges=32
+        ).select("event_id", "running_total"),
+    )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
