@@ -131,7 +131,7 @@ _R5_DEFER = [
     "collation_case_insensitive_group", "try_functions_suite",
     "salted_replicate_join", "hashed_linear_quality_score",
     "mixture_epoch_expansion", "watermark_delay_estimate",
-    "prefix_sum_two_phase",
+    "prefix_sum_two_phase", "simhash_portable",
 ]
 
 _DRIVER_GREEN = {

@@ -565,3 +565,131 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_to_media(t(spark, sf_dir, "documents"))
     return audio_window_stats(media)
+
+
+_SH_BITS = 32
+_SH_CHUNKS = 4  # 8-bit chunks; pigeonhole-guaranteed for hamming <= 3
+_SH_MAX_HAMMING = 3
+
+
+def _portable_simhash_sql() -> str:
+    """DuckDB twin of simhash_portable, generated from the same bit/chunk
+    parameters."""
+    h60 = "('0x' || substring(md5('sh:' || t), 1, 15))::BIGINT"
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {k}) & 1)*2 - 1)) > 0 "
+        f"THEN (1::BIGINT << {k}) ELSE 0 END"
+        for k in range(_SH_BITS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_CLUSTER_SAMPLE_MOD} = 0
+    ), alldocs AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + {_PLANT_OFFSET}, text || ' planted' FROM base
+    ), hsrc AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> {h60}) AS hs
+      FROM alldocs
+    ), sig AS (
+      SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sim FROM hsrc
+    ), chunks AS (
+      SELECT doc_id, sim, c, (sim >> (8 * c)) & 255 AS cv
+      FROM sig, UNNEST([0, 1, 2, 3]) AS u(c)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a,
+                      b.doc_id AS doc_b, b.sim AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_SH_MAX_HAMMING}
+    """
+
+
+@register(
+    "simhash_portable",
+    _portable_simhash_sql(),
+    doc="the FULL SimHash near-dup pipeline with a hash-checkable "
+    f"oracle twin: {_SH_BITS}-bit signatures from portable md5 token "
+    "hashes (bit k = sign of the frequency-weighted per-bit vote over "
+    "the doc's tokens — deterministic tie rule vote>0), pigeonhole candidate "
+    f"generation over {_SH_CHUNKS} 8-bit chunks (guaranteed complete "
+    f"for Hamming <= {_SH_MAX_HAMMING}: a pair within distance d "
+    "must agree on at least one of d+1 chunks), exact Hamming filter "
+    "via bit_count(xor). Corpus: sampled documents plus planted "
+    "one-token-suffix near-dups — every value from token hash to "
+    "final distance is bit-reproduced in DuckDB, mirroring "
+    "minhash_lsh_portable so BOTH near-dup families have a fully "
+    "hash-checked twin (the xxhash64 64-bit path in functions/"
+    "dedup.py remains the production scale form). Signatures are "
+    "map-only array expressions; the only shuffle is the bounded "
+    "(chunk, value) candidate join.",
+)
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        portable_hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % _CLUSTER_SAMPLE_MOD == 0).select(
+        "doc_id", "text"
+    )
+    planted = base.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted")).alias("text"),
+    )
+    alldocs = base.unionByName(planted)
+    hs = F.transform(
+        F.split(F.col("text"), " "),
+        lambda tk: portable_hash60(F.concat(F.lit("sh:"), tk)),
+    )
+    bit_terms = None
+    for k in range(_SH_BITS):
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (
+                F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1
+            ).cast("long"),
+        )
+        term = F.when(vote > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bit_terms = term if bit_terms is None else bit_terms + term
+    sig = alldocs.select("doc_id", hs.alias("hs")).select(
+        "doc_id", bit_terms.alias("sim")
+    )
+    chunks = sig.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_SH_CHUNKS - 1))
+        ).alias("c"),
+    ).withColumn("cv", F.expr("shiftright(sim, c * 8) & 255"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(ham <= _SH_MAX_HAMMING).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
