@@ -95,7 +95,7 @@ _R4_PRIORITY = [
 _R5_DEFER = [
     # rows-only (no oracle)
     "minhash_lsh_near_dups", "simhash_near_dups", "ann_lsh_topk",
-    "embedding_near_dups", "media_decode_features", "ann_recall_at_10",
+    "embedding_near_dups", "media_decode_features",
     "ann_ivf_topk", "media_resize",
     "bpe_learned_merges", "embedding_kmeans_clusters",
     "embedding_kmeans_sizes", "embedding_pca_project",
@@ -132,6 +132,8 @@ _R5_DEFER = [
     "salted_replicate_join", "hashed_linear_quality_score",
     "mixture_epoch_expansion", "watermark_delay_estimate",
     "prefix_sum_two_phase", "simhash_portable",
+    # converted from rows-only to a band-contract oracle in round 4
+    "ann_recall_at_10",
 ]
 
 _DRIVER_GREEN = {

@@ -319,15 +319,28 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_recall_at_10",
-    None,
+    """
+    SELECT 10 AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS recall_ok,
+           TRUE AS candidates_bounded
+    FROM embeddings WHERE vec_id != 0
+    """,
     doc="recall@10 of the LSH-ANN path against brute-force cosine, "
-    "computed inside Spark (deterministic: fixed planes/seed) — emits "
-    "(k, n_matched, recall, n_candidates, n_vectors). Hamming radius 10 "
-    "of 16 planes: the fixture embeddings are isotropic random vectors, "
-    "where sign-LSH carries little signal, so a generous probe radius is "
-    "required for high recall; on real clustered embeddings the same "
-    "operator prunes hard at small radii. Rows-only (engine-specific "
-    "hashing).",
+    "computed inside Spark (deterministic: fixed planes/seed), shipped "
+    "under the error-band contract (the approx_distinct_parts "
+    "pattern): the float hyperplane signatures are engine-specific, "
+    "so the hash-checked claims are recall_ok (recall >= 0.8 at the "
+    "registered radius) and candidates_bounded (the Hamming probe "
+    "re-ranked a non-empty strict subset — it actually pruned), with "
+    "the exact vector count riding along as the comparable value. Any "
+    "recall or pruning excursion flips a boolean and fails the hash. "
+    "Hamming radius 10 of 16 planes: the fixture embeddings are "
+    "isotropic random vectors, where sign-LSH carries little signal, "
+    "so a generous probe radius is required; on real clustered "
+    "embeddings the same operator prunes hard at small radii (exact "
+    "recall/candidate numbers stay pytest-pinned in "
+    "tests/test_scale_paths.py).",
 )
 def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.similarity import (  # noqa: PLC0415
@@ -360,8 +373,16 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = others.count()
     n_matched = exact.join(approx, "vec_id", "left_semi").count()
     return spark.createDataFrame(
-        [(k, n_matched, n_matched / k, n_cand, n_total)],
-        "k int, n_matched int, recall double, n_candidates bigint, n_vectors bigint",
+        [
+            (
+                k,
+                n_total,
+                n_matched / k >= 0.8,
+                0 < n_cand < n_total,
+            )
+        ],
+        "k int, n_vectors bigint, recall_ok boolean, "
+        "candidates_bounded boolean",
     )
 
 
