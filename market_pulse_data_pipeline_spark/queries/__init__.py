@@ -83,15 +83,17 @@ _R4_PRIORITY = [
     "quantile_normalize_value",
 ]
 
-# Deferred to the round-5 window: 77 oracled unwitnessed > 49 free
-# slots, so the tail of the registration order waits (25 tier-1 slots
-# go FIFO to the earliest-registered unwitnessed queries not already in
-# _R4_PRIORITY). We defer (a) the 15 rows-only queries — their driver
-# row is the weaker rows-only check, so they must not consume
+# Deferred to the round-5 window: more oracled-unwitnessed queries than
+# free slots, so the tail of the registration order waits (25 tier-1
+# slots go FIFO to the earliest-registered unwitnessed queries not
+# already in _R4_PRIORITY). We defer (a) the rows-only queries — their
+# driver row is the weaker rows-only check, so they must not consume
 # hash-checked slots (tests/test_window_composition.py enforces this) —
-# and (b) the 27 oracled queries below. Any query ADDED during round 4
-# must also be appended here so it cannot displace the verified window
-# composition (the round-3 lesson, guarded by the same test).
+# and (b) the oracled queries below (registration-order tail plus every
+# round-4 session addition). Any query ADDED during round 4 must be
+# appended here so it cannot displace the verified window composition
+# (the round-3 lesson, guarded by the same test). See ROUND_NOTES.md
+# "Round-5 window plan" for the burn-down arithmetic.
 _R5_DEFER = [
     # rows-only (no oracle)
     "minhash_lsh_near_dups", "simhash_near_dups", "ann_lsh_topk",
