@@ -136,6 +136,7 @@ _R5_DEFER = [
     "prefix_sum_two_phase", "simhash_portable",
     # converted from rows-only to a band-contract oracle in round 4
     "ann_recall_at_10",
+    "tick_rule_trade_signs",
 ]
 
 _DRIVER_GREEN = {

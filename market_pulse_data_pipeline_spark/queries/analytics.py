@@ -2192,3 +2192,81 @@ def try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("int")
         .alias("prio_digit"),
     )
+
+
+@register(
+    "tick_rule_trade_signs",
+    """
+    WITH px AS (
+      SELECT user_id, event_id, ts, value,
+             value - lag(value) OVER w AS dp
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ticked AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END AS tick
+      FROM px
+    ),
+    signed AS (
+      SELECT user_id, value,
+             COALESCE(last_value(tick IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING), 0) AS sign
+      FROM (
+        SELECT t.*, p.ts FROM ticked t
+        JOIN px p USING (user_id, event_id)
+      )
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buys,
+           CAST(SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sells,
+           CAST(SUM(CASE WHEN sign = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unclassified,
+           CAST(SUM(CAST(sign * value AS DECIMAL(20,6))) AS DOUBLE)
+             AS signed_flow
+    FROM signed
+    GROUP BY user_id
+    """,
+    doc="tick-rule trade-sign classification (the Lee-Ready tick test "
+    "every microstructure pipeline starts from): an observation is a "
+    "buy on an uptick, a sell on a downtick, and on a ZERO tick "
+    "carries the last non-zero tick forward — the carry is "
+    "last(ignoreNulls) over the ordered per-instrument window, the "
+    "gaps-and-islands cousin the indicator family didn't yet "
+    "witness. Leading unclassified rows (no prior tick) count "
+    "separately; signed order flow (sum of sign x value) rides exact "
+    "decimals. One window pass per instrument + one aggregate — same "
+    "per-key locality as every indicator; both engines evaluate the "
+    "identical carry chain (Spark F.last(ignorenulls) ≡ DuckDB "
+    "last_value IGNORE NULLS over the same explicit frame).",
+)
+def tick_rule_trade_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dp = F.col("value") - F.lag("value").over(w)
+    ticked = ev.withColumn(
+        "tick",
+        F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1)),
+    )
+    carry = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    signed = ticked.withColumn(
+        "sign",
+        F.coalesce(F.last("tick", ignorenulls=True).over(carry), F.lit(0)),
+    )
+    return signed.groupBy("user_id").agg(
+        F.sum((F.col("sign") == 1).cast("int")).cast("long").alias("n_buys"),
+        F.sum((F.col("sign") == -1).cast("int")).cast("long").alias("n_sells"),
+        F.sum((F.col("sign") == 0).cast("int")).cast("long").alias(
+            "n_unclassified"
+        ),
+        F.sum(
+            (F.col("sign") * F.col("value")).cast("decimal(20,6)")
+        )
+        .cast("double")
+        .alias("signed_flow"),
+    )
