@@ -136,7 +136,7 @@ _R5_DEFER = [
     "prefix_sum_two_phase", "simhash_portable",
     # converted from rows-only to a band-contract oracle in round 4
     "ann_recall_at_10",
-    "tick_rule_trade_signs",
+    "tick_rule_trade_signs", "label_propagation_communities",
 ]
 
 _DRIVER_GREEN = {

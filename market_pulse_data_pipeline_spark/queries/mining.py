@@ -445,3 +445,140 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+_LPA_ITERS = 3
+_LPA_MIN_W = 4  # sparser than the triangle floor: community structure
+                # only emerges below the connectivity saturation point
+
+
+def _lpa_sql() -> str:
+    """DuckDB twin of label_propagation_communities: the same 3
+    synchronous iterations unrolled as CTEs, same deterministic
+    argmax rule (max neighbor-label count, ties to the smallest
+    label)."""
+    edges = f"""
+    io AS (
+      SELECT DISTINCT l_orderkey, (l_partkey % {_TRI_MOD}) AS node
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT a.node AS u, b.node AS v
+      FROM io a JOIN io b
+        ON a.l_orderkey = b.l_orderkey AND a.node < b.node
+      GROUP BY a.node, b.node
+      HAVING COUNT(*) >= {_LPA_MIN_W}
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    iters = []
+    for i in range(_LPA_ITERS):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        iters.append(f"""
+    c{cur} AS (
+      SELECT s.src AS node, p.label, COUNT(*) AS c
+      FROM sym s JOIN {prev} p ON p.node = s.dst
+      GROUP BY s.src, p.label
+    ),
+    {cur} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c{cur}
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH "
+        + edges
+        + ","
+        + ",".join(iters)
+        + f"""
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS size,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM l{_LPA_ITERS}
+    GROUP BY label
+    """
+    )
+
+
+@register(
+    "label_propagation_communities",
+    _lpa_sql(),
+    doc="community detection via SYNCHRONOUS label propagation over "
+    "the co-purchase graph (same construction as triangle_count_parts "
+    f"at a sparser support floor {_LPA_MIN_W} — below saturation, "
+    "where community structure exists): "
+    "every node starts as its own label; each iteration every node "
+    "adopts the most frequent label among its neighbors with a "
+    "deterministic tie rule (max count, then smallest label) — "
+    "asynchronous LPA is visit-order-dependent and therefore "
+    f"unreproducible, so the engine runs the synchronous form, "
+    f"{_LPA_ITERS} rounds, identical on both engines by "
+    "construction. Per iteration: one join of the symmetric edge "
+    "list against current labels + one (node, label) count + one "
+    "deterministic argmax — the same bounded join+groupBy shape as "
+    "the connected-components operator (functions/graph.py), "
+    "localCheckpoint per round to cut lineage. Completes the graph "
+    "family: components (connectivity), PageRank (centrality), "
+    "triangles (cohesion), LPA (community structure).",
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % _TRI_MOD).alias("node"))
+        .distinct()
+    )
+    a = io.alias("a")
+    b = io.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _LPA_MIN_W)
+        .select("u", "v")
+    )
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        neigh = sym.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("label").alias("nlabel")
+            ),
+            "dst",
+        )
+        counts = neigh.groupBy(
+            F.col("src").alias("node"), F.col("nlabel").alias("label")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        # deterministic argmax: max count, ties to the smallest label
+        # deterministic argmax: max count, ties to the smallest label —
+        # max_by over (c, -label) struct ordering
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+                ).alias("label")
+            )
+            .select("node", "label")
+        )
+        labels = labels.localCheckpoint()
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
