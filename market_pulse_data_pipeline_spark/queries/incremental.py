@@ -444,3 +444,126 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").alias("xor_fp"),
         F.sum(F.col("h") % F.lit(1000000007)).alias("sum_fp"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH states AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type != 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version,
+             ts
+      FROM states
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, version,
+             epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS valid_from_us,
+             COALESCE(
+               lead(epoch_us(CAST(MIN(ts) AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY version),
+               9223372036854775807) AS valid_to_us
+      FROM runs GROUP BY user_id, event_type, version
+    ),
+    probes AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.p_us,
+           d.state, d.version, d.valid_from_us
+    FROM probes p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.p_us >= d.valid_from_us AND p.p_us < d.valid_to_us
+    """,
+    doc="SCD2 point-in-time lookup — the feature-store join that "
+    "prevents training-serving leakage: each purchase retrieves the "
+    "state VERSION that was valid AT its event time (half-open "
+    "[valid_from, valid_to) intervals from the gaps-and-islands run "
+    "construction; purchases before any state row get NULLs, never a "
+    "future version). The oracle is the interval-predicate join; the "
+    "Spark side uses the union + one-window merge (the as-of "
+    "pattern): versions and probes interleave on (user, time) and "
+    "last(ignoreNulls) carries the active version onto each probe — "
+    "ONE shuffle, no range-predicate nested loop, exactly "
+    "operators/asof.py's scale shape. SCD2 validity is the temporal "
+    "twin of pointer-swap snapshot isolation: versions by business "
+    "time instead of commit time.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    states = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = states.withColumn("chg", chg).withColumn(
+        "version",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    dim = runs.groupBy(
+        "user_id", F.col("event_type").alias("state"), "version"
+    ).agg(F.unix_micros(F.min("ts")).alias("valid_from_us"))
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("p_us")
+    )
+    # as-of merge: versions and probes interleave on (user, time); the
+    # active version carries forward onto each probe — one shuffle
+    v_side = dim.select(
+        "user_id",
+        F.col("valid_from_us").alias("t_us"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        "state",
+        "version",
+        "valid_from_us",
+    )
+    p_side = probes.select(
+        "user_id",
+        F.col("p_us").alias("t_us"),
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("long").alias("valid_from_us"),
+    )
+    # at equal timestamps the version row must precede the probe
+    # (valid_from is inclusive), hence is_probe in the sort key
+    mw = Window.partitionBy("user_id").orderBy(
+        "t_us", "is_probe", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    merged = v_side.unionByName(p_side).select(
+        "user_id",
+        "t_us",
+        "is_probe",
+        "event_id",
+        F.last("state", ignorenulls=True).over(mw).alias("state"),
+        F.last("version", ignorenulls=True).over(mw).alias("version"),
+        F.last("valid_from_us", ignorenulls=True)
+        .over(mw)
+        .alias("valid_from_us"),
+    )
+    return merged.filter(F.col("is_probe") == 1).select(
+        "user_id",
+        "event_id",
+        F.col("t_us").alias("p_us"),
+        "state",
+        "version",
+        "valid_from_us",
+    )
