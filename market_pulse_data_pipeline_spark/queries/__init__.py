@@ -137,7 +137,7 @@ _R5_DEFER = [
     # converted from rows-only to a band-contract oracle in round 4
     "ann_recall_at_10",
     "tick_rule_trade_signs", "label_propagation_communities",
-    "scd2_point_in_time_join",
+    "scd2_point_in_time_join", "qc_profile_drift",
 ]
 
 _DRIVER_GREEN = {

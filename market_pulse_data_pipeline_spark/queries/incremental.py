@@ -567,3 +567,110 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "valid_from_us",
     )
+
+
+@register(
+    "qc_profile_drift",
+    """
+    WITH new_v AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    p_old AS (
+      SELECT COUNT(*) AS n,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+               AS total_price,
+             MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      FROM orders
+    ),
+    p_new AS (
+      SELECT COUNT(*) AS n,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+               AS total_price,
+             MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      FROM new_v
+    )
+    SELECT o.n AS n_old, nw.n AS n_new,
+           nw.n - o.n AS row_drift,
+           (ABS(nw.n - o.n) * 100 > o.n) AS row_drift_alert,
+           (o.n_status != nw.n_status) AS status_domain_changed,
+           CAST(ROUND(CAST(nw.total_price - o.total_price
+                AS DECIMAL(28,10)), 2) AS DOUBLE) AS total_price_delta,
+           (o.min_price != nw.min_price OR o.max_price != nw.max_price)
+             AS range_changed
+    FROM p_old o CROSS JOIN p_new nw
+    """,
+    doc="table-profile drift monitor between two versions (the "
+    "pre-publish QC gate a nightly pipeline runs before swapping the "
+    "pointer): row-count drift with a 1% alert threshold, categorical "
+    "domain-cardinality change, exact-decimal total delta, and "
+    "min/max range movement — computed as ONE aggregate row per "
+    "version (single scan each) and one 1-row cross join. Versions "
+    "are the same deterministic synthetic edit cdc_version_diff "
+    "uses, so the drift numbers are cross-checkable against the "
+    "change feed (row_drift = inserts - deletes). At 100 TB profile "
+    "rows are constant-size whatever the table; persist them per "
+    "version and drift checks never rescan history.",
+)
+def qc_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_v = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.5
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1000000
+            )
+        )
+    )
+
+    def profile(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    o = profile(orders).alias("o")
+    nw = profile(new_v).alias("nw")
+    return o.crossJoin(F.broadcast(nw)).select(
+        F.col("o.n").alias("n_old"),
+        F.col("nw.n").alias("n_new"),
+        (F.col("nw.n") - F.col("o.n")).alias("row_drift"),
+        (F.abs(F.col("nw.n") - F.col("o.n")) * 100 > F.col("o.n")).alias(
+            "row_drift_alert"
+        ),
+        (F.col("o.n_status") != F.col("nw.n_status")).alias(
+            "status_domain_changed"
+        ),
+        F.round(
+            (F.col("nw.total_price") - F.col("o.total_price")).cast(
+                "decimal(28,10)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_price_delta"),
+        (
+            (F.col("o.min_price") != F.col("nw.min_price"))
+            | (F.col("o.max_price") != F.col("nw.max_price"))
+        ).alias("range_changed"),
+    )
