@@ -14,8 +14,9 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from market_pulse_data_pipeline_spark.queries.common import register
+from market_pulse_data_pipeline_spark.queries.common import register, t
 from market_pulse_data_pipeline_spark.sources.tables import register_views
 
 # One string, two engines. Restricted to the ANSI subset both parse
@@ -277,4 +278,87 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(node) AS path_sum
         FROM walk GROUP BY start_key
         """
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="SQL pipe syntax (Spark 4 |> operators): the Q1 aggregation "
+    "written as FROM ... |> WHERE ... |> EXTEND ... |> AGGREGATE ... "
+    "GROUP BY — the linear top-to-bottom SQL dialect — verified "
+    "against the classic SELECT formulation in DuckDB. Pipe stages "
+    "are pure parser sugar: Catalyst plans the identical partial+final "
+    "hash aggregate with the shipdate filter pushed to the scan, so "
+    "the surface costs nothing at 100 TB. Decimal sums keep the "
+    "cross-engine hash exact as everywhere else.",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> EXTEND CAST(l_quantity AS DECIMAL(20,2)) AS qty_d,
+                  CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(20,4)) AS rev_d
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(qty_d) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(rev_d) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, sum_qty, revenue
+        """
+    )
+
+
+@register(
+    "pandas_api_groupby",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MAX(value) AS max_value,
+           MIN(value) AS min_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="pandas API on Spark (pyspark.pandas): the same grouped "
+    "profile expressed as df.pandas_api().groupby(...).agg(...) — "
+    "the migration surface for pandas-first users — converted back "
+    "with to_spark() and hash-checked against the relational oracle. "
+    "Only order-independent aggregates (count / distinct / min / "
+    "max) are exposed through this surface; the pandas API plans "
+    "into the SAME Catalyst operators (one partial+final hash "
+    "aggregate here), so nothing is lost at 100 TB — except that "
+    "pandas defaults like sort_index can add exchanges, which this "
+    "query avoids by aggregating unsorted.",
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    psdf = ev.pandas_api()
+    agg = psdf.groupby("event_type", as_index=False).agg(
+        n_events=("user_id", "count"),
+        n_users=("user_id", "nunique"),
+        max_value=("value", "max"),
+        min_value=("value", "min"),
+    )
+    out = agg.to_spark()
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        "max_value",
+        "min_value",
     )
