@@ -138,7 +138,7 @@ _R5_DEFER = [
     "ann_recall_at_10",
     "tick_rule_trade_signs", "label_propagation_communities",
     "scd2_point_in_time_join", "qc_profile_drift",
-    "sql_pipe_syntax", "pandas_api_groupby",
+    "sql_pipe_syntax", "pandas_api_groupby", "python_datasource_stream",
 ]
 
 _DRIVER_GREEN = {

@@ -68,6 +68,12 @@ class AlphaVantageDataSource(DataSource):
             raise ValueError("alphavantage source requires .option('path', landing_dir)")
         return AlphaVantageReader(path)
 
+    def simpleStreamReader(self, schema: T.StructType):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("alphavantage source requires .option('path', landing_dir)")
+        return AlphaVantageSimpleStreamReader(path)
+
 
 class AlphaVantageReader(DataSourceReader):
     def __init__(self, landing_dir: str):
@@ -99,3 +105,70 @@ class AlphaVantageReader(DataSourceReader):
         raw_symbol = (doc.get("Meta Data") or {}).get("2. Symbol")
         symbol = _SYMBOL_NORMALIZATION.get(raw_symbol, raw_symbol)
         yield (symbol, json.dumps(doc), len(series))
+
+
+def _parse_doc(path: str):
+    """Shared row shape for the batch and streaming readers: one
+    (symbol, data_json, n_days) row per landed document, presence
+    filter + symbol normalization applied at the source."""
+    with open(path) as f:
+        doc = json.load(f)
+    series = doc.get("Time Series (Daily)")
+    if not series:
+        return None
+    raw_symbol = (doc.get("Meta Data") or {}).get("2. Symbol")
+    symbol = _SYMBOL_NORMALIZATION.get(raw_symbol, raw_symbol)
+    return (symbol, json.dumps(doc), len(series))
+
+
+try:  # SimpleDataSourceStreamReader: Spark 4 streaming Python source API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover — older pyspark
+    SimpleDataSourceStreamReader = object
+
+
+class AlphaVantageSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reader over the landing directory: the OFFSET is the
+    sorted set of file names already ingested, so each micro-batch
+    reads exactly the files that appeared since the last one —
+    exactly-once without any sidecar state (the offset lives in the
+    query checkpoint, like Spark's own FileStreamSource seen-files
+    log). readBetweenOffsets replays a committed range on recovery
+    from the same immutable landing files."""
+
+    def __init__(self, landing_dir: str):
+        self.landing_dir = landing_dir
+
+    def _list(self) -> list[str]:
+        try:
+            return sorted(
+                n for n in os.listdir(self.landing_dir) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"seen": "[]"}
+
+    def read(self, start: dict):
+        seen = set(json.loads(start["seen"]))
+        names = self._list()
+        new = [n for n in names if n not in seen]
+        rows = []
+        for n in new:
+            row = _parse_doc(os.path.join(self.landing_dir, n))
+            if row is not None:
+                rows.append(row)
+        end = {"seen": json.dumps(sorted(seen | set(new)))}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen_start = set(json.loads(start["seen"]))
+        seen_end = set(json.loads(end["seen"]))
+        for n in sorted(seen_end - seen_start):
+            row = _parse_doc(os.path.join(self.landing_dir, n))
+            if row is not None:
+                yield row
+
+    def commit(self, end: dict) -> None:
+        pass  # landing files are immutable; nothing to clean up
