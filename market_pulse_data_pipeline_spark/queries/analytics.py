@@ -2270,3 +2270,78 @@ def tick_rule_trade_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("signed_flow"),
     )
+
+
+_M4_W = 16  # horizontal resolution (buckets per series)
+
+
+@register(
+    "m4_downsample",
+    f"""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS t0,
+             epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS t1
+      FROM events
+    ),
+    pts AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+             LEAST({_M4_W - 1},
+                   (epoch_us(CAST(ts AS TIMESTAMP)) - t0) * {_M4_W}
+                     // (t1 - t0 + 1)) AS bucket
+      FROM events CROSS JOIN bounds
+    )
+    SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(t_us) AS t_first_us,
+           first(value ORDER BY t_us, event_id) AS v_first,
+           MAX(t_us) AS t_last_us,
+           last(value ORDER BY t_us, event_id) AS v_last,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max
+    FROM pts
+    GROUP BY user_id, bucket
+    """,
+    doc="M4 time-series downsampling (Jugel et al., VLDB 2014 — the "
+    "width-aware decimation dashboards use): each series is cut into "
+    f"{_M4_W} equal time buckets and each bucket keeps its four "
+    "defining points (first, last, min, max) — the only points that "
+    "can affect a line rendered at that horizontal resolution, so "
+    "the decimated series is pixel-exact while shrinking rows from "
+    "n to 4W per series. Relational shape: one 1-row global bounds "
+    "broadcast, one integer bucket expression, ONE hash aggregate "
+    "with deterministic first/last via arg_min/arg_max over the "
+    "unique (t, event_id) order. At 100 TB this runs per series in "
+    "one pass — the query-time alternative to storing pre-decimated "
+    "rollups, and the same partial+final aggregate shape as every "
+    "profile query here.",
+)
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(F.max("ts")).alias("t1"),
+    )
+    t_us = F.unix_micros(F.col("ts"))
+    pts = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        "event_id",
+        F.least(
+            F.lit(_M4_W - 1),
+            F.expr(
+                f"(unix_micros(ts) - t0) * {_M4_W} DIV (t1 - t0 + 1)"
+            ),
+        ).alias("bucket"),
+    )
+    order = F.struct(F.col("t_us"), F.col("event_id"))
+    return pts.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("t_us").alias("t_first_us"),
+        F.min_by("value", order).alias("v_first"),
+        F.max("t_us").alias("t_last_us"),
+        F.max_by("value", order).alias("v_last"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
