@@ -139,7 +139,7 @@ _R5_DEFER = [
     "tick_rule_trade_signs", "label_propagation_communities",
     "scd2_point_in_time_join", "qc_profile_drift",
     "sql_pipe_syntax", "pandas_api_groupby", "python_datasource_stream",
-    "m4_downsample",
+    "m4_downsample", "calendar_interpolate_linear", "ab_test_proportions",
 ]
 
 _DRIVER_GREEN = {

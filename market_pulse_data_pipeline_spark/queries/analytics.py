@@ -2345,3 +2345,116 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
+
+
+@register(
+    "ab_test_proportions",
+    """
+    WITH users AS (
+      SELECT user_id,
+             (('0x' || substring(md5(concat('ab:',
+                 CAST(user_id AS VARCHAR))), 1, 2))::BIGINT < 128) AS arm_a,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN arm_a THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN NOT arm_a THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_b
+      FROM users
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(ROUND(CAST(conv_a / n_a AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS rate_a,
+           CAST(ROUND(CAST(conv_b / n_b AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS rate_b,
+           CAST(ROUND(CAST(
+             (conv_a / n_a - conv_b / n_b)
+             / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                    * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS z_stat,
+           abs((conv_a / n_a - conv_b / n_b)
+               / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                      * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+    FROM arms
+    """,
+    doc="two-sample proportion test (the product-analytics A/B "
+    "readout): users split into arms by a content-free md5 bucket "
+    "(RNG-free, stable under repartitioning — the same deterministic "
+    "assignment discipline as split_leakage_safe), conversion = a "
+    "high-value purchase (the fixture converts every user on the "
+    "any-purchase definition, which degenerates the pooled variance "
+    "to zero), pooled two-proportion z-statistic with the 1.96 "
+    "two-sided significance gate. Every arithmetic step is the "
+    "identical IEEE sequence on both engines (integer counts, one "
+    "division chain, one correctly-rounded sqrt), with the reported "
+    "z decimal-snapped. One user-grain aggregate + one 1-row fold — "
+    "at 100 TB the experiment readout is a constant-size row "
+    "whatever the user count.",
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        portable_hash60,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("ab:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("long")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200)
+            ).cast("int")
+        ).alias("converted")
+    ).select(
+        "user_id", "converted", (bucket < 128).alias("arm_a")
+    )
+    arms = users.agg(
+        F.sum(F.col("arm_a").cast("int")).cast("long").alias("n_a"),
+        F.sum((~F.col("arm_a")).cast("int")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    snap = lambda c: F.round(c.cast("decimal(28,10)"), 6).cast(  # noqa: E731
+        "double"
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        snap(pa).alias("rate_a"),
+        snap(pb).alias("rate_b"),
+        snap(z).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

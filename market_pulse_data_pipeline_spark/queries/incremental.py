@@ -674,3 +674,108 @@ def qc_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("o.max_price") != F.col("nw.max_price"))
         ).alias("range_changed"),
     )
+
+
+@register(
+    "calendar_interpolate_linear",
+    f"""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id < {_GAPFILL_USERS}
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, CAST(g.d AS DATE) AS day
+      FROM span, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS g(d)
+    ), neighbors AS (
+      SELECT s.user_id, s.day,
+             (d.day IS NOT NULL) AS observed,
+             last_value(d.day_value IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(d.day IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(d.day_value IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(d.day IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day, observed,
+           CASE WHEN observed THEN pv
+                ELSE pv + (nv - pv)
+                     * (day - pd) / (nd - pd)
+           END AS value_interp
+    FROM neighbors
+    """,
+    doc="calendar gap-fill with LINEAR interpolation (the resampling "
+    "mode forward-fill can't express: missing days move smoothly "
+    "between the surrounding observations instead of holding flat): "
+    "previous observation via last(ignoreNulls) over the preceding "
+    "frame, next via first(ignoreNulls) over the following frame, "
+    "then value = prev + (next-prev) * elapsed/gap. Interior gaps "
+    "always have both neighbors (the spine spans first..last "
+    "observation), so no NULL edge cases; both engines compute the "
+    "identical double expression (day differences are exact small "
+    "ints, the division is one IEEE op). Same spine-per-key scale "
+    "shape as calendar_gapfill_ffill — rows ∝ span, two window "
+    "passes sharing one partitioning.",
+)
+def calendar_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < _GAPFILL_USERS)
+    daily = ev.groupBy(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+    )
+    joined = spine.join(
+        daily.withColumnRenamed("day", "obs_day"),
+        (spine.user_id == daily.user_id) & (spine.day == F.col("obs_day")),
+        "left",
+    ).select(spine.user_id, spine.day, F.col("obs_day"), F.col("day_value"))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nb = joined.select(
+        "user_id",
+        "day",
+        F.col("obs_day").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(back).alias("pv"),
+        F.last("obs_day", ignorenulls=True).over(back).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("obs_day", ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = F.when(F.col("observed"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * F.datediff(F.col("day"), F.col("pd"))
+        / F.datediff(F.col("nd"), F.col("pd"))
+    )
+    return nb.select("user_id", "day", "observed", interp.alias("value_interp"))
