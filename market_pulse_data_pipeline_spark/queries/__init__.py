@@ -140,6 +140,8 @@ _R5_DEFER = [
     "scd2_point_in_time_join", "qc_profile_drift",
     "sql_pipe_syntax", "pandas_api_groupby", "python_datasource_stream",
     "m4_downsample", "calendar_interpolate_linear", "ab_test_proportions",
+    # round-4 session-3 additions (same deferral discipline)
+    "interval_merge_maximal",
 ]
 
 _DRIVER_GREEN = {

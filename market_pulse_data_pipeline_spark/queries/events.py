@@ -948,3 +948,89 @@ def prefix_sum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.col("running_total").cast("double").alias("running_total")
     )
+
+
+@register(
+    "interval_merge_maximal",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT)
+               AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s_us, e_us,
+             CASE WHEN MAX(e_us) OVER (PARTITION BY user_id
+                    ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR s_us > MAX(e_us) OVER (PARTITION BY user_id
+                    ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, island,
+             MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+             COUNT(*) AS n_events
+      FROM (
+        SELECT user_id, s_us, e_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY s_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        FROM flagged
+      )
+      GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(end_us - start_us) AS BIGINT) AS covered_us,
+           MAX(end_us - start_us) AS max_interval_us,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id
+    """,
+    doc="maximal-interval merge (the overlapping-SPANS gaps-and-islands "
+    "shape point-gap sessionization cannot express): each event opens "
+    "an interval [ts, ts + value minutes] (duration derived through an "
+    "exact decimal product, so both engines compute the identical "
+    "BIGINT micros), and per user every chain of transitively "
+    "overlapping intervals collapses to one maximal island — new "
+    "island iff this start exceeds the running MAX of all previous "
+    "ends (a plain running max handles the contained-interval case "
+    "that comparing against only the PREVIOUS end gets wrong). Output "
+    "is per-user island count, covered time, longest island, events "
+    "absorbed. Scale shape: one shuffle on user_id shared by both "
+    "window passes and the island aggregate; state per row is a "
+    "single running max, and the windowed SUM / outer SUMs are CAST "
+    "BIGINT on the oracle side (the DuckDB HUGEINT rule). This is "
+    "the union-of-time-ranges primitive behind ad-session stitching, "
+    "maintenance-window accounting, and coverage/SLA math.",
+)
+def interval_merge_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.operators.intervals import (  # noqa: PLC0415
+        merge_maximal_intervals,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts"))
+    dur = (F.col("value").cast("decimal(18,2)") * 60_000_000).cast("long")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s_us.alias("s_us"),
+        (s_us + dur).alias("e_us"),
+    )
+    islands = merge_maximal_intervals(
+        iv, "user_id", "s_us", "e_us", "event_id"
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("end") - F.col("start")).alias("covered_us"),
+        F.max(F.col("end") - F.col("start")).alias("max_interval_us"),
+        F.sum("n_spans").alias("n_events"),
+    )
