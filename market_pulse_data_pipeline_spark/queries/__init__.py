@@ -141,7 +141,8 @@ _R5_DEFER = [
     "sql_pipe_syntax", "pandas_api_groupby", "python_datasource_stream",
     "m4_downsample", "calendar_interpolate_linear", "ab_test_proportions",
     # round-4 session-3 additions (same deferral discipline)
-    "interval_merge_maximal",
+    "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
+    "qc_join_multiplicity",
 ]
 
 _DRIVER_GREEN = {

@@ -562,3 +562,76 @@ def mixture_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("epoch").alias("n_epochs"),
         )
     )
+
+
+@register(
+    "vocab_unk_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, t.token
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    vocab AS (
+      SELECT token
+      FROM (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+      ORDER BY n DESC, token
+      LIMIT {_VOCAB_K}
+    ),
+    marked AS (
+      SELECT lang,
+             CASE WHEN token IN (SELECT token FROM vocab)
+                  THEN 0 ELSE 1 END AS is_unk
+      FROM tok
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(is_unk) AS BIGINT) AS n_unk,
+           {{unk_rate}}
+    FROM marked
+    GROUP BY lang
+    """.replace(
+        "{unk_rate}",
+        "CAST(ROUND(CAST(CAST(SUM(is_unk) AS BIGINT) / COUNT(*) "
+        "AS DECIMAL(28,10)), 6) AS DOUBLE) AS unk_rate",
+    ),
+    doc=f"tokenizer out-of-vocabulary rate per language — the coverage "
+    f"number that decides whether a top-{_VOCAB_K} vocabulary (the "
+    "vocab_top_tokens seed) is big enough for each corpus slice: "
+    "token occurrences OUTSIDE the top-K over total occurrences. "
+    "Scale shape: one token hash-aggregate builds the vocabulary "
+    "(TakeOrdered over vocabulary cardinality, not the corpus), the "
+    "K-row vocab broadcasts back as a left-semi mark, and the rate "
+    "is a per-lang aggregate of 0/1 flags — two shuffles total, both "
+    "on bounded keys, with the windowed-free SUM cast BIGINT on the "
+    "oracle side (the DuckDB HUGEINT rule).",
+)
+def vocab_unk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.queries.common import round_div  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token")
+    )
+    marked = tok.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))),
+        "token",
+        "left",
+    ).select(
+        "lang",
+        F.when(F.col("_in_vocab").isNull(), 1).otherwise(0).alias("is_unk"),
+    )
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_unk").cast("long").alias("n_unk"),
+        round_div(
+            F.sum("is_unk").cast("long"), F.count(F.lit(1)), 6
+        ).alias("unk_rate"),
+    )

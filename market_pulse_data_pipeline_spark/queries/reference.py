@@ -509,3 +509,133 @@ def argmin_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("min_unit_price"),
         )
     )
+
+
+def _sql_multiplicity(relation: str, left_sql: str, right_sql: str) -> str:
+    """One audit row: per-side key multiplicities + join-size estimate."""
+    return f"""
+      SELECT '{relation}' AS relation,
+             (SELECT CAST(SUM(lc) AS BIGINT) FROM ({left_sql}) l) AS left_rows,
+             (SELECT CAST(SUM(rc) AS BIGINT) FROM ({right_sql}) r) AS right_rows,
+             COUNT(*) AS n_shared_keys,
+             MAX(lc) AS max_left_per_key,
+             MAX(rc) AS max_right_per_key,
+             CAST(SUM(CASE WHEN lc > 1 AND rc > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_mn_keys,
+             CAST(SUM(lc * rc) AS BIGINT) AS est_join_rows,
+             CASE WHEN MAX(lc) = 1 AND MAX(rc) = 1 THEN '1:1'
+                  WHEN MAX(rc) = 1 THEN 'M:1'
+                  WHEN MAX(lc) = 1 THEN '1:M'
+                  ELSE 'M:N' END AS rel_class
+      FROM ({left_sql}) l JOIN ({right_sql}) r USING (k)
+    """
+
+
+_MULT_PAIRS_SQL = [
+    (
+        "lineitem->orders",
+        "SELECT l_orderkey AS k, COUNT(*) AS lc FROM lineitem GROUP BY 1",
+        "SELECT o_orderkey AS k, COUNT(*) AS rc FROM orders GROUP BY 1",
+    ),
+    (
+        "orders->customer",
+        "SELECT o_custkey AS k, COUNT(*) AS lc FROM orders GROUP BY 1",
+        "SELECT c_custkey AS k, COUNT(*) AS rc FROM customer GROUP BY 1",
+    ),
+    (
+        "lineitem<->lineitem.partkey",
+        "SELECT l_partkey AS k, COUNT(*) AS lc FROM lineitem GROUP BY 1",
+        "SELECT l_partkey AS k, COUNT(*) AS rc FROM lineitem GROUP BY 1",
+    ),
+]
+
+
+@register(
+    "qc_join_multiplicity",
+    " UNION ALL ".join(
+        _sql_multiplicity(rel, ls, rs) for rel, ls, rs in _MULT_PAIRS_SQL
+    ),
+    doc="pre-join cardinality audit — the QC gate that catches row "
+    "explosions BEFORE a join runs: for each declared relationship, "
+    "per-side key multiplicities (max rows per key), the count of "
+    "keys that are many-on-both-sides, the exact expected join size "
+    "SUM(lc*rc), and the inferred relationship class. The dbt-style "
+    "tests (qc_unique/relationships, operators/qc.py) assert declared "
+    "shapes; this measures the actual shape, so an upstream dedup bug "
+    "surfaces as M:1 flipping to M:N with an est_join_rows blowup "
+    "instead of as a mysterious 100× shuffle at execution time. The "
+    "third audited pair (lineitem self-joined on partkey) is a real "
+    "M:N witness with its quadratic-in-multiplicity size estimate "
+    "computed WITHOUT materializing the join. Scale shape: each side "
+    "collapses to per-key counts first (partial+final aggregate), so "
+    "the audit join carries one row per KEY, never per row — "
+    "strictly cheaper than the join it predicts; all SUMs cast "
+    "BIGINT on the oracle side (the DuckDB HUGEINT rule).",
+)
+def qc_join_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def counts(df: DataFrame, key: str, out: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    def audit(relation: str, left: DataFrame, right: DataFrame) -> DataFrame:
+        lt = left.agg(F.sum("lc").cast("long").alias("left_rows"))
+        rt = right.agg(F.sum("rc").cast("long").alias("right_rows"))
+        joined = left.join(right, "k")
+        return (
+            joined.agg(
+                F.count(F.lit(1)).alias("n_shared_keys"),
+                F.max("lc").alias("max_left_per_key"),
+                F.max("rc").alias("max_right_per_key"),
+                F.sum(
+                    F.when((F.col("lc") > 1) & (F.col("rc") > 1), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_mn_keys"),
+                F.sum(F.col("lc") * F.col("rc"))
+                .cast("long")
+                .alias("est_join_rows"),
+            )
+            .crossJoin(F.broadcast(lt))
+            .crossJoin(F.broadcast(rt))
+            .select(
+                F.lit(relation).alias("relation"),
+                "left_rows",
+                "right_rows",
+                "n_shared_keys",
+                "max_left_per_key",
+                "max_right_per_key",
+                "n_mn_keys",
+                "est_join_rows",
+                F.when(
+                    (F.col("max_left_per_key") == 1)
+                    & (F.col("max_right_per_key") == 1),
+                    "1:1",
+                )
+                .when(F.col("max_right_per_key") == 1, "M:1")
+                .when(F.col("max_left_per_key") == 1, "1:M")
+                .otherwise("M:N")
+                .alias("rel_class"),
+            )
+        )
+
+    a1 = audit(
+        "lineitem->orders",
+        counts(li, "l_orderkey", "lc"),
+        counts(orders, "o_orderkey", "rc"),
+    )
+    a2 = audit(
+        "orders->customer",
+        counts(orders, "o_custkey", "lc"),
+        counts(cust, "c_custkey", "rc"),
+    )
+    a3 = audit(
+        "lineitem<->lineitem.partkey",
+        counts(li, "l_partkey", "lc"),
+        counts(li, "l_partkey", "rc"),
+    )
+    return a1.unionByName(a2).unionByName(a3)

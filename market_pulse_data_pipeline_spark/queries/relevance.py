@@ -264,3 +264,156 @@ def bm25_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bm25"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# nDCG@k ranking-quality evaluation
+# --------------------------------------------------------------------------
+
+_NDCG_K = 10
+# Discount weights round(1e9 / log2(rank+1)) precomputed ONCE here and
+# embedded as the same BIGINT literals in both engines (the Benford
+# discipline: log2 routes through libm and is not cross-engine
+# portable; a shared integer literal table is). Integer-scaled gains
+# make every DCG sum an exact BIGINT — order-independent, no float
+# reassociation anywhere.
+import math as _math  # noqa: E402
+
+_NDCG_W = [round(1e9 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)]
+_NDCG_QUERIES = {
+    1: ("spark", "join", "vector"),
+    2: ("table", "scan", "merge"),
+    3: ("hash", "sort", "window"),
+}
+_SQL_QTERMS = " UNION ALL ".join(
+    f"SELECT {qid} AS qid, '{term}' AS term"
+    for qid, terms in _NDCG_QUERIES.items()
+    for term in terms
+)
+_SQL_W_CASE = (
+    "CASE rn "
+    + " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W))
+    + " END"
+)
+
+
+@register(
+    "ndcg_at_k",
+    f"""
+    WITH tok AS ({_SQL_TOK}),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    qterms AS ({_SQL_QTERMS}),
+    cand AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS score,
+             CAST((1 << COUNT(*)) - 1 AS BIGINT) AS gain
+      FROM tf JOIN qterms q USING (term)
+      GROUP BY q.qid, tf.doc_id
+    ),
+    ranked AS (
+      SELECT qid, gain,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM cand
+    ),
+    ideal AS (
+      SELECT qid, gain,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY gain DESC, doc_id) AS rn
+      FROM cand
+    ),
+    dcg AS (
+      SELECT qid, CAST(SUM(gain * ({_SQL_W_CASE})) AS BIGINT) AS dcg_scaled
+      FROM ranked WHERE rn <= {_NDCG_K} GROUP BY qid
+    ),
+    idcg AS (
+      SELECT qid, CAST(SUM(gain * ({_SQL_W_CASE})) AS BIGINT) AS idcg_scaled
+      FROM ideal WHERE rn <= {_NDCG_K} GROUP BY qid
+    ),
+    nc AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid)
+    SELECT qid, n_candidates, dcg_scaled, idcg_scaled,
+           {sql_round_div('dcg_scaled', 'idcg_scaled', 6)} AS ndcg
+    FROM dcg JOIN idcg USING (qid) JOIN nc USING (qid)
+    """,
+    doc=f"nDCG@{_NDCG_K} ranking-quality evaluation — the IR eval "
+    "metric the relevance family scores rankers with (ann_recall_at_10 "
+    "covers ANN retrieval; this covers graded ranking quality). Three "
+    "fixed 3-term queries; the evaluated ranker orders candidates by "
+    "total query-term frequency (score DESC, doc_id), and graded "
+    "relevance is the distinct-terms-matched count with standard "
+    "exponential gain 2^rel - 1. Discount weights are shared "
+    "round(1e9/log2(r+1)) BIGINT literals (log2 is libm — not "
+    "cross-engine portable; a literal table is), so DCG and ideal-DCG "
+    "are exact integer sums and nDCG is one decimal-rounded division. "
+    "Scale shape: tf is the inverted-index aggregate (one shuffle), "
+    "the 9-row query-term table broadcasts, per-query top-k is a "
+    "qid-partitioned window over candidates only, and every output "
+    "row is per-query — constant-size result.",
+)
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        _tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qterms = spark.createDataFrame(
+        [
+            (qid, term)
+            for qid, terms in _NDCG_QUERIES.items()
+            for term in terms
+        ],
+        "qid int, term string",
+    )
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("score"),
+            # gain 2^rel - 1 for rel in 1..3 (shiftleft needs a Python
+            # int shift amount, so index a literal table instead)
+            F.element_at(
+                F.array(F.lit(1), F.lit(3), F.lit(7)),
+                F.count(F.lit(1)).cast("int"),
+            )
+            .cast("long")
+            .alias("gain"),
+        )
+    )
+    weights = F.array(*[F.lit(w) for w in _NDCG_W])
+    w_rank = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    w_ideal = Window.partitionBy("qid").orderBy(F.col("gain").desc(), "doc_id")
+
+    def _dcg(win, out_col):
+        return (
+            cand.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= _NDCG_K)
+            .select(
+                "qid",
+                (F.col("gain") * F.element_at(weights, F.col("rn"))).alias(
+                    "addend"
+                ),
+            )
+            .groupBy("qid")
+            .agg(F.sum("addend").cast("long").alias(out_col))
+        )
+
+    dcg = _dcg(w_rank, "dcg_scaled")
+    idcg = _dcg(w_ideal, "idcg_scaled")
+    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        dcg.join(idcg, "qid")
+        .join(nc, "qid")
+        .select(
+            "qid",
+            "n_candidates",
+            "dcg_scaled",
+            "idcg_scaled",
+            round_div(F.col("dcg_scaled"), F.col("idcg_scaled"), 6).alias(
+                "ndcg"
+            ),
+        )
+    )

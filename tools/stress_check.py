@@ -51,6 +51,15 @@ def main() -> int:
         default=None,
         help="comma-separated stage names to run (default: all)",
     )
+    ap.add_argument(
+        "--materialize",
+        action="store_true",
+        help="write each multiplied input to /tmp parquet once and scan "
+        "that back, instead of an N-branch union plan. At mult=100 the "
+        "union plan itself (100 scan branches through codegen) is a "
+        "harness artifact a real 100× dataset would not have; this "
+        "mode measures the operator against a plain N×-sized scan.",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -64,24 +73,52 @@ def main() -> int:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
+    cache_root = f"/tmp/stress_cache_mult{args.mult}"
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        """--materialize: replace the N-branch union plan with a plain
+        scan of the same rows written once to local parquet."""
+        if not args.materialize:
+            return df
+        path = os.path.join(cache_root, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     def run(name: str, df: DataFrame) -> None:
         if only is not None and name not in only:
             return
         t0 = time.time()
-        n = df.count()
+        # NOT df.count(): count references no columns, so Catalyst's
+        # column pruning deletes any window/projection the output
+        # doesn't feed into the count — a bare count() over the
+        # serial-window prefix sum measures a scan, not the window
+        # (found round 4: 10M windowed rows "in 0.55s"). Hashing every
+        # output column per row forces full evaluation while adding
+        # only a cheap map-side fold.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("_h"),
+        ).collect()[0]
+        n = row["n"]
         timings[name] = round(time.time() - t0, 2)
         rows[name] = n
         print(f"  {name:28s} rows={n:>10} [{timings[name]:.1f}s]", file=sys.stderr)
 
-    li = multiplied(
+    li = mat(multiplied(
         load_table(spark, args.sf, "lineitem"), args.mult, ["l_orderkey"]
-    )
-    orders = multiplied(
+    ), "lineitem")
+    orders = mat(multiplied(
         load_table(spark, args.sf, "orders"), args.mult, ["o_orderkey", "o_custkey"]
-    )
-    cust = multiplied(
+    ), "orders")
+    cust = mat(multiplied(
         load_table(spark, args.sf, "customer"), args.mult, ["c_custkey"]
-    )
+    ), "customer")
 
     # q1 shape: full-scan partial+final agg — should scale linearly
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -102,9 +139,9 @@ def main() -> int:
     )
 
     # sessionization shape: window over multiplied users
-    ev = multiplied(
+    ev = mat(multiplied(
         load_table(spark, args.sf, "events"), args.mult, ["event_id", "user_id"]
-    )
+    ), "events")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -154,6 +191,7 @@ def main() -> int:
             F.translate("text", "abcdefghij", rot).alias("text"),
         )
         docs = c if docs is None else docs.unionByName(c)
+    docs = mat(docs, "documents_rot")
     run("minhash_near_dups", minhash_near_duplicates(docs, threshold=0.5))
 
     # sentence-level dedup shape: explode to 10-token windows, digest
@@ -193,9 +231,9 @@ def main() -> int:
     # linear in rows (assignment map-only, update shuffle is k×dim cells)
     from market_pulse_data_pipeline_spark.functions.clustering import kmeans
 
-    emb = multiplied(
+    emb = mat(multiplied(
         load_table(spark, args.sf, "embeddings"), args.mult, ["vec_id"]
-    )
+    ), "embeddings")
     run("kmeans_2iter", kmeans(emb, k=8, iters=2))
 
     # prefix-filtered exact similarity join (queries/dedup.py): only
@@ -272,11 +310,11 @@ def main() -> int:
     from market_pulse_data_pipeline_spark.functions.dedup import portable_hash60
 
     # KMV: distinct hash (partial+final) then TakeOrdered(k) merge
-    li_pk = multiplied(
+    li_pk = mat(multiplied(
         load_table(spark, args.sf, "lineitem").select("l_partkey"),
         args.mult,
         ["l_partkey"],
-    )
+    ), "lineitem_pk")
     run(
         "kmv_sketch",
         li_pk.select(
@@ -318,9 +356,9 @@ def main() -> int:
         documents_to_media,
     )
 
-    media_docs = multiplied(
+    media_docs = mat(multiplied(
         load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
-    )
+    ), "documents_plain")
     run(
         "audio_window_stats",
         audio_window_stats(documents_to_media(media_docs)),
