@@ -142,7 +142,8 @@ _R5_DEFER = [
     "m4_downsample", "calendar_interpolate_linear", "ab_test_proportions",
     # round-4 session-3 additions (same deferral discipline)
     "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
-    "qc_join_multiplicity",
+    "qc_join_multiplicity", "graph_bfs_k_hop",
+    "streaming_outer_join_eviction",
 ]
 
 _DRIVER_GREEN = {

@@ -582,3 +582,101 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+_BFS_MIN_W = 5  # sparser than LPA's floor: distances spread over hops
+_BFS_SEED = 0
+_BFS_HOPS = 4
+
+
+@register(
+    "graph_bfs_k_hop",
+    f"""
+    WITH RECURSIVE io AS (
+      SELECT DISTINCT l_orderkey, (l_partkey % {_TRI_MOD}) AS node
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT a.node AS u, b.node AS v
+      FROM io a JOIN io b
+        ON a.l_orderkey = b.l_orderkey AND a.node < b.node
+      GROUP BY a.node, b.node
+      HAVING COUNT(*) >= {_BFS_MIN_W}
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    reach(node, hop) AS (
+      SELECT {_BFS_SEED}, 0
+      UNION
+      SELECT s.dst, r.hop + 1
+      FROM reach r JOIN sym s ON s.src = r.node
+      WHERE r.hop < {_BFS_HOPS}
+    )
+    SELECT node, MIN(hop) AS dist
+    FROM reach
+    GROUP BY node
+    """,
+    doc=f"k-hop BFS reachability (k={_BFS_HOPS}) from a seed node over "
+    f"the co-purchase graph (support floor {_BFS_MIN_W}, sparser than "
+    "LPA's so distances actually spread over hops) — the frontier-"
+    "expansion traversal shape the graph family lacked: components "
+    "give connectivity, PageRank centrality, LPA communities, "
+    "triangles cohesion; BFS gives DISTANCE. The engine runs true "
+    "frontier BFS: per hop, one join of the symmetric edge list "
+    "against the CURRENT frontier only, an anti-join against the "
+    "settled set (so each node is expanded exactly once — the "
+    "visited-set pruning that keeps iterative traversal linear in "
+    "edges, not paths), localCheckpoint per round to cut lineage. "
+    "The oracle is DuckDB's recursive CTE with set-semantics UNION, "
+    "whose per-level dedup makes MIN(hop) the identical BFS layer "
+    "number. At 100 TB scale the frontier join shuffles only "
+    "frontier-adjacent edges per round and the settled set is "
+    "node-bounded — the standard Pregel-without-Pregel shape.",
+)
+def graph_bfs_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % _TRI_MOD).alias("node"))
+        .distinct()
+    )
+    a = io.alias("a")
+    b = io.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _BFS_MIN_W)
+        .select("u", "v")
+    )
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    dist = spark.createDataFrame(
+        [(_BFS_SEED, 0)], "node bigint, dist int"
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            sym.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist

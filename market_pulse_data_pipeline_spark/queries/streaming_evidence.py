@@ -688,3 +688,97 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_days").cast("long").alias("total_days"),
     )
+
+
+_OUTER_WM_MIN = 1  # watermark delay, minutes
+
+
+@register(
+    "streaming_outer_join_eviction",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM s), (SELECT MAX(ts) FROM p))
+             - INTERVAL {_OUTER_WM_MIN} MINUTE AS w
+    ),
+    pairs AS (
+      SELECT s.user_id, s.event_id AS left_event_id,
+             epoch_us(s.ts) AS left_ts_us,
+             p.event_id AS right_event_id,
+             epoch_us(p.ts) AS right_ts_us
+      FROM s JOIN p
+        ON s.user_id = p.user_id
+       AND p.ts >= s.ts
+       AND p.ts <= s.ts + INTERVAL {_ATTR_BOUND_MIN} MINUTE
+    ),
+    unmatched AS (
+      SELECT s.user_id, s.event_id AS left_event_id,
+             epoch_us(s.ts) AS left_ts_us,
+             CAST(NULL AS BIGINT) AS right_event_id,
+             CAST(NULL AS BIGINT) AS right_ts_us
+      FROM s
+      ANTI JOIN p
+        ON s.user_id = p.user_id
+       AND p.ts >= s.ts
+       AND p.ts <= s.ts + INTERVAL {_ATTR_BOUND_MIN} MINUTE
+      WHERE s.ts + INTERVAL {_ATTR_BOUND_MIN} MINUTE
+            < (SELECT w FROM wm)
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM unmatched
+    """,
+    doc="LEFT OUTER stream-stream interval join through a REAL "
+    "streaming query — the state-EVICTION semantics the inner join "
+    "witness cannot show: unmatched signups are emitted with a NULL "
+    "purchase side only when the global watermark (the MIN across "
+    "both streams' watermarks) passes their attribution window's "
+    "end, because that is the moment their buffered state is dropped "
+    "— which is what makes an outer join runnable on an unbounded "
+    "stream at all. One source file = one data micro-batch, so under "
+    "availableNow the emitted set is deterministic: the batch inner "
+    "pairs plus exactly the unmatched signups with "
+    f"left.ts + {_ATTR_BOUND_MIN}min < "
+    f"min(max signup ts, max purchase ts) - {_OUTER_WM_MIN}min — the "
+    "oracle re-derives both parts relationally, so the hash match "
+    "pins the eviction cutoff itself (signups newer than the final "
+    "watermark stay buffered and are correctly ABSENT). "
+    "streaming/events.py:stream_interval_join(how='leftOuter').",
+)
+def streaming_outer_join_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        stream_interval_join,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    left = stream.filter(F.col("event_type") == "signup")
+    right = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_interval_join(
+        left,
+        right,
+        watermark=f"{_OUTER_WM_MIN} minutes",
+        bound=f"{_ATTR_BOUND_MIN} minutes",
+        how="leftOuter",
+    )
+    sink = f"stream_louter_{os.getpid()}"
+    q = (
+        joined.select(
+            "user_id",
+            "left_event_id",
+            F.unix_micros("left_ts").alias("left_ts_us"),
+            "right_event_id",
+            F.unix_micros("right_ts").alias("right_ts_us"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

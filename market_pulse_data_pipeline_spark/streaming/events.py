@@ -81,6 +81,7 @@ def stream_interval_join(
     key: str = "user_id",
     watermark: str = "30 minutes",
     bound: str = "15 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join within an event-time interval: each left
     row pairs with right rows for the same key whose time lies in
@@ -91,13 +92,22 @@ def stream_interval_join(
 
     Typical use: attribute conversions (right) to the triggering event
     (left) within an attribution window.
+
+    ``how='leftOuter'`` additionally emits every left row whose join
+    window closed with no match — but only once the global watermark
+    (the MIN across both streams' watermarks) passes the window's end:
+    unmatched rows near the head of the stream stay buffered forever
+    on an unbounded stream, and under availableNow they are emitted by
+    the final no-data batch iff left.ts + bound < min-watermark. That
+    eviction discipline is exactly what makes outer stream-stream
+    joins runnable at all (state is dropped, not kept until job end).
     """
     left_wm = left.withWatermark("ts", watermark).alias("l")
     right_wm = right.withWatermark("ts", watermark).alias("r")
     cond = F.expr(
         f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + interval {bound}"
     )
-    return left_wm.join(right_wm, cond, "inner").select(
+    return left_wm.join(right_wm, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col("l.event_id").alias("left_event_id"),
         F.col("l.ts").alias("left_ts"),

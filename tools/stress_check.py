@@ -96,11 +96,12 @@ def main() -> int:
         # (found round 4: 10M windowed rows "in 0.55s"). Hashing every
         # output column per row forces full evaluation while adding
         # only a cheap map-side fold.
-        row = df.agg(
+        dfx = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
+        row = dfx.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.pmod(
-                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.xxhash64(*[F.col(c) for c in dfx.columns]),
                     F.lit(1_000_000_007),
                 )
             ).alias("_h"),
