@@ -143,7 +143,7 @@ _R5_DEFER = [
     # round-4 session-3 additions (same deferral discipline)
     "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
     "qc_join_multiplicity", "graph_bfs_k_hop",
-    "streaming_outer_join_eviction",
+    "streaming_outer_join_eviction", "linear_regression_gd",
 ]
 
 _DRIVER_GREEN = {

@@ -19,7 +19,11 @@ from market_pulse_data_pipeline_spark.functions.clustering import (
 from market_pulse_data_pipeline_spark.functions.graph import (
     pagerank_fixed_point,
 )
-from market_pulse_data_pipeline_spark.queries.common import register, t
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    sql_round_avg,
+    t,
+)
 
 _DIM = 64
 _K = 10
@@ -391,4 +395,118 @@ def embedding_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["col2"],
             ),
         ).alias("pooled_csv")
+    )
+
+
+_GD_LR = 0.0009765625  # 2^-10: exact in binary, stable (< 2/lambda_max
+                       # of the [[1,E[x]],[E[x],E[x^2]]] normal matrix
+                       # for x = l_quantity in 1..50)
+_GD_ITERS = 3
+
+
+def _gd_sql() -> str:
+    """Unrolled-iteration DuckDB twin of linear_regression_gd: each
+    iteration is one scalar-aggregate CTE (exact-decimal gradient sums,
+    decimal-snapped average) plus one weight-update CTE (decimal-snapped
+    step) — the pagerank discipline applied to a training loop."""
+    snap = "CAST(ROUND(CAST((%s) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    xy = """
+    WITH xy AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"""
+    parts = [xy]
+    for i in range(1, _GD_ITERS + 1):
+        g0 = sql_round_avg(f"((w0 + w1 * x) - y)", 6, 6)
+        g1 = sql_round_avg(f"(((w0 + w1 * x) - y) * x)", 6, 6)
+        parts.append(
+            f""",
+    g{i} AS (
+      SELECT {g0} AS g0, {g1} AS g1
+      FROM xy CROSS JOIN w{i - 1}
+    ),
+    w{i} AS (
+      SELECT {snap % f'w0 - {_GD_LR} * g0'} AS w0,
+             {snap % f'w1 - {_GD_LR} * g1'} AS w1
+      FROM w{i - 1} CROSS JOIN g{i}
+    )"""
+        )
+    mse0 = sql_round_avg("y * y", 6, 2)
+    msef = sql_round_avg("((w0 + w1 * x) - y) * ((w0 + w1 * x) - y)", 6, 2)
+    parts.append(
+        f"""
+    SELECT w0, w1,
+           (SELECT COUNT(*) FROM xy) AS n_rows,
+           (SELECT {mse0} FROM xy) AS mse_initial,
+           (SELECT {msef} FROM xy CROSS JOIN w{_GD_ITERS}) AS mse_final
+    FROM w{_GD_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "linear_regression_gd",
+    _gd_sql(),
+    doc=f"distributed model TRAINING as a hash-checked query: "
+    f"{_GD_ITERS} full-batch gradient-descent iterations fitting "
+    f"y = w0 + w1*x (extendedprice on quantity), lr = {_GD_LR} "
+    "(a power of two — exact in binary). The cross-engine-exactness "
+    "discipline is the pagerank one applied to continuous "
+    "optimization: per-row residuals are a FIXED double expression "
+    "tree (identical IEEE ops both engines), every gradient SUM "
+    "snaps its addends to exact decimals (order-independent — "
+    "partial-aggregation order can never change the result), and "
+    "each weight update decimal-snaps to 6dp before the next "
+    "iteration, so three chained iterations stay bit-identical to "
+    "DuckDB's unrolled CTEs. mse_initial vs mse_final witnesses the "
+    "loss actually dropping. Scale shape: each iteration is one scan "
+    "+ one scalar aggregate whose 1-row result broadcasts into the "
+    "next (crossJoin of a 1-row frame — no driver collect, the plan "
+    "stays lazy end-to-end); at 100 TB you cache the (x, y) "
+    "projection once and each epoch is one partial+final aggregate, "
+    "the textbook data-parallel full-batch GD.",
+)
+def linear_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.queries.common import (  # noqa: PLC0415
+        round_avg,
+    )
+
+    xy = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+
+    def snap(col):
+        return F.round(col.cast("decimal(28,12)"), 6).cast("double")
+
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1")
+    )
+    resid = (F.col("w0") + F.col("w1") * F.col("x")) - F.col("y")
+    for _ in range(_GD_ITERS):
+        g = (
+            xy.crossJoin(F.broadcast(w))
+            .agg(
+                round_avg(resid, 6, 6).alias("g0"),
+                round_avg(resid * F.col("x"), 6, 6).alias("g1"),
+            )
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            snap(F.col("w0") - F.lit(_GD_LR) * F.col("g0")).alias("w0"),
+            snap(F.col("w1") - F.lit(_GD_LR) * F.col("g1")).alias("w1"),
+        )
+    n = xy.agg(F.count(F.lit(1)).alias("n_rows"))
+    mse0 = xy.agg(round_avg(F.col("y") * F.col("y"), 6, 2).alias("mse_initial"))
+    msef = (
+        xy.crossJoin(F.broadcast(w))
+        .agg(round_avg(resid * resid, 6, 2).alias("mse_final"))
+    )
+    return (
+        w.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(mse0))
+        .crossJoin(F.broadcast(msef))
+        .select("w0", "w1", "n_rows", "mse_initial", "mse_final")
     )
