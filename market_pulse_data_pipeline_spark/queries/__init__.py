@@ -144,6 +144,7 @@ _R5_DEFER = [
     "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
     "qc_join_multiplicity", "graph_bfs_k_hop",
     "streaming_outer_join_eviction", "linear_regression_gd",
+    "skyline_pareto_parts", "quota_largest_remainder",
 ]
 
 _DRIVER_GREEN = {

@@ -635,3 +635,84 @@ def vocab_unk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_unk").cast("long"), F.count(F.lit(1)), 6
         ).alias("unk_rate"),
     )
+
+
+_QUOTA_TOTAL = 1000
+
+
+@register(
+    "quota_largest_remainder",
+    f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+    base AS (
+      SELECT lang, n_docs,
+             ({_QUOTA_TOTAL} * n_docs) // tot.n AS base_quota,
+             ({_QUOTA_TOTAL} * n_docs) % tot.n AS remainder
+      FROM counts CROSS JOIN tot
+    ),
+    short AS (
+      SELECT {_QUOTA_TOTAL} - CAST(SUM(base_quota) AS BIGINT) AS k
+      FROM base
+    )
+    SELECT lang, n_docs,
+           CAST(base_quota + CASE WHEN rn <= short.k THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM (
+      SELECT lang, n_docs, base_quota,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, lang) AS rn
+      FROM base
+    ) CROSS JOIN short
+    """,
+    doc=f"largest-remainder quota allocation: split a fixed budget of "
+    f"{_QUOTA_TOTAL} sample slots across languages proportionally to "
+    "document counts so the quotas SUM EXACTLY to the budget — the "
+    "apportionment step stratified sampling needs before it can draw "
+    "per-stratum samples (floor quotas under-allocate; naive rounding "
+    "over- or under-shoots). Pure integer arithmetic end to end: "
+    "floor quota via integer division, leftover slots handed to the "
+    "largest integer remainders (ties to lang asc) — no float ever "
+    "appears, so cross-engine exactness is structural. Scale shape: "
+    "the per-stratum count aggregate is the only data-sized step; "
+    "allocation itself runs over one row per stratum with a 1-row "
+    "budget-shortfall broadcast.",
+)
+def quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"({_QUOTA_TOTAL} * n_docs) DIV n").alias("base_quota"),
+        (F.lit(_QUOTA_TOTAL) * F.col("n_docs") % F.col("n")).alias(
+            "remainder"
+        ),
+    )
+    short = base.agg(
+        (F.lit(_QUOTA_TOTAL) - F.sum("base_quota").cast("long")).alias("k")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("remainder").desc(), "lang")
+    )
+    return (
+        base.withColumn("rn", rn)
+        .crossJoin(F.broadcast(short))
+        .select(
+            "lang",
+            "n_docs",
+            (
+                F.col("base_quota")
+                + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

@@ -680,3 +680,70 @@ def graph_bfs_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return dist
+
+
+@register(
+    "skyline_pareto_parts",
+    """
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             p_size
+      FROM part
+    )
+    SELECT p.p_partkey, p.price_c, p.p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+        AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+    )
+    """,
+    doc="SKYLINE (Pareto frontier) over parts — cheaper is better, "
+    "bigger is better: every part not dominated by another that is "
+    "at-least-as-good on both dimensions and strictly better on one. "
+    "The ORACLE is the definitional quadratic NOT EXISTS self-join; "
+    "the ENGINE computes the identical set in ONE sorted window pass "
+    "— order by price, keep rows whose size strictly exceeds the "
+    "running MAX size over all STRICTLY-cheaper rows (RANGE frame "
+    "excludes price ties) and that carry the max size within their "
+    "own price tie-group (equal (price, size) duplicates are "
+    "mutually non-dominating and both survive). The hash match "
+    "proves the O(n log n) windowed form equals the O(n²) "
+    "definition. Scale shape: the global-ordered window here is the "
+    "same one-task funnel as the serial prefix sum, fine at part-"
+    "table cardinality; when the point set outgrows one task, "
+    "running-MAX-over-price is an associative scan, so the two-phase "
+    "range-partitioned form (functions/prefix.py: per-range local "
+    "scans + O(partitions) carry-in maxima) applies verbatim — "
+    "either way no self-join ever forms. Prices snap to exact cents "
+    "through a decimal cast (double*100 truncation is not "
+    "cross-engine-safe).",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    pts = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        "p_size",
+    )
+    cheaper = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    tie = Window.partitionBy("price_c")
+    return (
+        pts.withColumn("max_size_cheaper", F.max("p_size").over(cheaper))
+        .withColumn("max_size_tie", F.max("p_size").over(tie))
+        .filter(
+            (
+                F.col("max_size_cheaper").isNull()
+                | (F.col("p_size") > F.col("max_size_cheaper"))
+            )
+            & (F.col("p_size") == F.col("max_size_tie"))
+        )
+        .select("p_partkey", "price_c", "p_size")
+    )
