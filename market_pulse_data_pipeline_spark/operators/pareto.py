@@ -1,0 +1,72 @@
+"""2-D skyline (Pareto frontier) in one sorted window pass.
+
+Dominance (minimize ``cost``, maximize ``gain``): q dominates p iff
+q.cost <= p.cost AND q.gain >= p.gain AND strictly better on at least
+one. The definitional formulation is a quadratic NOT EXISTS self-join;
+the scan form used here is O(n log n): order by cost, a point survives
+iff its gain strictly exceeds the running MAX gain over all
+STRICTLY-cheaper points (RANGE frame excludes cost ties) and it carries
+the max gain within its own cost tie-group — equal (cost, gain)
+duplicates are mutually non-dominating and all survive.
+
+Scale: the global-ordered window is a one-task funnel (fine at
+dimension-table cardinality). Running-MAX-over-cost is an associative
+scan, so past one task's capacity the two-phase range-partitioned form
+(functions/prefix.py: per-range local scans + O(partitions) carry-in
+maxima) applies verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skyline_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
+    """Rows of ``df`` on the Pareto frontier (min cost, max gain)."""
+    cheaper = Window.orderBy(cost_col).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    tie = Window.partitionBy(cost_col)
+    return (
+        df.withColumn("_sk_cheaper", F.max(gain_col).over(cheaper))
+        .withColumn("_sk_tie", F.max(gain_col).over(tie))
+        .filter(
+            (
+                F.col("_sk_cheaper").isNull()
+                | (F.col(gain_col) > F.col("_sk_cheaper"))
+            )
+            & (F.col(gain_col) == F.col("_sk_tie"))
+        )
+        .drop("_sk_cheaper", "_sk_tie")
+    )
+
+
+def largest_remainder(
+    df: DataFrame, key_col: str, count_col: str, total: int
+) -> DataFrame:
+    """Integer quotas per key, proportional to ``count_col``, summing
+    EXACTLY to ``total`` (largest-remainder apportionment; remainder
+    ties broken by key ascending). Pure integer arithmetic end to end."""
+    tot = df.agg(F.sum(count_col).cast("long").alias("_n"))
+    base = df.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        count_col,
+        F.expr(f"({total} * {count_col}) DIV _n").alias("_base"),
+        (F.lit(total) * F.col(count_col) % F.col("_n")).alias("_rem"),
+    )
+    short = base.agg(
+        (F.lit(total) - F.sum("_base").cast("long")).alias("_k")
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("_rem").desc(), key_col))
+    return (
+        base.withColumn("_rn", rn)
+        .crossJoin(F.broadcast(short))
+        .select(
+            key_col,
+            count_col,
+            (F.col("_base") + F.when(F.col("_rn") <= F.col("_k"), 1).otherwise(0))
+            .cast("long")
+            .alias("quota"),
+        )
+    )

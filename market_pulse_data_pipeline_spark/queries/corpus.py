@@ -680,39 +680,13 @@ _QUOTA_TOTAL = 1000
     "budget-shortfall broadcast.",
 )
 def quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window  # noqa: PLC0415
+    from market_pulse_data_pipeline_spark.operators.pareto import (  # noqa: PLC0415
+        largest_remainder,
+    )
 
     counts = (
         t(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
-    base = counts.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_docs",
-        F.expr(f"({_QUOTA_TOTAL} * n_docs) DIV n").alias("base_quota"),
-        (F.lit(_QUOTA_TOTAL) * F.col("n_docs") % F.col("n")).alias(
-            "remainder"
-        ),
-    )
-    short = base.agg(
-        (F.lit(_QUOTA_TOTAL) - F.sum("base_quota").cast("long")).alias("k")
-    )
-    rn = F.row_number().over(
-        Window.orderBy(F.col("remainder").desc(), "lang")
-    )
-    return (
-        base.withColumn("rn", rn)
-        .crossJoin(F.broadcast(short))
-        .select(
-            "lang",
-            "n_docs",
-            (
-                F.col("base_quota")
-                + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("quota"),
-        )
-    )
+    return largest_remainder(counts, "lang", "n_docs", _QUOTA_TOTAL)

@@ -722,7 +722,9 @@ def graph_bfs_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-engine-safe).",
 )
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window  # noqa: PLC0415
+    from market_pulse_data_pipeline_spark.operators.pareto import (  # noqa: PLC0415
+        skyline_2d,
+    )
 
     pts = t(spark, sf_dir, "part").select(
         "p_partkey",
@@ -731,19 +733,6 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_c"),
         "p_size",
     )
-    cheaper = Window.orderBy("price_c").rangeBetween(
-        Window.unboundedPreceding, -1
-    )
-    tie = Window.partitionBy("price_c")
-    return (
-        pts.withColumn("max_size_cheaper", F.max("p_size").over(cheaper))
-        .withColumn("max_size_tie", F.max("p_size").over(tie))
-        .filter(
-            (
-                F.col("max_size_cheaper").isNull()
-                | (F.col("p_size") > F.col("max_size_cheaper"))
-            )
-            & (F.col("p_size") == F.col("max_size_tie"))
-        )
-        .select("p_partkey", "price_c", "p_size")
+    return skyline_2d(pts, "price_c", "p_size").select(
+        "p_partkey", "price_c", "p_size"
     )
