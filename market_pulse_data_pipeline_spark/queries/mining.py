@@ -87,6 +87,8 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .cache()  # consumed 3x (pair gen, marginals, basket total):
+        # without it each consumer re-runs the join+collect_set shuffle
     )
     bs = F.col("bs")
     pair_arr = F.flatten(
