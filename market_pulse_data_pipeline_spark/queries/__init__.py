@@ -145,6 +145,7 @@ _R5_DEFER = [
     "qc_join_multiplicity", "graph_bfs_k_hop",
     "streaming_outer_join_eviction", "linear_regression_gd",
     "skyline_pareto_parts", "quota_largest_remainder",
+    "attribution_position_credit",
 ]
 
 _DRIVER_GREEN = {

@@ -1034,3 +1034,111 @@ def interval_merge_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("end") - F.col("start")).alias("max_interval_us"),
         F.sum("n_spans").alias("n_events"),
     )
+
+
+_ATTR_LOOKBACK_MIN = 60  # attribution lookback, minutes
+
+
+@register(
+    "attribution_position_credit",
+    f"""
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, CAST(ts AS TIMESTAMP) AS tts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    path AS (
+      SELECT c.conv_id, t.channel,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS k
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.tts < c.cts
+       AND t.tts >= c.cts - INTERVAL {_ATTR_LOOKBACK_MIN} MINUTE
+      WINDOW w AS (PARTITION BY c.conv_id ORDER BY t.tts, t.touch_id)
+    ),
+    credited AS (
+      SELECT channel,
+             CASE WHEN k = 1 THEN 1000
+                  WHEN k = 2 THEN 500
+                  WHEN rn = 1 THEN 400
+                  WHEN rn = k THEN 400
+                  ELSE 200 // (k - 2)
+                       + CASE WHEN rn = 2 THEN 200 % (k - 2) ELSE 0 END
+             END AS credit
+      FROM path
+    )
+    SELECT channel,
+           COUNT(*) AS n_touches,
+           CAST(SUM(credit) AS BIGINT) AS credit_milli
+    FROM credited
+    GROUP BY channel
+    """,
+    doc="U-shaped (position-based) multi-touch attribution — the "
+    "credit-assignment readout the funnel/Markov family stops short "
+    "of: every purchase's preceding click/view/signup touches within a "
+    f"{_ATTR_LOOKBACK_MIN}-minute lookback form an ordered path; "
+    "credit per conversion is 1000 EXACT milli-credits — 40%/40% to "
+    "first/last touch, 20% split over the middles by integer "
+    "division with the remainder pinned to the EARLIEST middle "
+    "(1-touch paths take 1000, 2-touch split 500/500). Integer "
+    "arithmetic end to end, so per-channel totals are exact and the "
+    "sum-to-1000-per-conversion invariant is hashed into the "
+    "result. Scale shape: the conv⟗touch join is per-user with a "
+    "time-bound (the streaming interval-join shape run in batch), "
+    "fan-out bounded by lookback; both windows share the conv_id "
+    "partitioning; final rollup is 3 rows.",
+)
+def attribution_position_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = conv.join(
+        touch,
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("tts") < F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"interval {_ATTR_LOOKBACK_MIN} minutes")
+        ),
+    )
+    w = Window.partitionBy("conv_id").orderBy("tts", "touch_id")
+    wk = Window.partitionBy("conv_id")
+    path = joined.select(
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, 1000)
+        .when(F.col("k") == 2, 500)
+        .when(F.col("rn") == 1, 400)
+        .when(F.col("rn") == F.col("k"), 400)
+        .otherwise(
+            F.expr("200 DIV (k - 2)")
+            + F.when(F.col("rn") == 2, F.expr("200 % (k - 2)")).otherwise(0)
+        )
+    )
+    return (
+        path.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").cast("long").alias("credit_milli"),
+        )
+    )
