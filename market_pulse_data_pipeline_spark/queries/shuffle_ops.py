@@ -239,6 +239,8 @@ def bloom_filter_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
+        .cache()  # broadcast-built 3x (one membership join per seed):
+        # without it each build re-runs the dim scan + explode + distinct
     )
     probe = t(spark, sf_dir, "orders").select(
         "o_orderkey",

@@ -89,9 +89,14 @@ _SQL_H60 = "('0x' || substring(md5({expr}), 1, 15))::BIGINT"
 )
 def kmv_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    hashes = li.select(
-        portable_hash60(F.col("l_partkey").cast("string")).alias("h")
-    ).distinct()
+    hashes = (
+        li.select(
+            portable_hash60(F.col("l_partkey").cast("string")).alias("h")
+        )
+        .distinct()
+        .cache()  # consumed twice (sketch + exact band-check): without
+        # it each consumer re-runs the scan + md5 + distinct shuffle
+    )
     kmv = (
         hashes.orderBy("h")
         .limit(_KMV_K)
