@@ -10,6 +10,11 @@ determinism helpers every hash-checked oracle rests on (queries/common):
 - interval merge: islands must partition the spans with correct
   coverage vs a pure-Python sweep (fuzzed spans incl. containment and
   touching boundaries).
+- skyline: windowed form ≡ brute-force dominance on fuzzed point sets.
+- largest-remainder: exact-total + within-1-slot proportionality on
+  fuzzed count vectors.
+- as-of join: ≡ pandas merge_asof(direction='backward') on fuzzed
+  multi-key event sets.
 """
 
 import duckdb
@@ -138,3 +143,88 @@ def test_interval_merge_matches_python_sweep(spark, spans):
         else:
             want.append([s, e, 1])
     assert got == sorted((s, e, n) for s, e, n in want)
+
+
+PTS = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),  # (cost, gain)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=PTS)
+def test_skyline_matches_bruteforce(spark, pts):
+    from market_pulse_data_pipeline_spark.operators.pareto import skyline_2d
+
+    rows = [(i, c, g) for i, (c, g) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id bigint, cost bigint, gain bigint")
+    got = sorted(r.id for r in skyline_2d(df, "cost", "gain").collect())
+    want = sorted(
+        i
+        for i, (c, g) in enumerate(pts)
+        if not any(
+            (c2 <= c and g2 >= g and (c2 < c or g2 > g))
+            for (c2, g2) in pts
+        )
+    )
+    assert got == want, (pts, got, want)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(1, 10_000), min_size=1, max_size=12),
+    total=st.integers(1, 5_000),
+)
+def test_largest_remainder_invariants(spark, counts, total):
+    from market_pulse_data_pipeline_spark.operators.pareto import (
+        largest_remainder,
+    )
+
+    rows = [(f"k{i:02d}", n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "k string, n bigint")
+    out = {r.k: r.quota for r in largest_remainder(df, "k", "n", total).collect()}
+    assert sum(out.values()) == total
+    n_tot = sum(counts)
+    for k, n in rows:
+        assert abs(out[k] - total * n / n_tot) < 1, (counts, total, out)
+
+
+EVENTS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, time)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=EVENTS, right=EVENTS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    from market_pulse_data_pipeline_spark.operators.asof import asof_join
+
+    lrows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    # asof requires the right side unique per (key, time) — dedup the
+    # generated rows the way callers must (dedup_keep_latest)
+    rmap = {}
+    for i, (k, t) in enumerate(right):
+        rmap[(k, t)] = float(i)
+    rrows = [(k, t, v) for (k, t), v in rmap.items()]
+    ldf = spark.createDataFrame(lrows, "k bigint, t bigint, lid bigint")
+    rdf = spark.createDataFrame(rrows, "k bigint, t bigint, v double")
+    got = {
+        r.lid: r.asof_v
+        for r in asof_join(
+            ldf, rdf, key="k", left_time="t", right_time="t",
+            payload_cols=["v"],
+        ).collect()
+    }
+    lpd = pd.DataFrame(lrows, columns=["k", "t", "lid"]).sort_values("t")
+    rpd = pd.DataFrame(rrows, columns=["k", "t", "v"]).sort_values("t")
+    m = pd.merge_asof(lpd, rpd, on="t", by="k", direction="backward")
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else r.v) for r in m.itertuples()
+    }
+    assert got == want, (lrows, rrows, got, want)
