@@ -228,3 +228,40 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         int(r.lid): (None if pd.isna(r.v) else r.v) for r in m.itertuples()
     }
     assert got == want, (lrows, rrows, got, want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(CENTS, min_size=1, max_size=120),
+       nranges=st.sampled_from([1, 3, 8]))
+def test_two_phase_prefix_sum_matches_serial(spark, vals, nranges):
+    from pyspark.sql import Window
+
+    from market_pulse_data_pipeline_spark.functions.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, "event_id int, vc long")
+    col = (F.col("vc").cast("decimal(18,2)") / 100).cast("double")
+    sdf = sdf.withColumn("value", col)
+    got = {
+        r.event_id: r.running_total
+        for r in partitioned_prefix_sum(
+            sdf, ["event_id"], F.col("value"), n_ranges=nranges
+        ).collect()
+    }
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.event_id: r.rt
+        for r in sdf.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .over(w)
+            .alias("rt"),
+        ).collect()
+    }
+    # both sides are exact decimal accumulations → must agree exactly
+    assert {k: float(v) for k, v in got.items()} == {
+        k: float(v) for k, v in want.items()
+    }, (vals, nranges)
