@@ -99,6 +99,83 @@ def kmeans(
     )
 
 
+SNAP_SCALE = 1_000_000
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark's ``DIV`` and DuckDB's ``//`` implement (Python's ``//``
+    floors, which differs on negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _assign_udf_snapped(centroids: "np.ndarray"):
+    c = centroids  # int64 (k, dim); captured, ships with the UDF
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.int64)  # (batch, dim)
+        # argmin ||x-c||² == argmin(-2 x·c + ||c||²); pure int64 — exact
+        # (|q| ≤ scale, so every term is far below 2^63)
+        d2 = -2 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_snapped(
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SNAP_SCALE,
+) -> DataFrame:
+    """Integer-snapped Lloyd's k-means: vectors quantize to
+    ``round(x * scale)`` int64s, distances and centroid updates are pure
+    integer arithmetic (centroid = coordinate-sum DIV count, truncating
+    toward zero), so every iteration is bit-identical across engines
+    and the whole fit is expressible as unrolled ANSI-SQL CTEs — the
+    ``linear_regression_gd`` pattern applied to clustering, giving the
+    registry's k-means rows a full value-hash DuckDB oracle instead of
+    a rows-only check.
+
+    Same 100 TB shape as ``kmeans``: k×dim driver-side centroid state,
+    Arrow-batched int64 matmul assignment, per-iteration shuffle of at
+    most k×dim aggregate cells; ties break toward the lower cluster id
+    and empty clusters keep their previous centroid.
+    """
+    src = emb.select(
+        id_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("v"),
+    )
+    init = src.orderBy(id_col).limit(k).collect()  # bounded: k vectors
+    centroids = np.array([r["v"] for r in init], dtype=np.int64)
+    for _ in range(iters):
+        assigned = src.withColumn(
+            "cluster", _assign_udf_snapped(centroids)("v")
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # bounded: k*dim rows
+        new_c = centroids.copy()
+        for r in sums:
+            new_c[r["cluster"], r["pos"]] = _trunc_div(
+                int(r["s"]), int(r["n"])
+            )
+        centroids = new_c
+    return src.withColumn(
+        "cluster", _assign_udf_snapped(centroids)("v")
+    ).select(id_col, "cluster")
+
+
 def pq_train(
     emb: DataFrame,
     m: int = 8,

@@ -65,14 +65,25 @@ def documents_to_media(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes, media_type: str, feat_dim: int) -> dict:
     """Deterministic stand-in for a codec: features from a SHA-256 keyed
-    byte expansion; 'dimensions' from payload length."""
-    digest = hashlib.sha256(payload or b"").digest()
+    byte expansion; 'dimensions' from payload length.
+
+    The expansion chains over HEX STRINGS (``hexdigest`` + an ASCII
+    counter), not raw digests, so every hash input is plain ASCII and an
+    ANSI-SQL engine whose sha256() takes VARCHAR (DuckDB) can reproduce
+    the exact feature bytes — that is what lets the registry's
+    ``media_decode_features`` row carry a full value-hash oracle for the
+    distributed plumbing rather than a rows-only check.
+    """
+    digest_hex = hashlib.sha256(payload or b"").hexdigest()
     feats = []
     counter = 0
-    raw = b""
     while len(feats) < feat_dim:
-        raw = hashlib.sha256(digest + counter.to_bytes(4, "big")).digest()
-        feats.extend(b / 255.0 for b in raw)
+        raw = hashlib.sha256(
+            f"{digest_hex}:{counter}".encode("ascii")
+        ).hexdigest()
+        feats.extend(
+            int(raw[i : i + 2], 16) / 255.0 for i in range(0, 64, 2)
+        )
         counter += 1
     n = len(payload or b"")
     return {
@@ -162,21 +173,25 @@ def _fake_resize(payload: bytes, w: int, h: int) -> dict:
     """Deterministic stand-in for an image resize: the 'resized payload'
     is a SHA-keyed expansion sized to the target pixel count, so output
     bytes depend on (source bytes, target dims) exactly like a real
-    resample would."""
+    resample would.
+
+    Like ``_fake_decode``, the chaining stays in the HEX-STRING domain
+    (ASCII inputs only) so DuckDB's VARCHAR-only sha256() reproduces
+    ``resized_sha`` exactly — the ``media_resize`` registry row
+    hash-checks the full mapInPandas plumbing against that SQL twin.
+    """
     n = len(payload or b"")
-    digest = hashlib.sha256(
-        hashlib.sha256(payload or b"").digest()
-        + b"resize"
-        + w.to_bytes(4, "big")
-        + h.to_bytes(4, "big")
-    ).digest()
+    digest_hex = hashlib.sha256(payload or b"").hexdigest()
+    key = hashlib.sha256(
+        f"{digest_hex}:resize:{w}x{h}".encode("ascii")
+    ).hexdigest()
     target_len = max(1, (w * h) // 64)
-    out = (digest * (target_len // len(digest) + 1))[:target_len]
+    out = (key * (target_len // len(key) + 1))[:target_len]
     return {
         "src_width": (n % 640) + 16,  # mirrors _fake_decode's dims
         "src_height": (n % 480) + 16,
         "resized_len": len(out),
-        "resized_sha": hashlib.sha256(out).hexdigest(),
+        "resized_sha": hashlib.sha256(out.encode("ascii")).hexdigest(),
     }
 
 

@@ -20,10 +20,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def skyline_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
-    """Rows of ``df`` on the Pareto frontier (min cost, max gain)."""
+    """Rows of ``df`` on the Pareto frontier (min cost, max gain).
+
+    ``cost_col`` MUST be an integral type: the strictly-cheaper frame is
+    ``RANGE BETWEEN UNBOUNDED PRECEDING AND -1``, whose -1 offset means
+    "cost - 1" — exactly the strictly-cheaper set only when costs are
+    integers. A fractional cost in (cost-1, cost) would be silently
+    excluded and dominated points would survive. Callers with
+    double/decimal costs must pre-scale to integer units (cents,
+    micro-units) — as every call site in queries/ does.
+    """
+    cost_type = df.schema[cost_col].dataType
+    if not isinstance(cost_type, _INTEGRAL):
+        raise TypeError(
+            f"skyline_2d requires an integral cost column; {cost_col} is "
+            f"{cost_type.simpleString()}. Pre-scale to integer units "
+            "(e.g. cents) before calling."
+        )
     cheaper = Window.orderBy(cost_col).rangeBetween(
         Window.unboundedPreceding, -1
     )
@@ -47,13 +66,35 @@ def largest_remainder(
 ) -> DataFrame:
     """Integer quotas per key, proportional to ``count_col``, summing
     EXACTLY to ``total`` (largest-remainder apportionment; remainder
-    ties broken by key ascending). Pure integer arithmetic end to end."""
+    ties broken by key ascending). Pure integer arithmetic end to end.
+
+    Degenerate cases: an empty ``df`` returns no rows; when
+    SUM(count_col) is 0 (all-zero counts) every proportional base is
+    defined as 0 — integer DIV/% by zero would otherwise yield NULL and
+    silently break the exact-sum contract — and the whole ``total`` is
+    distributed via the remainder pass, one unit per key ascending
+    (all-equal remainders, the tiebreak order). ``count_col`` is
+    re-aliased internally, so arbitrary column names (including ones
+    needing quoting) are safe — no name is interpolated into SQL text.
+    """
+    if not isinstance(total, int) or total < 0:
+        raise ValueError(f"total must be a non-negative int, got {total!r}")
     tot = df.agg(F.sum(count_col).cast("long").alias("_n"))
-    base = df.crossJoin(F.broadcast(tot)).select(
-        key_col,
-        count_col,
-        F.expr(f"({total} * {count_col}) DIV _n").alias("_base"),
-        (F.lit(total) * F.col(count_col) % F.col("_n")).alias("_rem"),
+    base = (
+        df.select(key_col, F.col(count_col).alias("_cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            F.col("_cnt").alias(count_col),
+            F.coalesce(
+                # total is a validated int literal, _cnt/_n internal
+                # aliases — nothing user-supplied reaches the SQL text
+                F.expr(f"({total} * _cnt) DIV _n"), F.lit(0)
+            ).alias("_base"),
+            F.coalesce(
+                F.lit(total) * F.col("_cnt") % F.col("_n"), F.lit(0)
+            ).alias("_rem"),
+        )
     )
     short = base.agg(
         (F.lit(total) - F.sum("_base").cast("long")).alias("_k")

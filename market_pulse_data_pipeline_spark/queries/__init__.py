@@ -39,70 +39,22 @@ from market_pulse_data_pipeline_spark.queries import mining  # noqa: F401, E402
 # The driver's correctness harness snapshots exactly the FIRST 50
 # entries of queries() in iteration order, so queries that have never
 # received a driver-witnessed row must register ahead of the
-# already-witnessed ones. all_queries() orders: (0) the round-4 priority
-# list below, (1) other never-witnessed queries in registration order,
-# (2) queries deferred to round 5, (3) driver-green rows. As rows turn
+# already-witnessed ones. all_queries() orders: (0) the round-5 window
+# below, (1) any other never-witnessed query in registration order,
+# (2) queries deferred to round 6, (3) driver-green rows. As rows turn
 # green in CORRECTNESS_r{N}, move them into _DRIVER_GREEN so the window
 # rotates to whatever is still unwitnessed.
 #
-# Round-4 priority (VERDICT.md round 3 "Next round" #1 and #3):
-# sessionization at slot 1 (red for three rounds; oracle HUGEINT->BIGINT
-# cast landed this round), then the four queries that carried the same
-# latent oracle bug (fixed in the same commit), then the CDC family
-# (zero driver rows so far), the sketch suite, and the indicator suite.
-_R4_PRIORITY = [
-    "sessionization",
-    # same latent HUGEINT->float64 oracle bug, fixed alongside it
-    "running_distinct_event_types",
-    "hourly_activity_bitmask",
-    "source_mixture_weights",
-    "table_fingerprint_orders",
-    # CDC family — zero driver rows before this round
-    "cdc_version_diff",
-    "cdc_apply_changes",
-    "streaming_cdc_apply",
-    # sketch suite
-    "kmv_distinct_partkeys",
-    "countmin_user_freq",
-    "weighted_sample_per_lang",
-    "kmv_join_cardinality_estimate",
-    # indicator / window-analytics suite (max_drawdown_summary carries
-    # this round's NULLS LAST fix — witness it)
-    "ewma_value_10tap",
-    "rolling_drawdown",
-    "range_frame_7day_revenue",
-    "vwap_per_part",
-    "bollinger_bands_20d",
-    "twap_value_per_user",
-    "rsi_14_daily_revenue",
-    "max_drawdown_summary",
-    "ohlc_multi_granularity",
-    "autocorr_lag1_daily_revenue",
-    "cusum_changepoint_by_supplier",
-    "beta_vs_market_by_supplier",
-    "quantile_normalize_value",
-]
-
-# Deferred to the round-5 window: more oracled-unwitnessed queries than
-# free slots, so the tail of the registration order waits (25 tier-1
-# slots go FIFO to the earliest-registered unwitnessed queries not
-# already in _R4_PRIORITY). We defer (a) the rows-only queries — their
-# driver row is the weaker rows-only check, so they must not consume
-# hash-checked slots (tests/test_window_composition.py enforces this) —
-# and (b) the oracled queries below (registration-order tail plus every
-# round-4 session addition). Any query ADDED during round 4 must be
-# appended here so it cannot displace the verified window composition
-# (the round-3 lesson, guarded by the same test). See ROUND_NOTES.md
-# "Round-5 window plan" for the burn-down arithmetic.
-_R5_DEFER = [
-    # rows-only (no oracle)
-    "minhash_lsh_near_dups", "simhash_near_dups", "ann_lsh_topk",
-    "embedding_near_dups", "media_decode_features",
-    "ann_ivf_topk", "media_resize",
-    "bpe_learned_merges", "embedding_kmeans_clusters",
-    "embedding_kmeans_sizes", "embedding_pca_project",
-    "pq_encode_embeddings", "ann_pq_adc_topk",
-    # oracled, waiting for round-5 slots (registration-order tail)
+# Round-5 window (VERDICT.md round 4 "Next round" #1): the first 50
+# oracled queries of the round-4 deferral list in its original order
+# (head: text_pii_redact). This exact composition was pre-simulated in
+# round 4 and passes both the dtype-aware local gate
+# (tools/check_oracle.py) and the hostile gate (tools/hostile_check.py,
+# bare session + America/New_York process tz). It includes the four
+# shuffle-discipline queries (salted_skew_aggregate,
+# bucketed_join_colocated, bloom_filter_prejoin, compaction_roundtrip —
+# VERDICT item 6, the 100 TB layout-path proof rows).
+_R5_PRIORITY = [
     "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
     "scd2_user_event_type_history", "dedup_fuzzy_blocked",
     "k_anonymity_check", "benford_first_digit_audit",
@@ -115,32 +67,50 @@ _R5_DEFER = [
     "udtf_split_sentences", "incremental_agg_maintenance",
     "calendar_gapfill_ffill", "pointer_swap_time_travel",
     "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
-    "zorder_locality_boxes", "bigram_fluency_score",
-    # oracle added in round 4 (was rows-only): integer-exact window
-    # stats replace float RMS in the query output
-    "media_audio_windows",
-    # round-4 session additions (deferred so they cannot displace the
-    # verified round-4 window — the round-3 lesson)
+    "zorder_locality_boxes", "bigram_fluency_score", "media_audio_windows",
     "array_setops_user_events", "higher_order_array_suite",
     "sql_scalar_udf_params", "sql_table_function_orders",
     "salted_skew_aggregate", "bucketed_join_colocated",
-    "bloom_filter_prejoin", "compaction_roundtrip",
-    "basket_lift_pairs", "triangle_count_parts", "split_leakage_safe",
-    "unpivot_nation_metrics", "sql_recursive_cte", "xml_parse_roundtrip",
-    "hll_sketch_mergeability", "mad_robust_outliers",
-    "cogroup_signup_purchase_counts", "event_sequence_pattern_match",
-    "peak_concurrency_sweep", "streaming_session_window",
-    "collation_case_insensitive_group", "try_functions_suite",
-    "salted_replicate_join", "hashed_linear_quality_score",
-    "mixture_epoch_expansion", "watermark_delay_estimate",
-    "prefix_sum_two_phase", "simhash_portable",
-    # converted from rows-only to a band-contract oracle in round 4
-    "ann_recall_at_10",
-    "tick_rule_trade_signs", "label_propagation_communities",
-    "scd2_point_in_time_join", "qc_profile_drift",
-    "sql_pipe_syntax", "pandas_api_groupby", "python_datasource_stream",
-    "m4_downsample", "calendar_interpolate_linear", "ab_test_proportions",
-    # round-4 session-3 additions (same deferral discipline)
+    "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
+    "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
+    "sql_recursive_cte", "xml_parse_roundtrip", "hll_sketch_mergeability",
+    "mad_robust_outliers", "cogroup_signup_purchase_counts",
+    "event_sequence_pattern_match", "peak_concurrency_sweep",
+    "streaming_session_window", "collation_case_insensitive_group",
+]
+
+# Round-6 window (committed now — VERDICT round-4 item 3): after the
+# round-5 rotation lands, the remaining backlog is exactly these 32
+# oracled queries + the 9 rows-only queries below + the six-row §2
+# reference-chain re-witness (weekly_rollup, dim_case_mapping,
+# derived_metrics, keyed_upsert, qc_not_null_violations,
+# qc_anti_join_orphans — re-promoted out of _DRIVER_GREEN in the
+# round-6 commit) = 47 of 50 slots, zeroing the ledger. Any query
+# ADDED during round 5 (≤3, VERDICT item 2) must be appended HERE so
+# it cannot displace the verified round-5 window
+# (tests/test_window_composition.py enforces the composition).
+_R6_DEFER = [
+    # rows-only (no SQL oracle by nature; driver row = weaker
+    # rows-only check, so they wait for the ledger-closing round)
+    "minhash_lsh_near_dups", "simhash_near_dups", "ann_lsh_topk",
+    "embedding_near_dups", "ann_ivf_topk",
+    "bpe_learned_merges", "embedding_pca_project",
+    "pq_encode_embeddings", "ann_pq_adc_topk",
+    # converted rows-only → full value-hash oracles in round 5
+    # (VERDICT item 5): hex-chained stub codecs let DuckDB recompute
+    # the media plumbing bytes; kmeans_snapped makes Lloyd's
+    # bit-identical across engines via integer-scaled arithmetic
+    "media_decode_features", "media_resize",
+    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
+    # oracled, waiting for round-6 slots (original deferral order)
+    "try_functions_suite", "salted_replicate_join",
+    "hashed_linear_quality_score", "mixture_epoch_expansion",
+    "watermark_delay_estimate", "prefix_sum_two_phase", "simhash_portable",
+    "ann_recall_at_10", "tick_rule_trade_signs",
+    "label_propagation_communities", "scd2_point_in_time_join",
+    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
+    "python_datasource_stream", "m4_downsample",
+    "calendar_interpolate_linear", "ab_test_proportions",
     "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
     "qc_join_multiplicity", "graph_bfs_k_hop",
     "streaming_outer_join_eviction", "linear_regression_gd",
@@ -149,9 +119,30 @@ _R5_DEFER = [
 ]
 
 _DRIVER_GREEN = {
-    # CORRECTNESS_r03.json — 49 green rows (sessionization is the one
-    # red and is deliberately NOT listed: its fixed oracle needs a
-    # fresh driver row at slot 1).
+    # CORRECTNESS_r04.json — 50/50 green (the first fully green round).
+    "sessionization", "running_distinct_event_types",
+    "hourly_activity_bitmask", "source_mixture_weights",
+    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
+    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
+    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
+    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
+    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
+    "rsi_14_daily_revenue", "max_drawdown_summary",
+    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
+    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
+    "quantile_normalize_value", "kwic_concordance",
+    "dedup_survivor_policy", "dedup_prefix_filter_join",
+    "matryoshka_truncation_quality", "contrastive_negative_sampling",
+    "event_type_transition_matrix", "funnel_multi_step",
+    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
+    "rank_functions_suite", "grouping_sets_flags",
+    "profile_columns_lineitem", "skew_heavy_hitters",
+    "streaming_dedup_watermark", "streaming_interval_join_attribution",
+    "streaming_stateful_user_stats", "streaming_static_enrich",
+    "vocab_top_tokens", "cross_corpus_dedup_exact", "doc_chunking",
+    "mixture_rebalanced_sample", "bernoulli_sample_hash",
+    "corpus_pipeline_end_to_end", "corpus_quality_filter",
+    # CORRECTNESS_r03.json — 49 green rows.
     "event_hourly_windows", "event_sliding_windows",
     "dedup_cluster_assignment", "market_pulse_end_to_end",
     "minhash_lsh_portable", "asof_join_latest_anchor",
@@ -203,12 +194,12 @@ _DRIVER_GREEN = {
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
-    Tiers: (0) round-4 priority queries, (1) other
-    never-driver-witnessed queries in registration order, (2) queries
-    deferred to round 5's window, (3) driver-green rows (r2 + r3).
+    Tiers: (0) round-5 window, (1) other never-driver-witnessed
+    queries in registration order, (2) queries deferred to round 6,
+    (3) driver-green rows (r2 + r3 + r4).
     """
-    prio_rank = {n: i for i, n in enumerate(_R4_PRIORITY)}
-    defer = set(_R5_DEFER)
+    prio_rank = {n: i for i, n in enumerate(_R5_PRIORITY)}
+    defer = set(_R6_DEFER)
 
     def tier(n: str) -> tuple:
         if n in prio_rank:
@@ -220,5 +211,5 @@ def all_queries():
         return (1, 0)
 
     names = sorted(QUERY_REGISTRY, key=lambda n: (tier(n),))
-    # sorted() is stable → registration order preserved within a tier
+    # sorted() is stable -> registration order preserved within a tier
     return {n: QUERY_REGISTRY[n] for n in names}

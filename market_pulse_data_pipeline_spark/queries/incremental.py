@@ -544,9 +544,15 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("valid_from_us"),
     )
     # at equal timestamps the version row must precede the probe
-    # (valid_from is inclusive), hence is_probe in the sort key
+    # (valid_from is inclusive), hence is_probe in the sort key.
+    # version breaks ties BETWEEN version rows sharing a valid_from_us
+    # (a ts-tie state change yields an empty [t, t) interval for the
+    # earlier version): the later version must sort last so
+    # last(ignoreNulls) carries it — the oracle's interval join gives
+    # the empty interval no probes. event_id is NULL on version rows,
+    # so without version the tie order would be nondeterministic.
     mw = Window.partitionBy("user_id").orderBy(
-        "t_us", "is_probe", "event_id"
+        "t_us", "is_probe", "version", "event_id"
     ).rowsBetween(Window.unboundedPreceding, 0)
     merged = v_side.unionByName(p_side).select(
         "user_id",

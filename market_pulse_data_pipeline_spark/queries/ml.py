@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.functions.clustering import (
-    kmeans,
+    SNAP_SCALE,
+    kmeans_snapped,
     pca_project,
 )
 from market_pulse_data_pipeline_spark.functions.graph import (
@@ -30,32 +31,115 @@ _K = 10
 _ITERS = 5
 
 
+def _kmeans_oracle_sql(final: str) -> str:
+    """Unrolled-iteration DuckDB twin of kmeans_snapped: integer-scaled
+    Lloyd's is exactly expressible as chained CTEs — one
+    (distance, argmin-assign, centroid-update) triple per iteration,
+    with empty clusters kept via LEFT JOIN + COALESCE and centroid
+    updates as truncating integer division (DuckDB // == Spark DIV).
+    ``final`` is the SELECT over a{N+1}, the assignment under the final
+    centroids."""
+    parts = [
+        f"""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {SNAP_SCALE}) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    pu AS (
+      SELECT vec_id, i AS pos, v[i + 1] AS qv
+      FROM p CROSS JOIN (SELECT UNNEST(range(0, {_DIM})) AS i) idx
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (PARTITION BY pos ORDER BY vec_id) - 1
+                  AS INTEGER) AS cid,
+             pos, qv AS val
+      FROM pu
+      WHERE vec_id IN (SELECT vec_id FROM p ORDER BY vec_id LIMIT {_K})
+    )"""
+    ]
+    for i in range(1, _ITERS + 2):  # last pass assigns only
+        parts.append(
+            """,
+    d%(i)d AS (
+      SELECT pu.vec_id, c.cid,
+             SUM((pu.qv - c.val) * (pu.qv - c.val)) AS dist
+      FROM pu JOIN c%(prev)d c ON pu.pos = c.pos
+      GROUP BY pu.vec_id, c.cid
+    ),
+    a%(i)d AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d%(i)d) WHERE rn = 1
+    )"""
+            % {"i": i, "prev": i - 1}
+        )
+        if i <= _ITERS:
+            parts.append(
+                """,
+    s%(i)d AS (
+      SELECT a.cid, pu.pos, SUM(pu.qv) AS s, COUNT(*) AS n
+      FROM a%(i)d a JOIN pu ON pu.vec_id = a.vec_id
+      GROUP BY a.cid, pu.pos
+    ),
+    c%(i)d AS (
+      SELECT c.cid, c.pos, COALESCE(s.s // s.n, c.val) AS val
+      FROM c%(prev)d c
+      LEFT JOIN s%(i)d s ON s.cid = c.cid AND s.pos = c.pos
+    )"""
+                % {"i": i, "prev": i - 1}
+            )
+    parts.append(final % {"a": f"a{_ITERS + 1}"})
+    return "".join(parts)
+
+
 @register(
     "embedding_kmeans_clusters",
-    None,  # iterative — not SQL-expressible; exactness via pytest twin
+    _kmeans_oracle_sql(
+        """
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster
+    FROM %(a)s ORDER BY vec_id
+    """
+    ),
     doc="Lloyd's k-means (k=10, 5 iterations, deterministic first-k "
     "init) over the embedding column: driver-side state is k×dim "
-    "centroid floats, assignment is an Arrow-batched matmul, the "
+    "centroid ints, assignment is an Arrow-batched int64 matmul, the "
     "update shuffle carries k×dim partial cells per partition — row "
-    "count never crosses the driver. functions/clustering.py.",
+    "count never crosses the driver. Converted rows-only → full "
+    "value-hash oracle in round 5 via kmeans_snapped "
+    "(functions/clustering.py): integer-scaled vectors + truncating-"
+    "division centroid updates make every iteration bit-identical "
+    "across engines, so the DuckDB twin unrolls the fit as chained "
+    "CTEs (the linear_regression_gd pattern).",
 )
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    out = kmeans(emb, k=_K, iters=_ITERS)
+    out = kmeans_snapped(emb, k=_K, iters=_ITERS)
     return out.orderBy("vec_id")
 
 
 @register(
     "embedding_kmeans_sizes",
-    None,
-    doc="cluster cardinality + within-cluster mean distance to "
-    "centroid for the same k-means fit — the convergence diagnostic a "
-    "pipeline monitors. Same bounded-state shape; the per-cluster "
-    "aggregate is relational.",
+    _kmeans_oracle_sql(
+        """
+    SELECT CAST(cid AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS INTEGER) AS n
+    FROM %(a)s GROUP BY cid ORDER BY cluster
+    """
+    ),
+    doc="cluster cardinality for the same (integer-snapped) k-means "
+    "fit — the convergence diagnostic a pipeline monitors. Same "
+    "bounded-state shape; the per-cluster aggregate is relational. "
+    "Converted rows-only → full value-hash oracle in round 5 "
+    "(unrolled-CTE DuckDB twin of kmeans_snapped).",
 )
 def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    out = kmeans(emb, k=_K, iters=_ITERS)
+    out = kmeans_snapped(emb, k=_K, iters=_ITERS)
     return (
         out.groupBy("cluster")
         .agg(F.count(F.lit(1)).cast("int").alias("n"))

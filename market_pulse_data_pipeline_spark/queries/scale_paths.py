@@ -295,25 +295,62 @@ def market_pulse_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_decode_features",
-    None,
+    # Full value-hash oracle for the decode PLUMBING: the stub codec
+    # chains sha256 over hex strings (functions/multimodal.py
+    # _fake_decode), so DuckDB recomputes the exact feature bytes —
+    # byte_i = hexpair_i of sha256(sha256(payload_text) || ':0').
+    # The query emits the bytes as a csv string (array columns cannot
+    # cross the driver's pandas canonicalizer) — 16 exact integers per
+    # row, pinning every Arrow batch byte-for-byte.
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+             sha256(sha256(text) || ':0') AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT media_id, media_type,
+           CASE WHEN media_type IN ('image','video')
+                THEN CAST((n % 640) + 16 AS INTEGER) END AS width,
+           CASE WHEN media_type IN ('image','video')
+                THEN CAST((n % 480) + 16 AS INTEGER) END AS height,
+           CASE WHEN media_type IN ('audio','video')
+                THEN CAST((n % 120) + 1 AS INTEGER)
+                ELSE CAST(1 AS INTEGER) END AS n_frames,
+           array_to_string(
+             list_transform(range(0, 16), i ->
+               CAST((strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1)
+                      * 16
+                    + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)
+                    AS VARCHAR)),
+             ',') AS feature_csv
+    FROM media
+    """,
     doc="multimodal decode plumbing: binary → feature vector + dims via "
-    "Arrow-batched mapInPandas (deterministic stub codec) — rows-only",
+    "Arrow-batched mapInPandas (deterministic stub codec, hex-chained "
+    "sha256 so the SQL twin recomputes the exact bytes). Converted "
+    "rows-only → full value-hash oracle in round 5: the csv column pins "
+    "all 16 feature bytes of every row.",
 )
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_to_media(t(spark, sf_dir, "documents"))
     decoded = decode_media(media, feat_dim=16)
+    # feature values are byte/255.0; x*255 rounds back to the exact
+    # byte (error ~1e-13 << 0.5), emitted as csv for hashability
     return decoded.select(
         "media_id",
         "media_type",
         "width",
         "height",
         "n_frames",
-        F.round(
-            F.aggregate(
-                "feature", F.lit(0.0), lambda acc, x: acc + x
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.round(x * 255).cast("int").cast("string"),
             ),
-            6,
-        ).alias("feature_sum"),
+            ",",
+        ).alias("feature_csv"),
     )
 
 
@@ -501,13 +538,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_resize",
-    None,
+    # Full value-hash oracle for the resize PLUMBING (hex-chained stub
+    # codec, functions/multimodal.py _fake_resize): key =
+    # sha256(sha256(payload_text) || ':resize:32x32'); the 'resized
+    # payload' is key repeated to target_len = 32*32//64 = 16 chars,
+    # i.e. substr(key, 1, 16); resized_sha = sha256 of that string.
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+             text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT media_id, media_type,
+           CAST((n % 640) + 16 AS INTEGER) AS src_width,
+           CAST((n % 480) + 16 AS INTEGER) AS src_height,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(16 AS INTEGER) AS resized_len,
+           sha256(substr(sha256(sha256(text) || ':resize:32x32'), 1, 16))
+             AS resized_sha
+    FROM media WHERE media_type IN ('image', 'video')
+    """,
     doc="multimodal resize plumbing: image/video payloads to a fixed "
     "32x32 target via Arrow-batched mapInPandas (deterministic stub "
     "codec — container has no PIL; the 'resized' bytes are a SHA-keyed "
     "expansion sized to the target pixel count). Audio rows are pruned "
-    "JVM-side before any byte ships to Python. Rows-only, like the "
-    "decode twin; determinism pytest-pinned.",
+    "JVM-side before any byte ships to Python. Converted rows-only → "
+    "full value-hash oracle in round 5: the hex-chained stub lets the "
+    "SQL twin recompute resized_sha exactly for every row.",
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.multimodal import (  # noqa: PLC0415
@@ -617,8 +676,13 @@ def _portable_simhash_sql() -> str:
     ), sig AS (
       SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sim FROM hsrc
     ), chunks AS (
-      SELECT doc_id, sim, c, (sim >> (8 * c)) & 255 AS cv
-      FROM sig, UNNEST([0, 1, 2, 3]) AS u(c)
+      -- chunk indices and width generated from _SH_CHUNKS/_SH_BITS so
+      -- the oracle cannot desynchronize from the Spark twin if the
+      -- parameters change
+      SELECT doc_id, sim, c,
+             (sim >> ({_SH_BITS // _SH_CHUNKS} * c))
+               & {(1 << (_SH_BITS // _SH_CHUNKS)) - 1} AS cv
+      FROM sig, UNNEST([{", ".join(map(str, range(_SH_CHUNKS)))}]) AS u(c)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a,
                       b.doc_id AS doc_b, b.sim AS sim_b
@@ -692,7 +756,13 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.lit(_SH_CHUNKS - 1))
         ).alias("c"),
-    ).withColumn("cv", F.expr("shiftright(sim, c * 8) & 255"))
+    ).withColumn(
+        "cv",
+        F.expr(
+            f"shiftright(sim, c * {_SH_BITS // _SH_CHUNKS}) "
+            f"& {(1 << (_SH_BITS // _SH_CHUNKS)) - 1}"
+        ),
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

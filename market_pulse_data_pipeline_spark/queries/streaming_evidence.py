@@ -542,15 +542,20 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
     ), flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
+      -- the running sum orders by the SAME (ts, event_id) tiebreak as
+      -- the lag window above: under per-user ts ties a ROWS frame
+      -- ordered by ts alone is nondeterministic and could place an
+      -- is_new=1 row differently, splitting sessions differently
       SELECT user_id, ts,
-             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )

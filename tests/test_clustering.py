@@ -65,6 +65,48 @@ def test_kmeans_all_clusters_nonempty(emb):
     assert all(r["count"] > 0 for r in sizes)
 
 
+def numpy_kmeans_snapped(
+    x: np.ndarray, k: int, iters: int, scale: int
+) -> np.ndarray:
+    """Pure-int replay of kmeans_snapped: quantize, exact int64
+    distances, truncating-division centroid updates."""
+    # half-away-from-zero, matching Spark's HALF_UP round() and
+    # DuckDB's round() (np.round would use half-to-even)
+    v = x * scale
+    q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    c = q[:k].copy()
+    for _ in range(iters):
+        d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for ci in range(k):
+            members = q[a == ci]
+            if len(members):
+                s = members.sum(axis=0)
+                n = len(members)
+                tdiv = np.abs(s) // n
+                c[ci] = np.where(s >= 0, tdiv, -tdiv)
+    d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def test_kmeans_snapped_matches_int_replay_exactly(spark, emb, emb_np):
+    """The oracle-bearing variant: BIT-identical to a pure-integer
+    replay — no float tolerance anywhere (this is the property that
+    lets embedding_kmeans_clusters/_sizes carry a DuckDB value-hash
+    oracle)."""
+    from market_pulse_data_pipeline_spark.functions.clustering import (
+        SNAP_SCALE,
+        kmeans_snapped,
+    )
+
+    ids, x = emb_np
+    expected = numpy_kmeans_snapped(x, k=5, iters=3, scale=SNAP_SCALE)
+    got_rows = kmeans_snapped(emb, k=5, iters=3).orderBy("vec_id").collect()
+    got = np.array([r.cluster for r in got_rows])
+    assert np.array_equal(ids, np.array([r.vec_id for r in got_rows]))
+    assert np.array_equal(got, expected)
+
+
 def test_pca_components_match_numpy(emb, emb_np):
     _, x = emb_np
     comp, mean = pca_components(emb, dim=x.shape[1], n_components=2)

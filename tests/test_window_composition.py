@@ -10,34 +10,40 @@ queries in), update EXPECTED_WINDOW alongside queries/__init__.py in
 the same commit.
 """
 
-from market_pulse_data_pipeline_spark.queries import all_queries
+from market_pulse_data_pipeline_spark.queries import (
+    _R6_DEFER,
+    QUERY_REGISTRY,
+    all_queries,
+)
 
-# Round-4 rotation: sessionization re-witnessed at slot 1 (oracle
-# HUGEINT fix), the four same-bug queries, CDC family, sketch suite,
-# indicator suite, then FIFO registration-order unwitnessed queries.
+# Round-5 rotation: the first 50 oracled queries of the round-4
+# deferral list in its original order — the exact window pre-simulated
+# and double-gated (dtype-aware + hostile) in round 4. Includes the
+# four shuffle-discipline rows (salted/bucketed/bloom/compaction).
 EXPECTED_WINDOW = [
-    "sessionization", "running_distinct_event_types",
-    "hourly_activity_bitmask", "source_mixture_weights",
-    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
-    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
-    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
-    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
-    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
-    "rsi_14_daily_revenue", "max_drawdown_summary",
-    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
-    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
-    "quantile_normalize_value", "kwic_concordance",
-    "dedup_survivor_policy", "dedup_prefix_filter_join",
-    "matryoshka_truncation_quality", "contrastive_negative_sampling",
-    "event_type_transition_matrix", "funnel_multi_step",
-    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
-    "rank_functions_suite", "grouping_sets_flags",
-    "profile_columns_lineitem", "skew_heavy_hitters",
-    "streaming_dedup_watermark", "streaming_interval_join_attribution",
-    "streaming_stateful_user_stats", "streaming_static_enrich",
-    "vocab_top_tokens", "cross_corpus_dedup_exact", "doc_chunking",
-    "mixture_rebalanced_sample", "bernoulli_sample_hash",
-    "corpus_pipeline_end_to_end", "corpus_quality_filter",
+    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
+    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
+    "k_anonymity_check", "benford_first_digit_audit",
+    "chi2_independence_lang_source", "format_roundtrip_orc",
+    "format_roundtrip_csv", "format_roundtrip_jsonl",
+    "partitioned_write_readback", "schema_evolution_read",
+    "pagerank_user_event_graph", "centroid_classifier_confusion",
+    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
+    "sql_registered_udf", "sql_lateral_top2_orders",
+    "udtf_split_sentences", "incremental_agg_maintenance",
+    "calendar_gapfill_ffill", "pointer_swap_time_travel",
+    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
+    "zorder_locality_boxes", "bigram_fluency_score",
+    "media_audio_windows", "array_setops_user_events",
+    "higher_order_array_suite", "sql_scalar_udf_params",
+    "sql_table_function_orders", "salted_skew_aggregate",
+    "bucketed_join_colocated", "bloom_filter_prejoin",
+    "compaction_roundtrip", "basket_lift_pairs", "triangle_count_parts",
+    "split_leakage_safe", "unpivot_nation_metrics", "sql_recursive_cte",
+    "xml_parse_roundtrip", "hll_sketch_mergeability",
+    "mad_robust_outliers", "cogroup_signup_purchase_counts",
+    "event_sequence_pattern_match", "peak_concurrency_sweep",
+    "streaming_session_window", "collation_case_insensitive_group",
 ]
 
 
@@ -52,3 +58,14 @@ def test_window_has_full_oracles():
         "rows-only query inside the 50-row window wastes a hash-checked "
         f"slot: {rows_only}"
     )
+
+
+def test_round6_defer_covers_every_unwitnessed_query():
+    # Backlog accounting: after this rotation every registered query is
+    # either in the shipped window, deferred to round 6, or
+    # driver-green. A query added during round 5 that is not appended
+    # to _R6_DEFER would land in tier 1 and displace the window.
+    from market_pulse_data_pipeline_spark.queries import _DRIVER_GREEN, _R5_PRIORITY
+
+    acct = set(_R5_PRIORITY) | set(_R6_DEFER) | set(_DRIVER_GREEN)
+    assert set(QUERY_REGISTRY) == acct
