@@ -97,6 +97,55 @@ def minhash_signatures(
     )
 
 
+def hashed_shingle_arrays(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, hs array<bigint>) — word n-gram shingles hashed to
+    int64 in one map-only pass. The int arrays are the shareable
+    intermediate: signatures (array_min over permutations) AND exact
+    set verification (array_intersect / array_distinct) both consume
+    them, so a caller caches ~8 bytes per shingle instead of the
+    shingle strings, and the string shingles are materialized exactly
+    once."""
+    toks = docs.select("doc_id", F.split(text_col, " ").alias("ws")).filter(
+        F.size("ws") >= n
+    )
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(" ", *[F.col("ws")[i + j] for j in range(n)]),
+    )
+    return toks.select(
+        "doc_id",
+        F.transform(
+            shingle_arr, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        ).alias("hs"),
+    )
+
+
+def minhash_signatures_from_hashes(
+    hashes: DataFrame,
+    hash_col: str = "hs",
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Map-only signatures from precomputed (doc_id, hashed-shingle
+    array) rows: per-permutation array_min(transform(...))."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hash_col,
+                    lambda h: F.pmod(
+                        F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)
+                    ),
+                )
+            )
+            for (a, b) in _perm_params(num_perm, seed)
+        ]
+    )
+    return hashes.select("doc_id", sig.alias("sig"))
+
+
 def minhash_signatures_maponly(
     docs: DataFrame,
     text_col: str = "text",
@@ -109,33 +158,9 @@ def minhash_signatures_maponly(
     array_min(transform(...)). Identical output to minhash_signatures
     (min over a multiset == min over its set), but map-only: at 100 TB
     there is no exploded shingle shuffle at all."""
-    toks = docs.select("doc_id", F.split(text_col, " ").alias("ws")).filter(
-        F.size("ws") >= n
+    return minhash_signatures_from_hashes(
+        hashed_shingle_arrays(docs, text_col, n), "hs", num_perm, seed
     )
-    shingle_arr = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - n),
-        lambda i: F.concat_ws(" ", *[F.col("ws")[i + j] for j in range(n)]),
-    )
-    hashes = toks.select(
-        "doc_id",
-        F.transform(
-            shingle_arr, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-        ).alias("hs"),
-    )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "hs",
-                    lambda h: F.pmod(
-                        F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)
-                    ),
-                )
-            )
-            for (a, b) in _perm_params(num_perm, seed)
-        ]
-    )
-    return hashes.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(

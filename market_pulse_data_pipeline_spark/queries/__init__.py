@@ -80,8 +80,8 @@ _R5_PRIORITY = [
 ]
 
 # Round-6 window (committed now — VERDICT round-4 item 3): after the
-# round-5 rotation lands, the remaining backlog is exactly these 32
-# oracled queries + the 9 rows-only queries below + the six-row §2
+# round-5 rotation lands, the remaining backlog is exactly these 33
+# oracled queries + the 8 rows-only queries below + the six-row §2
 # reference-chain re-witness (weekly_rollup, dim_case_mapping,
 # derived_metrics, keyed_upsert, qc_not_null_violations,
 # qc_anti_join_orphans — re-promoted out of _DRIVER_GREEN in the
@@ -92,16 +92,19 @@ _R5_PRIORITY = [
 _R6_DEFER = [
     # rows-only (no SQL oracle by nature; driver row = weaker
     # rows-only check, so they wait for the ledger-closing round)
-    "minhash_lsh_near_dups", "simhash_near_dups", "ann_lsh_topk",
+    "simhash_near_dups", "ann_lsh_topk",
     "embedding_near_dups", "ann_ivf_topk",
     "bpe_learned_merges", "embedding_pca_project",
     "pq_encode_embeddings", "ann_pq_adc_topk",
     # converted rows-only → full value-hash oracles in round 5
     # (VERDICT item 5): hex-chained stub codecs let DuckDB recompute
     # the media plumbing bytes; kmeans_snapped makes Lloyd's
-    # bit-identical across engines via integer-scaled arithmetic
+    # bit-identical across engines via integer-scaled arithmetic;
+    # minhash LSH candidates exact-verified at J ≥ 0.9 equal the
+    # exhaustive exact-Jaccard pair set (band contract)
     "media_decode_features", "media_resize",
     "embedding_kmeans_clusters", "embedding_kmeans_sizes",
+    "minhash_lsh_near_dups",
     # oracled, waiting for round-6 slots (original deferral order)
     "try_functions_suite", "salted_replicate_join",
     "hashed_linear_quality_score", "mixture_epoch_expansion",
