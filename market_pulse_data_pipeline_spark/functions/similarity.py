@@ -102,18 +102,14 @@ def lsh_ann_topk(
     )
 
 
-def embedding_near_duplicates(
-    emb: DataFrame,
-    dim: int,
-    threshold: float = 0.95,
+def lsh_chunk_candidate_pairs(
+    with_sig: DataFrame,
     n_planes: int = 16,
     max_hamming: int = 2,
     id_col: str = "vec_id",
-    seed: int = 42,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) — embedding-cosine near-dup pairs via LSH
-    chunk bucketing (pigeonhole: hamming ≤ 2 over 4 chunks → some chunk
-    equal) + exact cosine verification.
+    """(id_a, id_b) — signature pairs within ``max_hamming`` via
+    pigeonhole chunk bucketing over a frame carrying ``lsh_sig``.
 
     INVARIANT: 4 chunks keep the candidate stage complete only for
     ``max_hamming`` ≤ 3 (k+1 chunks cover radius k); a larger radius
@@ -124,12 +120,10 @@ def embedding_near_duplicates(
             "pigeonhole covers (≤ 3); add chunks (k+1 chunks for radius k) "
             "before raising the threshold"
         )
-    with_sig = add_lsh_signature(emb, dim, n_planes, seed)
     chunk_bits = n_planes // 4
     mask = (1 << chunk_bits) - 1
     chunks = with_sig.select(
         F.col(id_col),
-        "embedding",
         "lsh_sig",
         F.explode(
             F.array(
@@ -144,7 +138,7 @@ def embedding_near_duplicates(
                 ]
             )
         ).alias("e"),
-    ).select(F.col(id_col), "embedding", "lsh_sig", "e.chunk", "e.val")
+    ).select(F.col(id_col), "lsh_sig", "e.chunk", "e.val")
     a = chunks.alias("a")
     b = chunks.alias("b")
     pair_ok = (
@@ -157,8 +151,8 @@ def embedding_near_duplicates(
         )
     )
     # dedup candidate IDs FIRST (a pair can collide in up to 4 chunks), so
-    # the exact-cosine verification runs once per pair, not per collision
-    pairs = (
+    # downstream exact verification runs once per pair, not per collision
+    return (
         a.join(b, pair_ok)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -166,6 +160,22 @@ def embedding_near_duplicates(
         )
         .distinct()
     )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — embedding-cosine near-dup pairs via LSH
+    chunk bucketing (pigeonhole: hamming ≤ 2 over 4 chunks → some chunk
+    equal) + exact cosine verification."""
+    with_sig = add_lsh_signature(emb, dim, n_planes, seed)
+    pairs = lsh_chunk_candidate_pairs(with_sig, n_planes, max_hamming, id_col)
     ea = emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("emb_b"))
     va = F.col("emb_a").cast("array<double>")

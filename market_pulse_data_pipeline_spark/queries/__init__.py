@@ -80,8 +80,8 @@ _R5_PRIORITY = [
 ]
 
 # Round-6 window (committed now — VERDICT round-4 item 3): after the
-# round-5 rotation lands, the remaining backlog is exactly these 33
-# oracled queries + the 8 rows-only queries below + the six-row §2
+# round-5 rotation lands, the remaining backlog is exactly these 34
+# oracled queries + the 7 rows-only queries below + the six-row §2
 # reference-chain re-witness (weekly_rollup, dim_case_mapping,
 # derived_metrics, keyed_upsert, qc_not_null_violations,
 # qc_anti_join_orphans — re-promoted out of _DRIVER_GREEN in the
@@ -92,8 +92,7 @@ _R5_PRIORITY = [
 _R6_DEFER = [
     # rows-only (no SQL oracle by nature; driver row = weaker
     # rows-only check, so they wait for the ledger-closing round)
-    "simhash_near_dups", "ann_lsh_topk",
-    "embedding_near_dups", "ann_ivf_topk",
+    "simhash_near_dups", "ann_lsh_topk", "ann_ivf_topk",
     "bpe_learned_merges", "embedding_pca_project",
     "pq_encode_embeddings", "ann_pq_adc_topk",
     # converted rows-only → full value-hash oracles in round 5
@@ -104,7 +103,7 @@ _R6_DEFER = [
     # exhaustive exact-Jaccard pair set (band contract)
     "media_decode_features", "media_resize",
     "embedding_kmeans_clusters", "embedding_kmeans_sizes",
-    "minhash_lsh_near_dups",
+    "minhash_lsh_near_dups", "embedding_near_dups",
     # oracled, waiting for round-6 slots (original deferral order)
     "try_functions_suite", "salted_replicate_join",
     "hashed_linear_quality_score", "mixture_epoch_expansion",

@@ -190,13 +190,78 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
+_EMB_SCALE = 1_000_000
+
+
 @register(
     "embedding_near_dups",
-    None,
+    # Band-contract oracle: the Gaussian-hyperplane signatures are not
+    # SQL-reproducible, but the pipeline output is — LSH chunk
+    # candidates exact-verified at cos ≥ 0.98 must equal the
+    # EXHAUSTIVE pair set (the oracle), because every planted
+    # near-identical pair (cos ≈ 1 → expected sig Hamming ≈ 0) falls
+    # within the Hamming-2 pigeonhole radius and random 64-d vectors
+    # produce no organic pair near 0.98. Verification is quantized to
+    # int64 (round(x·10⁶)): dot and squared norms are exact integers
+    # < 2⁵³, so int→double conversion, IEEE sqrt, and IEEE divide give
+    # a BIT-IDENTICAL cosine on both engines — the ≥ 0.98 boundary
+    # cannot diverge.
+    f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    allv AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET},
+             list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))
+      FROM base WHERE vec_id % 13 = 0
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_EMB_SCALE}) AS BIGINT))
+               AS v
+      FROM allv
+    ),
+    qq AS (
+      SELECT vec_id, v,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                           i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM qq a JOIN qq b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, dot,
+           {sql_round_div(
+               'CAST(dot AS DOUBLE)',
+               'sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))', 6)}
+             AS cosine
+    FROM pairs
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.98
+    """,
     doc="embedding-cosine near-dup pairs (cos ≥ 0.98) via LSH chunk "
-    "bucketing, on planted perturbed copies — rows-only",
+    "bucketing on planted perturbed copies, exact-verified on int64-"
+    "quantized vectors. Converted rows-only → full value-hash oracle "
+    "in round 5 via the band contract: chunk candidates + exact verify "
+    "equal the exhaustive quantized-cosine pair join. The candidate "
+    "stage stays the 100 TB shape (signature buckets, never "
+    "all-pairs); the oracle alone is quadratic.",
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.similarity import (  # noqa: PLC0415
+        add_lsh_signature,
+        lsh_chunk_candidate_pairs,
+    )
+    from market_pulse_data_pipeline_spark.queries.common import (  # noqa: PLC0415
+        round_div,
+    )
+
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 13 == 0).select(
         (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
@@ -205,10 +270,52 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     both = emb.unionByName(planted)
-    dim = len(emb.select("embedding").head()["embedding"])
-    return embedding_near_duplicates(both, dim=dim, threshold=0.98).orderBy(
-        "id_a", "id_b"
+    with_sig = add_lsh_signature(both, dim=_EMB_DIM)
+    cand = lsh_chunk_candidate_pairs(with_sig, n_planes=16, max_hamming=2)
+    qv = both.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _EMB_SCALE).cast("long"),
+        ).alias("v"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
+    a = qv.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("n2").alias("na"),
+    )
+    b = qv.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    denom = F.sqrt(F.col("na").cast("double")) * F.sqrt(
+        F.col("nb").cast("double")
+    )
+    verified = (
+        a.join(F.broadcast(cand), "id_a")
+        .join(b, "id_b")
+        .withColumn("dot", dot)
+        .filter(F.col("dot").cast("double") / denom >= 0.98)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "dot",
+        round_div(F.col("dot").cast("double"), denom, 6).alias("cosine"),
+    ).orderBy("id_a", "id_b")
 
 
 @register(
