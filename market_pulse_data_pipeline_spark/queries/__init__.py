@@ -118,6 +118,11 @@ _R6_DEFER = [
     "streaming_outer_join_eviction", "linear_regression_gd",
     "skyline_pareto_parts", "quota_largest_remainder",
     "attribution_position_credit",
+    # round-5 additions (the ≤3 budget — VERDICT round-4 item 2),
+    # appended here so they cannot displace the verified round-5
+    # window; they take round-6 slots 48-50
+    "heavy_hitters_mg_verified", "vocab_top_p_coverage",
+    "rrf_hybrid_fusion",
 ]
 
 _DRIVER_GREEN = {

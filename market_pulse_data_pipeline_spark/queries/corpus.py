@@ -13,7 +13,7 @@ they are north-star extensions in the sense of SURVEY §2.6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import register, t
@@ -690,3 +690,70 @@ def quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return largest_remainder(counts, "lang", "n_docs", _QUOTA_TOTAL)
+
+
+_TOPP_PCT = 90  # nucleus cutoff: smallest prefix covering >= 90% of mass
+
+
+@register(
+    "vocab_top_p_coverage",
+    f"""
+    WITH tk AS (
+      SELECT lang, t.token
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    c AS (SELECT lang, token, COUNT(*) AS n FROM tk GROUP BY lang, token),
+    r AS (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, token) AS rnk,
+             CAST(COALESCE(SUM(n) OVER (
+               PARTITION BY lang ORDER BY n DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cum_before,
+             CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT lang, token, n, rnk
+    FROM r
+    WHERE 100 * cum_before < {_TOPP_PCT} * tot
+    """,
+    doc="top-p (nucleus) vocabulary truncation per language: order each "
+    "language's tokens by frequency desc (token asc tiebreak) and keep "
+    "the smallest prefix whose cumulative count reaches "
+    f"{_TOPP_PCT}% of that language's token mass — a row survives iff "
+    "the mass STRICTLY BEFORE it is below the threshold, so the first "
+    "crossing row is included and the prefix covers >= p exactly. "
+    "Pure integer arithmetic (100*cum < p*total), no division. "
+    "Oracle windowed SUMs are CAST AS BIGINT (DuckDB HUGEINT rule). "
+    "Scale shape: one token hash-aggregate shrinks the corpus to "
+    "vocabulary cardinality; the per-lang running sum is an "
+    "associative scan over that bounded relation — the two-phase "
+    "range-partitioned form (functions/prefix.py) applies verbatim "
+    "if a language's vocabulary ever outgrows one task.",
+)
+def vocab_top_p_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    c = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    cum_before = F.coalesce(
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    return (
+        c.select(
+            "lang",
+            "token",
+            "n",
+            F.row_number().over(w).alias("rnk"),
+            cum_before.alias("cum_before"),
+            tot.alias("tot"),
+        )
+        .filter(F.lit(100) * F.col("cum_before") < _TOPP_PCT * F.col("tot"))
+        .select("lang", "token", "n", "rnk")
+    )

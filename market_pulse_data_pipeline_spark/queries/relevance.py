@@ -417,3 +417,129 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Reciprocal-rank fusion: list depth, RRF smoothing constant (the
+# standard k=60 from Cormack/Clarke/Buettcher 2009), and the integer
+# scale that replaces 1/(k+r) with 1e12 DIV (k+r) — exact BIGINT
+# arithmetic on both engines, ordering preserved to 1e-12 quantization.
+_RRF_N = 100
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000_000
+
+
+@register(
+    "rrf_hybrid_fusion",
+    f"""
+    WITH tokset AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    q1 AS (SELECT term FROM tokset WHERE doc_id = 0),
+    a AS (
+      SELECT doc_id, COUNT(*) AS o1 FROM tokset JOIN q1 USING (term)
+      WHERE doc_id <> 0 GROUP BY doc_id
+    ),
+    ta AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY o1 DESC, doc_id) AS ra
+      FROM a ORDER BY o1 DESC, doc_id LIMIT {_RRF_N}
+    ),
+    bgset AS (
+      SELECT DISTINCT doc_id, bigram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents)
+        WHERE len(ws) >= 2
+      )
+    ),
+    q2 AS (SELECT bigram FROM bgset WHERE doc_id = 0),
+    b AS (
+      SELECT doc_id, COUNT(*) AS o2 FROM bgset JOIN q2 USING (bigram)
+      WHERE doc_id <> 0 GROUP BY doc_id
+    ),
+    tb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY o2 DESC, doc_id) AS rb
+      FROM b ORDER BY o2 DESC, doc_id LIMIT {_RRF_N}
+    )
+    SELECT COALESCE(ta.doc_id, tb.doc_id) AS doc_id,
+           COALESCE(ta.ra, 0) AS rank_uni,
+           COALESCE(tb.rb, 0) AS rank_bi,
+           COALESCE({_RRF_SCALE} // ({_RRF_K} + ta.ra), 0)
+             + COALESCE({_RRF_SCALE} // ({_RRF_K} + tb.rb), 0) AS rrf_scaled
+    FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id
+    ORDER BY rrf_scaled DESC, doc_id LIMIT {_TOP_DOCS}
+    """,
+    doc="hybrid-retrieval fusion (the RAG two-retriever merge): rank "
+    "candidate docs against query doc 0 by distinct-unigram overlap "
+    "and independently by distinct-bigram overlap, take each "
+    "retriever's deterministic top-100, and fuse with reciprocal-rank "
+    "fusion sum(1/(60+rank)) — computed as 1e12 DIV (60+rank) so the "
+    "score is exact BIGINT on both engines (no libm, no float "
+    "rounding; ordering preserved to 1e-12). Docs absent from a list "
+    "contribute 0, the standard finite-list RRF convention. Scale "
+    "shape: each ranking is a broadcast semi-join of the tiny query "
+    "term set + one doc-keyed hash aggregate, and top-100 is "
+    "TakeOrderedAndProject — no global window over the corpus; the "
+    "fusion join touches <= 200 rows.",
+)
+def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokset = _tokens(docs).distinct()
+    q1 = tokset.filter(F.col("doc_id") == 0).select("term")
+    a = (
+        tokset.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q1), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("o1"))
+    )
+    bgset = (
+        docs.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("ws")
+        )
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("bigram"),
+        )
+        .distinct()
+    )
+    q2 = bgset.filter(F.col("doc_id") == 0).select("bigram")
+    b = (
+        bgset.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q2), "bigram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("o2"))
+    )
+
+    def top_ranked(scored, score_col, rank_col):
+        w = Window.orderBy(F.col(score_col).desc(), "doc_id")
+        return (
+            scored.orderBy(F.col(score_col).desc(), "doc_id")
+            .limit(_RRF_N)
+            .select("doc_id", F.row_number().over(w).alias(rank_col))
+        )
+
+    ta = top_ranked(a, "o1", "ra")
+    tb = top_ranked(b, "o2", "rb")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"{_RRF_SCALE}L div ({_RRF_K} + {r})"), F.lit(0).cast("long")
+    )
+    return (
+        ta.join(tb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("ra", F.lit(0)).alias("rank_uni"),
+            F.coalesce("rb", F.lit(0)).alias("rank_bi"),
+            (contrib("ra") + contrib("rb")).alias("rrf_scaled"),
+        )
+        .orderBy(F.col("rrf_scaled").desc(), "doc_id")
+        .limit(_TOP_DOCS)
+    )

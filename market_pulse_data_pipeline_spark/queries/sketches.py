@@ -35,6 +35,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.functions.dedup import portable_hash60
+from market_pulse_data_pipeline_spark.functions.heavyhitters import (
+    misra_gries_candidates,
+)
 from market_pulse_data_pipeline_spark.queries.common import (
     register,
     round_div,
@@ -463,4 +466,54 @@ def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("global_est") - F.col("n_exact")) <= band
             ).alias("global_within_band"),
         )
+    )
+
+
+_MG_K = 40  # heavy-hitter threshold: count > n_tokens / _MG_K (2.5%)
+
+
+@register(
+    "heavy_hitters_mg_verified",
+    f"""
+    WITH tk AS (
+      SELECT t.token
+      FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM tk),
+    c AS (SELECT token, COUNT(*) AS n FROM tk GROUP BY token)
+    SELECT c.token, c.n
+    FROM c, tot
+    WHERE c.n * {_MG_K} > tot.n_total
+    ORDER BY c.token
+    """,
+    doc="sketch-propose, exact-verify heavy hitters: per-partition "
+    "Misra-Gries summaries (O(k) state, zero shuffle, Arrow-batched "
+    "value_counts — functions/heavyhitters.py) propose a candidate "
+    "superset that provably contains every token with frequency "
+    "> n/k (mergeable-summaries pigeonhole bound), then an exact "
+    "count over the semi-join-restricted stream keeps only true "
+    "hitters. The FINAL result is partitioning-independent even "
+    "though each partition's summary is not — hence a plain exact "
+    "SQL oracle, no band needed. Scale shape: the sketch pass "
+    "touches each row once with constant memory; the verify pass is "
+    "one broadcast semi-join + one token-keyed hash aggregate whose "
+    "input is already filtered to <= (k-1)*partitions candidate "
+    "tokens' occurrences.",
+)
+def heavy_hitters_mg_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cand = misra_gries_candidates(tok, "token", _MG_K)
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * _MG_K > F.col("n_total"))
+        .select("token", "n")
+        .orderBy("token")
     )
