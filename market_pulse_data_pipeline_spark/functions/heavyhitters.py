@@ -32,6 +32,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def mg_fold(counters: Counter, batch_counts: dict, k: int) -> Counter:
+    """One weighted Misra-Gries merge step: fold a batch's exact counts
+    into the summary, then restore the <= k-1 size bound by subtracting
+    the k-th largest count from every counter (equivalent to that many
+    rounds of the classic decrement-all step). Pure function so the
+    summary invariants are property-testable without a SparkSession."""
+    counters = counters + Counter(batch_counts)
+    if len(counters) > k - 1:
+        kth = heapq.nlargest(k, counters.values())[-1]
+        counters = Counter(
+            {key: c - kth for key, c in counters.items() if c > kth}
+        )
+    return counters
+
+
 def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Distinct per-partition Misra-Gries survivors of ``df[col]``.
 
@@ -48,16 +63,9 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: Counter = Counter()
         for pdf in batches:
-            # Weighted Misra-Gries merge: fold the batch's exact counts
-            # in, then restore the <= k-1 size bound by subtracting the
-            # k-th largest count from every counter (equivalent to that
-            # many rounds of the classic decrement-all step).
-            counters.update(pdf[col].value_counts().to_dict())
-            if len(counters) > k - 1:
-                kth = heapq.nlargest(k, counters.values())[-1]
-                counters = Counter(
-                    {key: c - kth for key, c in counters.items() if c > kth}
-                )
+            counters = mg_fold(
+                counters, pdf[col].value_counts().to_dict(), k
+            )
         yield pd.DataFrame({col: list(counters.keys())})
 
     return src.mapInPandas(sketch, schema).distinct()

@@ -487,6 +487,7 @@ _MG_K = 40  # heavy-hitter threshold: count > n_tokens / _MG_K (2.5%)
     WHERE c.n * {_MG_K} > tot.n_total
     ORDER BY c.token
     """,
+    bench=True,
     doc="sketch-propose, exact-verify heavy hitters: per-partition "
     "Misra-Gries summaries (O(k) state, zero shuffle, Arrow-batched "
     "value_counts — functions/heavyhitters.py) propose a candidate "

@@ -143,3 +143,38 @@ def test_rrf_fusion_rewards_agreement(spark, sf_dir):
     # descending by fused score with doc_id tiebreak
     key = [(-r.rrf_scaled, r.doc_id) for r in rows]
     assert key == sorted(key)
+
+
+# ------------------------------------------------- MG fold property --
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from market_pulse_data_pipeline_spark.functions.heavyhitters import mg_fold
+
+_ITEMS = st.integers(min_value=0, max_value=30).map(lambda i: f"i{i}")
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    stream=st.lists(_ITEMS, min_size=1, max_size=400),
+    k=st.integers(min_value=2, max_value=12),
+    n_batches=st.integers(min_value=1, max_value=7),
+)
+def test_mg_fold_superset_and_size_invariants(stream, k, n_batches):
+    # split the stream into arbitrary contiguous batches and fold
+    counters = Counter()
+    step = max(1, len(stream) // n_batches)
+    for i in range(0, len(stream), step):
+        batch = Counter(stream[i : i + step])
+        counters = mg_fold(counters, dict(batch), k)
+    exact = Counter(stream)
+    n = len(stream)
+    # summary never exceeds k-1 counters
+    assert len(counters) <= k - 1
+    # every true heavy hitter (count > n/k) survives the fold
+    heavy = {t for t, c in exact.items() if c * k > n}
+    assert heavy <= set(counters)
+    # estimates never overcount and undercount by at most n/k
+    for t, c in counters.items():
+        assert c <= exact[t]
+        assert exact[t] - c <= n / k

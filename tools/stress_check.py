@@ -518,6 +518,101 @@ def main() -> int:
         ).select("event_id", "running_total"),
     )
 
+    # Misra-Gries heavy hitters (functions/heavyhitters.py): the
+    # sketch pass is map-only with O(k) state per partition and the
+    # verify pass aggregates only candidate-token occurrences — both
+    # must scale linearly in tokens; documents are per-copy
+    # char-translated upstream only in the dedup stages, but token
+    # MASS (what MG scans) still multiplies with the copies here.
+    from market_pulse_data_pipeline_spark.functions.heavyhitters import (
+        misra_gries_candidates,
+    )
+
+    mg_tok = media_docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    mg_cand = misra_gries_candidates(mg_tok, "token", 40)
+    mg_tot = mg_tok.agg(F.count(F.lit(1)).alias("n_total"))
+    run(
+        "mg_heavy_hitters",
+        mg_tok.join(F.broadcast(mg_cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(mg_tot))
+        .filter(F.col("n") * 40 > F.col("n_total"))
+        .select("token", "n"),
+    )
+
+    # U-shaped attribution (queries/events.py): per-user interval join
+    # of conversions to their preceding touches + per-conversion
+    # window. Users multiply with the mult (key-offset), so paths per
+    # user stay constant — join fan-out and window work must scale
+    # linearly, never user² .
+    conv_s = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch_s = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    aw = Window.partitionBy("conv_id").orderBy("tts", "touch_id")
+    awk = Window.partitionBy("conv_id")
+    attr_path = (
+        conv_s.join(
+            touch_s,
+            (F.col("c_user") == F.col("t_user"))
+            & (F.col("tts") < F.col("cts"))
+            & (F.col("tts") >= F.col("cts") - F.expr("interval 7 days")),
+        )
+        .select(
+            "channel",
+            F.row_number().over(aw).alias("rn"),
+            F.count(F.lit(1)).over(awk).alias("k"),
+        )
+    )
+    attr_credit = (
+        F.when(F.col("k") == 1, 1000)
+        .when(F.col("k") == 2, 500)
+        .when(F.col("rn") == 1, 400)
+        .when(F.col("rn") == F.col("k"), 400)
+        .otherwise(F.expr("200 DIV (k - 2)"))
+    )
+    run(
+        "attribution_credit",
+        attr_path.select("channel", attr_credit.alias("credit"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)), F.sum("credit")),
+    )
+
+    # 2-D skyline (operators/pareto.py): global-ordered window funnel
+    # over N× points — the documented one-task shape. Must stay linear
+    # (one sort + one scan); the quadratic NOT-EXISTS oracle form it
+    # replaces would scale ×mult².
+    from market_pulse_data_pipeline_spark.operators.pareto import skyline_2d
+
+    part_s = mat(multiplied(
+        load_table(spark, args.sf, "part"), args.mult, ["p_partkey"]
+    ), "part_sky")
+    sky_pts = part_s.select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        "p_size",
+    )
+    run(
+        "skyline_frontier",
+        skyline_2d(sky_pts, "price_c", "p_size").select(
+            "p_partkey", "price_c", "p_size"
+        ),
+    )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
