@@ -8,13 +8,22 @@
 - ``embedding_near_duplicates``: cosine ≥ threshold pairs through the
   same LSH bucketing (embedding-based near-dup for dedup pipelines).
 
-Plane projections use a Pandas UDF (Arrow-vectorized numpy matmul) —
-the one place Python beats JVM expression trees for wide arrays; the
-relational shell around it (bucketing, joins, re-rank) is plain
-DataFrame ops.
+Signature portability: plane components are md5-derived integers in
+[-1000, 1000] (``portable_planes``) and projections run on int64
+round(x·10⁶)-quantized vectors — every sign decision is exact integer
+arithmetic a SQL oracle can replay bit-for-bit (the minhash_portable /
+simhash_portable discipline applied to hyperplane LSH). Sign-LSH needs
+only a symmetric component distribution, so the uniform integer planes
+retain the Gaussian variant's locality guarantees. Quantization is a
+JVM transform; the sign matmul is an Arrow-batched int64
+``pandas_udf`` — exact whatever the summation order, since integer
+addition is associative. The relational shell (bucketing, joins,
+re-rank) is plain DataFrame ops.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -48,29 +57,98 @@ def cosine_topk(
     )
 
 
-def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+# Signature parameters shared with the SQL oracle twins: int64
+# quantization scale for projections and the plane-component modulus
+# (components uniform in [-(_PLANE_MOD//2), _PLANE_MOD//2]).
+_SIG_Q = 1_000_000
+_PLANE_MOD = 2001
+
+
+def portable_planes(
+    dim: int, n_planes: int, seed: int = 42
+) -> list[list[int]]:
+    """Integer hyperplane components, md5-derived so a SQL oracle can
+    re-derive the identical matrix:
+    ``('0x'||substring(md5('plane:{seed}:{i}:{j}'),1,15))::BIGINT
+    % 2001 - 1000`` in DuckDB equals entry (i, j)."""
+    return [
+        [
+            int(
+                hashlib.md5(f"plane:{seed}:{i}:{j}".encode()).hexdigest()[:15],
+                16,
+            )
+            % _PLANE_MOD
+            - _PLANE_MOD // 2
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def quantized_embedding(col: Column) -> Column:
+    """round(x·10⁶) int64 per element — the exact-integer domain every
+    portable sign/cosine decision is made in."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * _SIG_Q).cast("long")
+    )
 
 
 def add_lsh_signature(
     emb: DataFrame, dim: int, n_planes: int = 16, seed: int = 42
 ) -> DataFrame:
-    """Adds ``lsh_sig`` (bigint): sign bits of projections onto fixed
-    random hyperplanes. Arrow-batched numpy matmul per partition."""
+    """Adds ``lsh_sig`` (bigint): sign bits of int64-quantized
+    projections onto the portable integer hyperplanes.
+
+    Quantization (round(x·10⁶) → long) happens JVM-side with F.round —
+    the same rounding the SQL oracle's round() performs — and the sign
+    decisions are an Arrow-batched int64 matmul: integer addition is
+    associative, so the batch matmul is bit-identical to the oracle's
+    sequential term sum NO MATTER the summation order (the property
+    float projections never had)."""
     from market_pulse_data_pipeline_spark.functions.dedup import fan_out  # noqa: PLC0415
 
     emb = fan_out(emb)
-    planes = _planes(dim, n_planes, seed)
+    pl = np.array(portable_planes(dim, n_planes, seed), dtype=np.int64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @pandas_udf(T.LongType())
-    def sig_udf(embs: pd.Series) -> pd.Series:
-        mat = np.stack(embs.to_numpy()).astype(np.float64)  # (batch, dim)
-        bits = (mat @ planes.T) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
+    def sig_udf(eq: pd.Series) -> pd.Series:
+        mat = np.stack(eq.to_numpy()).astype(np.int64)  # (batch, dim)
+        bits = (mat @ pl.T) > 0  # exact: int64 matmul
         return pd.Series(bits @ weights)
 
-    return emb.withColumn("lsh_sig", sig_udf(F.col("embedding")))
+    return emb.withColumn(
+        "lsh_sig", sig_udf(quantized_embedding(F.col("embedding")))
+    )
+
+
+def query_sig(
+    query_vec: list[float], n_planes: int = 16, seed: int = 42
+) -> int:
+    """Portable signature of one query vector, computed driver-side in
+    pure integer arithmetic (no job). Quantization is
+    Decimal(repr(x·10⁶)) rounded HALF_UP — the exact decimal value
+    Spark's F.round produces for a double (BigDecimal over
+    Double.toString, both shortest round-trip decimal forms), so the
+    driver-side signature can never diverge from the executor-side
+    ones; tests/test_scale_paths.py pins the parity vector-by-vector."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    dim = len(query_vec)
+    planes = portable_planes(dim, n_planes, seed)
+    e = [
+        int(
+            Decimal(repr(float(x) * _SIG_Q)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        for x in query_vec
+    ]
+    sig = 0
+    for i, row in enumerate(planes):
+        if sum(ej * pj for ej, pj in zip(e, row)) > 0:
+            sig |= 1 << i
+    return sig
 
 
 def lsh_ann_topk(
@@ -85,10 +163,7 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: probe buckets within a Hamming radius of the
     query signature, exact cosine only on the survivors."""
-    planes = _planes(dim, n_planes, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q_sig = int(((planes @ q) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
-
+    q_sig = query_sig(query_vec, n_planes, seed)
     with_sig = add_lsh_signature(emb, dim, n_planes, seed)
     near = with_sig.filter(
         F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming

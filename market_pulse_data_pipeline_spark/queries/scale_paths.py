@@ -1,9 +1,13 @@
 """Scale-path operators as driver-contract queries.
 
-MinHash-LSH / SimHash / LSH-ANN signatures hash with engine-specific
-functions (xxhash64), so DuckDB cannot reproduce them — these register
-as rows-only checks (the driver records the weaker gate; pytest verifies
-their semantics against exact baselines).
+Oracle status by family: the xxhash64-based MinHash-LSH pipeline ships
+a band-contract oracle (verified candidates ≡ the exhaustive exact-
+Jaccard pair set), hyperplane LSH-ANN is FULLY hash-checked (md5-
+derived integer planes over int64-quantized vectors — the oracle
+replays every sign decision), and portable twins (minhash_lsh_portable,
+simhash_portable) hash-check the xxhash-flavored algorithms end to end
+with md5 substitutes. Only simhash_near_dups (engine-specific xxhash64
+sig) remains rows-only, with pytest pinning its semantics.
 
 Near-duplicate queries plant their own duplicates (a mutated copy of
 each sampled document) so the result is provably non-empty and the
@@ -173,13 +177,81 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
+_EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
+_EMB_SCALE = 1_000_000
+
+
+def _sql_lsh_sig(e: str, planes: list[list[int]]) -> str:
+    """DuckDB twin of functions.similarity.add_lsh_signature over a
+    BIGINT[] expression ``e`` — the identical integer plane matrix
+    expanded as shared literals (the nDCG discount-table discipline:
+    the planes are the operator's parameterization, derived from md5
+    on both sides)."""
+    cases = []
+    for i, row in enumerate(planes):
+        dot = " + ".join(f"{e}[{j + 1}]*({c})" for j, c in enumerate(row))
+        cases.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(cases) + ")"
+
+
+def _ann_lsh_topk_sql() -> str:
+    from market_pulse_data_pipeline_spark.functions.similarity import (  # noqa: PLC0415
+        portable_planes,
+    )
+
+    planes = portable_planes(_EMB_DIM, 16)
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_EMB_SCALE}) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    qv AS (SELECT e AS eq, v AS vq FROM base WHERE vec_id = 0),
+    sigs AS (
+      SELECT b.vec_id, b.v, qv.vq,
+             {_sql_lsh_sig("b.e", planes)} AS sig,
+             {_sql_lsh_sig("qv.eq", planes)} AS qsig
+      FROM base b, qv
+      WHERE b.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, v, vq FROM sigs
+      WHERE bit_count(xor(CAST(sig AS BIGINT), CAST(qsig AS BIGINT))) <= 6
+    ),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * vq[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                                               i -> v[i] * v[i])))
+                  * sqrt(list_sum(list_transform(range(1, len(vq) + 1),
+                                                 i -> vq[i] * vq[i]))))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT vec_id, ROUND(cos_raw, 6) AS cosine
+    FROM scored
+    ORDER BY ROUND(cos_raw, 6) DESC, vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,
+    _ann_lsh_topk_sql(),
     bench=True,
     doc="LSH-ANN top-10 (16 hyperplanes, Hamming-probe ≤ 6) against the "
-    "vec_id=0 query vector — approximate twin of similarity_topk_cosine; "
-    "recall pytest-verified against brute force",
+    "vec_id=0 query vector — approximate twin of similarity_topk_cosine. "
+    "Converted rows-only → full value-hash oracle in round 5: signatures "
+    "are sign bits of int64-quantized projections onto md5-derived "
+    "integer planes (functions/similarity.py::portable_planes), exact "
+    "integer arithmetic the oracle replays term-for-term, and the "
+    "cosine re-rank reuses the drv-green similarity_topk_cosine "
+    "rounding route. Scale shape unchanged: map-only signatures "
+    "(JVM codegen, zero Python), Hamming-radius probe prunes before "
+    "the exact re-rank; the oracle alone recomputes sigs against the "
+    "query row-by-row.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
@@ -190,16 +262,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
-_EMB_SCALE = 1_000_000
-
-
 @register(
     "embedding_near_dups",
-    # Band-contract oracle: the Gaussian-hyperplane signatures are not
-    # SQL-reproducible, but the pipeline output is — LSH chunk
-    # candidates exact-verified at cos ≥ 0.98 must equal the
-    # EXHAUSTIVE pair set (the oracle), because every planted
+    # Band-contract oracle: rather than replaying the LSH signatures
+    # (portable since round 5, see ann_lsh_topk), the contract checks
+    # the pipeline OUTPUT — LSH chunk candidates exact-verified at
+    # cos ≥ 0.98 must equal the EXHAUSTIVE pair set (the oracle),
+    # because every planted
     # near-identical pair (cos ≈ 1 → expected sig Hamming ≈ 0) falls
     # within the Hamming-2 pigeonhole radius and random 64-d vectors
     # produce no organic pair near 0.98. Verification is quantized to
@@ -573,8 +642,9 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="recall@10 of the LSH-ANN path against brute-force cosine, "
     "computed inside Spark (deterministic: fixed planes/seed), shipped "
     "under the error-band contract (the approx_distinct_parts "
-    "pattern): the float hyperplane signatures are engine-specific, "
-    "so the hash-checked claims are recall_ok (recall >= 0.8 at the "
+    "pattern): re-deriving recall in SQL would duplicate the whole "
+    "ANN pipeline (ann_lsh_topk now hash-checks that end to end), so "
+    "the hash-checked claims here are recall_ok (recall >= 0.8 at the "
     "registered radius) and candidates_bounded (the Hamming probe "
     "re-ranked a non-empty strict subset — it actually pruned), with "
     "the exact vector count riding along as the comparable value. Any "
@@ -603,13 +673,11 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         others, q, dim=len(q), k=k, max_hamming=max_hamming
     ).select("vec_id")
     # candidate count: how many vectors the probe actually re-ranked
-    import numpy as np  # noqa: PLC0415
+    from market_pulse_data_pipeline_spark.functions.similarity import (  # noqa: PLC0415
+        query_sig,
+    )
 
-    from market_pulse_data_pipeline_spark.functions.similarity import _planes  # noqa: PLC0415
-
-    planes = _planes(len(q), 16)
-    qv = np.asarray(q)
-    q_sig = int(((planes @ qv) > 0).astype(np.int64) @ (1 << np.arange(16)))
+    q_sig = query_sig(q)
     with_sig = add_lsh_signature(others, dim=len(q))
     n_cand = with_sig.filter(
         F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming

@@ -161,3 +161,24 @@ def test_ivf_probe_recall(spark, sf_dir):
     # isotropic random embeddings: coarse clusters carry weak signal, so
     # probing 6/16 clusters finds a solid majority, not everything
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_lsh_query_sig_matches_executor_sigs(spark, sf_dir):
+    # the driver-side pure-Python signature (Decimal HALF_UP
+    # quantization) must equal the executor-side Arrow path
+    # (F.round quantization + int64 matmul) for EVERY vector — this is
+    # the exactness contract ann_lsh_topk's SQL oracle rests on
+    from market_pulse_data_pipeline_spark.functions.similarity import (
+        add_lsh_signature,
+        query_sig,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = add_lsh_signature(emb, dim=64).select(
+        "vec_id", "embedding", "lsh_sig"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert query_sig([float(x) for x in r.embedding]) == r.lsh_sig, (
+            f"driver/executor sig divergence at vec_id={r.vec_id}"
+        )
