@@ -110,6 +110,101 @@ def _trunc_div(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
+def quantize_vec_py(vec, scale: int = SNAP_SCALE) -> list[int]:
+    """Driver-side twin of the executor quantization
+    ``F.round(x.cast('double') * scale).cast('long')``: Decimal over
+    repr(x·scale) rounded HALF_UP equals BigDecimal over
+    Double.toString — both shortest round-trip decimal forms of the
+    same IEEE product — so driver- and executor-quantized vectors can
+    never diverge."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    return [
+        int(
+            Decimal(repr(float(x) * scale)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        for x in vec
+    ]
+
+
+def kmeans_oracle_sql(
+    final: str,
+    *,
+    k: int,
+    iters: int,
+    dim: int,
+    scale: int = SNAP_SCALE,
+    where: str = "",
+) -> str:
+    """Unrolled-iteration DuckDB twin of kmeans_snapped: integer-scaled
+    Lloyd's is exactly expressible as chained CTEs — one
+    (distance, argmin-assign, centroid-update) triple per iteration,
+    with empty clusters kept via LEFT JOIN + COALESCE and centroid
+    updates as truncating integer division (DuckDB // == Spark DIV).
+    ``final`` is a format string over ``%(a)s`` (the assignment under
+    the final centroids, CTE a{iters+1}) and ``%(c)s`` (the final
+    centroid table c{iters}); ``where`` optionally restricts the
+    training rows (e.g. ``WHERE vec_id <> 0`` for the IVF codebook)."""
+    parts = [
+        f"""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+               AS v
+      FROM embeddings {where}
+    ),
+    pu AS (
+      SELECT vec_id, i AS pos, v[i + 1] AS qv
+      FROM p CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS i) idx
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (PARTITION BY pos ORDER BY vec_id) - 1
+                  AS INTEGER) AS cid,
+             pos, qv AS val
+      FROM pu
+      WHERE vec_id IN (SELECT vec_id FROM p ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 2):  # last pass assigns only
+        parts.append(
+            """,
+    d%(i)d AS (
+      SELECT pu.vec_id, c.cid,
+             SUM((pu.qv - c.val) * (pu.qv - c.val)) AS dist
+      FROM pu JOIN c%(prev)d c ON pu.pos = c.pos
+      GROUP BY pu.vec_id, c.cid
+    ),
+    a%(i)d AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d%(i)d) WHERE rn = 1
+    )"""
+            % {"i": i, "prev": i - 1}
+        )
+        if i <= iters:
+            parts.append(
+                """,
+    s%(i)d AS (
+      SELECT a.cid, pu.pos, SUM(pu.qv) AS s, COUNT(*) AS n
+      FROM a%(i)d a JOIN pu ON pu.vec_id = a.vec_id
+      GROUP BY a.cid, pu.pos
+    ),
+    c%(i)d AS (
+      SELECT c.cid, c.pos, COALESCE(s.s // s.n, c.val) AS val
+      FROM c%(prev)d c
+      LEFT JOIN s%(i)d s ON s.cid = c.cid AND s.pos = c.pos
+    )"""
+                % {"i": i, "prev": i - 1}
+            )
+    parts.append(final % {"a": f"a{iters + 1}", "c": f"c{iters}"})
+    return "".join(parts)
+
+
 def _assign_udf_snapped(centroids: "np.ndarray"):
     c = centroids  # int64 (k, dim); captured, ships with the UDF
 
@@ -146,6 +241,22 @@ def kmeans_snapped(
     most k×dim aggregate cells; ties break toward the lower cluster id
     and empty clusters keep their previous centroid.
     """
+    assigned, _ = kmeans_snapped_fit(emb, k, iters, id_col, vec_col, scale)
+    return assigned.select(id_col, "cluster")
+
+
+def kmeans_snapped_fit(
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SNAP_SCALE,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """The fit behind kmeans_snapped, additionally exposing the final
+    int64 centroid matrix (k × dim) — the coarse codebook IVF-ANN
+    probes against. Returns (assignments under the final centroids
+    with the quantized vector column ``v`` retained, centroids)."""
     src = emb.select(
         id_col,
         F.transform(
@@ -171,9 +282,10 @@ def kmeans_snapped(
                 int(r["s"]), int(r["n"])
             )
         centroids = new_c
-    return src.withColumn(
-        "cluster", _assign_udf_snapped(centroids)("v")
-    ).select(id_col, "cluster")
+    return (
+        src.withColumn("cluster", _assign_udf_snapped(centroids)("v")),
+        centroids,
+    )
 
 
 def pq_train(

@@ -1,10 +1,13 @@
 """Embedding clustering / decomposition registry rows.
 
-K-means and PCA are iterative/linear-algebra algorithms with no ANSI-
-SQL oracle (the driver records rows-only checks); their exactness is
-pinned by tests/test_clustering.py, which replays the identical
-deterministic algorithm in pure numpy on the collected vectors and
-requires equal assignments / allclose projections.
+The k-means rows ship FULL value-hash oracles since round 5:
+kmeans_snapped quantizes vectors to int64 and updates centroids with
+truncating integer division, so every Lloyd iteration is bit-identical
+across engines and the DuckDB twin unrolls the fit as chained CTEs
+(functions/clustering.py::kmeans_oracle_sql — also parameterized by
+the IVF-ANN oracle). PCA remains rows-only (eigendecomposition has no
+ANSI-SQL form); its exactness is pinned by tests/test_clustering.py,
+which replays the identical deterministic algorithm in pure numpy.
 """
 
 from __future__ import annotations
@@ -13,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.functions.clustering import (
-    SNAP_SCALE,
+    kmeans_oracle_sql,
     kmeans_snapped,
     pca_project,
 )
@@ -32,69 +35,11 @@ _ITERS = 5
 
 
 def _kmeans_oracle_sql(final: str) -> str:
-    """Unrolled-iteration DuckDB twin of kmeans_snapped: integer-scaled
-    Lloyd's is exactly expressible as chained CTEs — one
-    (distance, argmin-assign, centroid-update) triple per iteration,
-    with empty clusters kept via LEFT JOIN + COALESCE and centroid
-    updates as truncating integer division (DuckDB // == Spark DIV).
-    ``final`` is the SELECT over a{N+1}, the assignment under the final
-    centroids."""
-    parts = [
-        f"""
-    WITH p AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * {SNAP_SCALE}) AS BIGINT))
-               AS v
-      FROM embeddings
-    ),
-    pu AS (
-      SELECT vec_id, i AS pos, v[i + 1] AS qv
-      FROM p CROSS JOIN (SELECT UNNEST(range(0, {_DIM})) AS i) idx
-    ),
-    c0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (PARTITION BY pos ORDER BY vec_id) - 1
-                  AS INTEGER) AS cid,
-             pos, qv AS val
-      FROM pu
-      WHERE vec_id IN (SELECT vec_id FROM p ORDER BY vec_id LIMIT {_K})
-    )"""
-    ]
-    for i in range(1, _ITERS + 2):  # last pass assigns only
-        parts.append(
-            """,
-    d%(i)d AS (
-      SELECT pu.vec_id, c.cid,
-             SUM((pu.qv - c.val) * (pu.qv - c.val)) AS dist
-      FROM pu JOIN c%(prev)d c ON pu.pos = c.pos
-      GROUP BY pu.vec_id, c.cid
-    ),
-    a%(i)d AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, cid) AS rn
-        FROM d%(i)d) WHERE rn = 1
-    )"""
-            % {"i": i, "prev": i - 1}
-        )
-        if i <= _ITERS:
-            parts.append(
-                """,
-    s%(i)d AS (
-      SELECT a.cid, pu.pos, SUM(pu.qv) AS s, COUNT(*) AS n
-      FROM a%(i)d a JOIN pu ON pu.vec_id = a.vec_id
-      GROUP BY a.cid, pu.pos
-    ),
-    c%(i)d AS (
-      SELECT c.cid, c.pos, COALESCE(s.s // s.n, c.val) AS val
-      FROM c%(prev)d c
-      LEFT JOIN s%(i)d s ON s.cid = c.cid AND s.pos = c.pos
-    )"""
-                % {"i": i, "prev": i - 1}
-            )
-    parts.append(final % {"a": f"a{_ITERS + 1}"})
-    return "".join(parts)
+    """Unrolled DuckDB twin of kmeans_snapped at this module's fixed
+    (k, iters, dim) — delegates to the shared generator next to the
+    algorithm (functions/clustering.py::kmeans_oracle_sql), which the
+    IVF-ANN oracle parameterizes differently."""
+    return kmeans_oracle_sql(final, k=_K, iters=_ITERS, dim=_DIM)
 
 
 @register(

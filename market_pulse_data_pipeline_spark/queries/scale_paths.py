@@ -6,8 +6,11 @@ Jaccard pair set), hyperplane LSH-ANN is FULLY hash-checked (md5-
 derived integer planes over int64-quantized vectors — the oracle
 replays every sign decision), and portable twins (minhash_lsh_portable,
 simhash_portable) hash-check the xxhash-flavored algorithms end to end
-with md5 substitutes. Only simhash_near_dups (engine-specific xxhash64
-sig) remains rows-only, with pytest pinning its semantics.
+with md5 substitutes. IVF-ANN hash-checks end to end too: its coarse
+codebook is the integer-snapped k-means, so the oracle unrolls the fit
+as CTEs and replays the probe in exact integers. Only
+simhash_near_dups (engine-specific xxhash64 sig) remains rows-only
+here, with pytest pinning its semantics.
 
 Near-duplicate queries plant their own duplicates (a mutated copy of
 each sampled document) so the result is provably non-empty and the
@@ -782,33 +785,124 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates_portable(base.unionByName(planted))
 
 
+_IVF_K = 16  # coarse centroids
+_IVF_ITERS = 2  # Lloyd rounds
+_IVF_NPROBE = 6  # probed cells
+
+
+def _ivf_topk_sql() -> str:
+    """DuckDB twin of the snapped-codebook IVF query: the unrolled
+    integer k-means CTEs (trained on vec_id <> 0) feed a probe of the
+    {nprobe} integer-nearest centroids to the quantized query, then the
+    exact cosine re-rank over the probed clusters' members."""
+    from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
+        SNAP_SCALE,
+        kmeans_oracle_sql,
+    )
+
+    final = f"""
+    , qq AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {SNAP_SCALE}) AS BIGINT))
+               AS eq,
+             CAST(embedding AS DOUBLE[]) AS vq
+      FROM embeddings WHERE vec_id = 0
+    ),
+    qdist AS (
+      SELECT c.cid,
+             SUM((q.eq[c.pos + 1] - c.val) * (q.eq[c.pos + 1] - c.val))
+               AS dist
+      FROM %(c)s c, qq q
+      GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM qdist ORDER BY dist, cid LIMIT {_IVF_NPROBE}),
+    cand AS (SELECT a.vec_id FROM %(a)s a JOIN probe USING (cid)),
+    scored AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(v) + 1),
+                                     i -> v[i] * q.vq[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                                               i -> v[i] * v[i])))
+                  * sqrt(list_sum(list_transform(range(1, len(q.vq) + 1),
+                                                 i -> q.vq[i] * q.vq[i]))))
+               AS cos_raw
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings) e
+      JOIN cand USING (vec_id), qq q
+    )
+    SELECT vec_id, ROUND(cos_raw, 6) AS cosine
+    FROM scored ORDER BY ROUND(cos_raw, 6) DESC, vec_id LIMIT 10
+    """
+    return kmeans_oracle_sql(
+        final,
+        k=_IVF_K,
+        iters=_IVF_ITERS,
+        dim=_EMB_DIM,
+        where="WHERE vec_id <> 0",
+    )
+
+
 @register(
     "ann_ivf_topk",
-    None,
-    doc="IVF-ANN top-10: deterministic k-means-lite codebook (strided "
-    "init, 2 Lloyd rounds), map-only Arrow-batched cluster assignment, "
-    "probe the 6 clusters nearest the query, exact cosine re-rank inside "
-    "them — the inverted-file counterpart of the LSH probe path. "
-    "Rows-only (float codebook); exact-equivalence at nprobe=n_centroids "
-    "and recall are pytest-verified.",
+    # Full value-hash oracle (round 5): the codebook is the integer-
+    # snapped Lloyd's fit (kmeans_snapped, trained on vec_id <> 0), so
+    # the DuckDB twin unrolls the SAME fit as chained CTEs
+    # (functions/clustering.py::kmeans_oracle_sql), re-derives the
+    # probe set as the 6 centroids with smallest integer distance to
+    # the quantized query (tie: cid asc), and re-ranks the probed
+    # clusters' members through the drv-green cosine rounding route.
+    _ivf_topk_sql(),
+    doc="IVF-ANN top-10: integer-snapped k-means codebook (16 "
+    "centroids, 2 Lloyd rounds, first-k init), Arrow-batched int64 "
+    "assignment, probe the 6 clusters nearest the query, exact cosine "
+    "re-rank inside them — the inverted-file counterpart of the LSH "
+    "probe path. Converted rows-only → full value-hash oracle in "
+    "round 5: every codebook/assignment/probe decision is exact "
+    "integer arithmetic DuckDB replays via the unrolled kmeans CTEs. "
+    "Scale shape: k×dim driver-side codebook, map-only assignment, "
+    "per-iteration shuffle of k×dim cells; the probe prunes the "
+    "re-rank to nprobe clusters.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
+        kmeans_snapped_fit,
+        quantize_vec_py,
+    )
     from market_pulse_data_pipeline_spark.functions.similarity import (  # noqa: PLC0415
-        ivf_ann_topk,
-        ivf_build_centroids,
+        cosine,
     )
 
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     q = [float(x) for x in qrow["embedding"]]
     others = emb.filter(F.col("vec_id") != 0)
-    # cache scoped to codebook training (several passes); the final
-    # probe+re-rank is one pass, so release the cache before returning
-    # rather than leaving it pinned for the session.
+    # cache scoped to codebook training (iters+1 passes); released
+    # before returning rather than pinned for the session.
     cached = others.cache()
-    centroids = ivf_build_centroids(cached, dim=len(q))
+    assigned, centroids = kmeans_snapped_fit(
+        cached, k=_IVF_K, iters=_IVF_ITERS
+    )
     cached.unpersist(blocking=False)
-    return ivf_ann_topk(others, q, dim=len(q), k=10, nprobe=6, centroids=centroids)
+    # probe: integer distances from the Decimal-quantized query (the
+    # driver twin of the executor quantization) to the final centroids
+    eq = quantize_vec_py(q)
+    dists = sorted(
+        (
+            sum((int(c) - e) ** 2 for c, e in zip(row, eq)),
+            cid,
+        )
+        for cid, row in enumerate(centroids)
+    )
+    probe = [cid for _, cid in dists[:_IVF_NPROBE]]
+    near = assigned.filter(F.col("cluster").isin(probe)).select("vec_id")
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    v = F.col("embedding").cast("array<double>")
+    return (
+        others.join(near, "vec_id", "left_semi")
+        .select("vec_id", F.round(cosine(v, qlit), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 @register(
