@@ -462,3 +462,174 @@ def pca_project(
         F.col("p")[c].alias(f"pc{c + 1}") for c in range(n_components)
     ]
     return out.select(*cols)
+
+
+def pq_train_snapped(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SNAP_SCALE,
+) -> "np.ndarray":
+    """Integer-snapped product-quantization codebooks: each of the ``m``
+    contiguous subspaces gets its own kmeans_snapped_fit (first-k-by-id
+    init, truncating-division updates, empty clusters frozen), so the
+    whole training is exact integer arithmetic and the DuckDB twin
+    (``pq_oracle_sql``) replays it per subspace. Returns int64
+    ``(m, k, dim // m)`` quantized-unit centroids."""
+    first = emb.select(vec_col).head()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.zeros((m, k, sub), dtype=np.int64)
+    for j in range(m):
+        sl = emb.select(
+            id_col,
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("subvec"),
+        )
+        _, cent = kmeans_snapped_fit(
+            sl, k, iters, id_col=id_col, vec_col="subvec", scale=scale
+        )
+        books[j] = cent
+    return books
+
+
+def pq_encode_snapped(
+    emb: DataFrame,
+    books: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SNAP_SCALE,
+) -> DataFrame:
+    """PQ codes + integer squared reconstruction error over the
+    int64-quantized vectors: per subspace, the argmin centroid of the
+    snapped codebook (ties toward the lower code — np.argmin and the
+    oracle's (dist, cid) ROW_NUMBER agree), with ``ss`` the exact
+    integer Σ(x - recon)² in quantized units. Map-only; the codebook
+    ships inside the Arrow UDF."""
+    m, k, sub = books.shape
+    b = books.astype(np.int64)
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+                T.StructField("ss", T.LongType()),
+            ]
+        )
+    )
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy()).astype(np.int64)
+        n = x.shape[0]
+        codes = np.zeros((n, m), dtype=np.int32)
+        recon = np.zeros_like(x)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = -2 * (xs @ b[j].T) + (b[j] * b[j]).sum(axis=1)[None, :]
+            cj = np.argmin(d2, axis=1)
+            codes[:, j] = cj
+            recon[:, j * sub : (j + 1) * sub] = b[j][cj]
+        ss = ((x - recon) ** 2).sum(axis=1)
+        return pd.DataFrame({"codes": list(codes), "ss": ss})
+
+    quant = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    out = emb.select(id_col, enc(quant).alias("_pq"))
+    return out.select(id_col, "_pq.codes", "_pq.ss")
+
+
+def pq_oracle_sql(
+    final: str,
+    *,
+    m: int,
+    k: int,
+    iters: int,
+    dim: int,
+    scale: int = SNAP_SCALE,
+) -> str:
+    """DuckDB twin of pq_train_snapped + pq_encode_snapped: one
+    unrolled integer-Lloyd's CTE chain PER SUBSPACE (names suffixed
+    _m{j}), closed over by two union CTEs the ``final`` clause builds
+    on — ``assign(vec_id, j, cid)`` (codes under the final books) and
+    ``cfin(j, cid, pos, val)`` (the final codebooks); ``pu`` and ``p``
+    stay in scope for error/query arithmetic."""
+    sub = dim // m
+    parts = [
+        f"""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    pu AS (
+      SELECT vec_id, i AS pos, v[i + 1] AS qv
+      FROM p CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS i) idx
+    )"""
+    ]
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+        parts.append(
+            f""",
+    pu_m{j} AS (SELECT vec_id, pos, qv FROM pu
+                WHERE pos >= {lo} AND pos < {hi}),
+    c0_m{j} AS (
+      SELECT CAST(ROW_NUMBER() OVER (PARTITION BY pos ORDER BY vec_id) - 1
+                  AS INTEGER) AS cid,
+             pos, qv AS val
+      FROM pu_m{j}
+      WHERE vec_id IN (SELECT vec_id FROM p ORDER BY vec_id LIMIT {k})
+    )"""
+        )
+        for i in range(1, iters + 2):  # last pass assigns only
+            parts.append(
+                """,
+    d%(i)d_m%(j)d AS (
+      SELECT pu.vec_id, c.cid,
+             SUM((pu.qv - c.val) * (pu.qv - c.val)) AS dist
+      FROM pu_m%(j)d pu JOIN c%(prev)d_m%(j)d c ON pu.pos = c.pos
+      GROUP BY pu.vec_id, c.cid
+    ),
+    a%(i)d_m%(j)d AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d%(i)d_m%(j)d) WHERE rn = 1
+    )"""
+                % {"i": i, "prev": i - 1, "j": j}
+            )
+            if i <= iters:
+                parts.append(
+                    """,
+    s%(i)d_m%(j)d AS (
+      SELECT a.cid, pu.pos, SUM(pu.qv) AS s, COUNT(*) AS n
+      FROM a%(i)d_m%(j)d a JOIN pu_m%(j)d pu ON pu.vec_id = a.vec_id
+      GROUP BY a.cid, pu.pos
+    ),
+    c%(i)d_m%(j)d AS (
+      SELECT c.cid, c.pos, COALESCE(s.s // s.n, c.val) AS val
+      FROM c%(prev)d_m%(j)d c
+      LEFT JOIN s%(i)d_m%(j)d s ON s.cid = c.cid AND s.pos = c.pos
+    )"""
+                    % {"i": i, "prev": i - 1, "j": j}
+                )
+    a_fin = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, cid FROM a{iters + 1}_m{j}"
+        for j in range(m)
+    )
+    c_fin = " UNION ALL ".join(
+        f"SELECT {j} AS j, cid, pos, val FROM c{iters}_m{j}" for j in range(m)
+    )
+    parts.append(
+        f""",
+    assign AS ({a_fin}),
+    cfin AS ({c_fin})"""
+    )
+    parts.append(final)
+    return "".join(parts)

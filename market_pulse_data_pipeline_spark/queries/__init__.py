@@ -94,7 +94,6 @@ _R6_DEFER = [
     # rows-only check, so they wait for the ledger-closing round)
     "simhash_near_dups",
     "bpe_learned_merges", "embedding_pca_project",
-    "pq_encode_embeddings", "ann_pq_adc_topk",
     # converted rows-only → full value-hash oracles in round 5
     # (VERDICT item 5): hex-chained stub codecs let DuckDB recompute
     # the media plumbing bytes; kmeans_snapped makes Lloyd's
@@ -103,12 +102,13 @@ _R6_DEFER = [
     # exhaustive exact-Jaccard pair set (band contract); hyperplane
     # LSH signatures re-derived exactly in SQL via md5-integer planes
     # over int64-quantized vectors (ann_lsh_topk); snapped-codebook
-    # IVF replayed via the unrolled kmeans CTEs + integer probe
-    # (ann_ivf_topk)
+    # IVF and PQ/ADC replayed via the unrolled kmeans CTEs — one chain
+    # per subspace for PQ — plus integer probe / ADC tables
+    # (ann_ivf_topk, pq_encode_embeddings, ann_pq_adc_topk)
     "media_decode_features", "media_resize",
     "embedding_kmeans_clusters", "embedding_kmeans_sizes",
     "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
     # oracled, waiting for round-6 slots (original deferral order)
     "try_functions_suite", "salted_replicate_join",
     "hashed_linear_quality_score", "mixture_epoch_expansion",

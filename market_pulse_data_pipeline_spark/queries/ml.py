@@ -1,11 +1,12 @@
 """Embedding clustering / decomposition registry rows.
 
-The k-means rows ship FULL value-hash oracles since round 5:
+The k-means and PQ rows ship FULL value-hash oracles since round 5:
 kmeans_snapped quantizes vectors to int64 and updates centroids with
 truncating integer division, so every Lloyd iteration is bit-identical
 across engines and the DuckDB twin unrolls the fit as chained CTEs
 (functions/clustering.py::kmeans_oracle_sql — also parameterized by
-the IVF-ANN oracle). PCA remains rows-only (eigendecomposition has no
+the IVF-ANN oracle; pq_oracle_sql emits one chain per subspace for
+the PQ/ADC rows). PCA remains rows-only (eigendecomposition has no
 ANSI-SQL form); its exactness is pinned by tests/test_clustering.py,
 which replays the identical deterministic algorithm in pure numpy.
 """
@@ -188,77 +189,167 @@ def pagerank_user_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # subspaces
+_PQ_KC = 16  # centroids per subspace
+_PQ_ITERS = 3  # Lloyd rounds per subspace
+_PQ_SUB = _DIM // _PQ_M
+_PQ_NCAND = 64  # ADC candidate pool re-ranked exactly
+
+
+def _pq_encode_sql() -> str:
+    from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
+        SNAP_SCALE,
+        pq_oracle_sql,
+    )
+
+    final = f""",
+    codes AS (
+      SELECT vec_id,
+             string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes_csv
+      FROM assign GROUP BY vec_id
+    ),
+    errs AS (
+      SELECT pu.vec_id, SUM((pu.qv - cf.val) * (pu.qv - cf.val)) AS ss
+      FROM pu
+      JOIN assign a ON a.vec_id = pu.vec_id AND a.j = pu.pos // {_PQ_SUB}
+      JOIN cfin cf ON cf.j = a.j AND cf.cid = a.cid AND cf.pos = pu.pos
+      GROUP BY pu.vec_id
+    )
+    SELECT c.vec_id, c.codes_csv,
+           ROUND(sqrt(CAST(e.ss AS DOUBLE)) / {SNAP_SCALE}, 4) AS recon_err
+    FROM codes c JOIN errs e USING (vec_id)
+    ORDER BY c.vec_id
+    """
+    return pq_oracle_sql(final, m=_PQ_M, k=_PQ_KC, iters=_PQ_ITERS, dim=_DIM)
+
+
+def _pq_adc_sql() -> str:
+    from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
+        pq_oracle_sql,
+    )
+
+    final = f""",
+    qv AS (SELECT v AS eq FROM p WHERE vec_id = 0),
+    tblq AS (
+      SELECT cf.j, cf.cid AS code,
+             SUM((q.eq[cf.pos + 1] - cf.val) * (q.eq[cf.pos + 1] - cf.val))
+               AS d2
+      FROM cfin cf, qv q GROUP BY cf.j, cf.cid
+    ),
+    adc AS (
+      SELECT a.vec_id, SUM(t.d2) AS adc_d2
+      FROM assign a JOIN tblq t ON t.j = a.j AND t.code = a.cid
+      GROUP BY a.vec_id
+    ),
+    cand AS (SELECT vec_id FROM adc
+             ORDER BY adc_d2, vec_id LIMIT {_PQ_NCAND}),
+    scored AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(v) + 1),
+                      i -> (v[i] - q2.vq[i]) * (v[i] - q2.vq[i]))) AS d2
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings) e
+      JOIN cand USING (vec_id),
+      (SELECT CAST(embedding AS DOUBLE[]) AS vq FROM embeddings
+       WHERE vec_id = 0) q2
+    )
+    SELECT vec_id, ROUND(d2, 4) AS l2_d2
+    FROM scored ORDER BY ROUND(d2, 4), vec_id LIMIT 10
+    """
+    return pq_oracle_sql(final, m=_PQ_M, k=_PQ_KC, iters=_PQ_ITERS, dim=_DIM)
+
+
 @register(
     "pq_encode_embeddings",
-    None,  # numpy-trained codebooks have no SQL twin; pytest pins an
-    # exact pure-numpy replay (tests/test_clustering.py)
+    # Full value-hash oracle (round 5): the codebooks are the integer-
+    # snapped per-subspace Lloyd's fits, so the DuckDB twin unrolls all
+    # m fits as CTE chains (functions/clustering.py::pq_oracle_sql) and
+    # recomputes codes + the integer squared reconstruction error; the
+    # only float op is the final sqrt/scale/round — identical IEEE on
+    # identical integer inputs.
+    _pq_encode_sql(),
     doc="product quantization of the embedding store "
-    "(functions/clustering.py::pq_train/pq_encode): m=8 subspaces x "
-    "k=16 centroids, codes emitted as a driver-hashable CSV plus the "
-    "per-row L2 reconstruction error (4-decimal snap). Training "
-    "touches only column slices and keeps m*k*sub floats on the "
-    "driver; encoding is map-only with the codebook shipped in the "
-    "Arrow UDF — 512-byte vectors compress to 8 nibbles, the standard "
-    "memory layout for billion-scale ANN re-rank at 100 TB.",
+    "(functions/clustering.py::pq_train_snapped/pq_encode_snapped): "
+    "m=8 subspaces x k=16 centroids over int64-quantized vectors, "
+    "codes emitted as a driver-hashable CSV plus the per-row L2 "
+    "reconstruction error (4-decimal snap of sqrt(integer SS)/scale). "
+    "Converted rows-only → full value-hash oracle in round 5 via the "
+    "unrolled per-subspace kmeans CTEs. Training touches only column "
+    "slices and keeps m*k*sub ints on the driver; encoding is "
+    "map-only with the codebook shipped in the Arrow UDF — the "
+    "standard memory layout for billion-scale ANN re-rank at 100 TB.",
 )
 def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
-        pq_encode,
-        pq_train,
+        SNAP_SCALE,
+        pq_encode_snapped,
+        pq_train_snapped,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    books = pq_train(emb, m=8, k=16, iters=3)
-    out = pq_encode(emb, books)
+    books = pq_train_snapped(emb, m=_PQ_M, k=_PQ_KC, iters=_PQ_ITERS)
+    out = pq_encode_snapped(emb, books)
     return out.select(
         "vec_id",
         F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
             "codes_csv"
         ),
-        F.round("err", 4).alias("recon_err"),
+        F.round(
+            F.sqrt(F.col("ss").cast("double")) / F.lit(SNAP_SCALE), 4
+        ).alias("recon_err"),
     )
 
 
 @register(
     "ann_pq_adc_topk",
-    None,  # codebooks are numpy-trained; recall pinned in pytest
+    # Full value-hash oracle (round 5): snapped codebooks + integer ADC
+    # tables make the candidate stage exact; the re-rank's float fold
+    # is the established zip_with/list_sum route.
+    _pq_adc_sql(),
     doc="PQ asymmetric distance computation (ADC) with exact re-rank: "
-    "the query stays full-precision, every stored vector is its "
-    "8-nibble PQ code, ADC distance is the sum of per-subspace table "
-    "lookups, and the top-64 ADC candidates are re-ranked by exact L2 "
-    "— the FAISS-style two-stage scan that makes billion-vector ANN "
-    "fit in RAM (codes in memory, full vectors touched only for "
-    "candidates). Spark shape: the m*k=128-row distance table is a "
-    "broadcast join against posexploded codes, vec_id-keyed "
-    "partial/final sum, TakeOrdered(64) candidate set, then a "
-    "broadcast semi-join back to embeddings with a JVM-side zip_with "
-    "fold for the exact distance — no Python beyond codebook "
-    "training. tests/test_clustering.py::test_pq_adc_recall pins "
-    "recall@10 against the exact L2 ranking.",
+    "the query stays full-precision for the re-rank, every stored "
+    "vector is its 8-nibble PQ code, ADC distance is the sum of "
+    "per-subspace table lookups — with snapped codebooks the table "
+    "entries are exact integers, so candidate selection is "
+    "deterministic and the DuckDB twin replays it bit-for-bit — and "
+    "the top-64 ADC candidates are re-ranked by exact L2: the "
+    "FAISS-style two-stage scan that makes billion-vector ANN fit in "
+    "RAM. Converted rows-only → full value-hash oracle in round 5 via "
+    "the unrolled per-subspace kmeans CTEs. Spark shape: the m*k="
+    "128-row integer distance table is a broadcast join against "
+    "posexploded codes, vec_id-keyed partial/final sum, "
+    "TakeOrdered(64) candidate set, then a broadcast semi-join back "
+    "to embeddings with a JVM-side zip_with fold for the exact "
+    "distance.",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np  # noqa: PLC0415
-
     from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
-        pq_encode,
-        pq_train,
+        pq_encode_snapped,
+        pq_train_snapped,
+        quantize_vec_py,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    m, k, n_candidates = 8, 16, 64
-    books = pq_train(emb, m=m, k=k, iters=3)
-    codes = pq_encode(emb, books)
-    q = np.array(
-        emb.orderBy("vec_id").head()["embedding"], dtype=np.float64
-    )  # deterministic probe: first vector by id (bounded collect)
-    sub = len(q) // m
+    books = pq_train_snapped(emb, m=_PQ_M, k=_PQ_KC, iters=_PQ_ITERS)
+    codes = pq_encode_snapped(emb, books)
+    q = [
+        float(x) for x in emb.orderBy("vec_id").head()["embedding"]
+    ]  # deterministic probe: first vector by id (bounded collect)
+    eq = quantize_vec_py(q)
     tbl = spark.createDataFrame(
         [
-            (j, c, float(((q[j * sub : (j + 1) * sub] - books[j][c]) ** 2).sum()))
-            for j in range(m)
-            for c in range(k)
+            (
+                j,
+                c,
+                sum(
+                    (eq[j * _PQ_SUB + p] - int(books[j][c][p])) ** 2
+                    for p in range(_PQ_SUB)
+                ),
+            )
+            for j in range(_PQ_M)
+            for c in range(_PQ_KC)
         ],
-        "j int, code int, d2 double",
+        "j int, code int, d2 long",
     )
     candidates = (
         codes.select("vec_id", F.posexplode("codes").alias("j", "code"))
@@ -266,7 +357,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("d2").alias("adc_d2"))
         .orderBy("adc_d2", "vec_id")
-        .limit(n_candidates)
+        .limit(_PQ_NCAND)
     )
     qlit = F.array(*[F.lit(float(x)) for x in q])
     v = F.col("embedding").cast("array<double>")
