@@ -69,3 +69,27 @@ def test_round6_defer_covers_every_unwitnessed_query():
 
     acct = set(_R5_PRIORITY) | set(_R6_DEFER) | set(_DRIVER_GREEN)
     assert set(QUERY_REGISTRY) == acct
+
+
+def test_round6_ledger_arithmetic():
+    # the committed round-6 window: every deferred query + the six-row
+    # SURVEY-§2 re-witness (weekly_rollup, dim_case_mapping,
+    # derived_metrics, keyed_upsert, qc_not_null_violations,
+    # qc_anti_join_orphans) must fill EXACTLY the driver's 50-row
+    # snapshot — an unplanned registry addition breaks this loudly
+    # instead of silently pushing the ledger past round 6.
+    assert len(_R6_DEFER) + 6 == 50
+
+
+def test_rows_only_floor():
+    # after the round-5 conversions, exactly three queries remain
+    # without a DuckDB oracle — each genuinely non-replayable (xxhash
+    # simhash signatures, BPE's iterative merges, PCA's
+    # eigendecomposition). A new rows-only query (or a conversion
+    # regression) must be a conscious decision, not drift.
+    rows_only = {n for n, q in QUERY_REGISTRY.items() if q.oracle is None}
+    assert rows_only == {
+        "simhash_near_dups",
+        "bpe_learned_merges",
+        "embedding_pca_project",
+    }
