@@ -543,6 +543,30 @@ def main() -> int:
         .select("token", "n"),
     )
 
+    # snapped PQ training + encode (functions/clustering.py): m=8
+    # subspace integer-Lloyd fits (bounded k×sub driver collects per
+    # round) followed by the map-only Arrow encode — cost must be
+    # linear in vectors with the driver state constant.
+    from market_pulse_data_pipeline_spark.functions.clustering import (
+        pq_encode_snapped,
+        pq_train_snapped,
+    )
+
+    if only is None or {"pq_snapped_train", "pq_snapped_encode"} & only:
+        emb_s = mat(multiplied(
+            load_table(spark, args.sf, "embeddings"), args.mult, ["vec_id"]
+        ), "embeddings_pq")
+        t0_pq = time.time()
+        pq_books = pq_train_snapped(emb_s, m=8, k=16, iters=1)
+        timings["pq_snapped_train"] = round(time.time() - t0_pq, 2)
+        rows["pq_snapped_train"] = int(pq_books.size)
+        run(
+            "pq_snapped_encode",
+            pq_encode_snapped(emb_s, pq_books).select(
+                "vec_id", F.col("codes").cast("string"), "ss"
+            ),
+        )
+
     # U-shaped attribution (queries/events.py): per-user interval join
     # of conversions to their preceding touches + per-conversion
     # window. Users multiply with the mult (key-offset), so paths per
