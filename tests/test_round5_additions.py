@@ -178,3 +178,71 @@ def test_mg_fold_superset_and_size_invariants(stream, k, n_batches):
     for t, c in counters.items():
         assert c <= exact[t]
         assert exact[t] - c <= n / k
+
+
+# ------------------------------------- quantization parity (fuzzed) --
+import duckdb
+
+from market_pulse_data_pipeline_spark.functions.clustering import (
+    quantize_vec_py,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-10.0,
+                max_value=10.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            # exact decimal-half boundary values: k.5 / 1e6 scaled —
+            # the HALF_UP-vs-float-path divergence candidates
+            st.integers(min_value=-2_000_000, max_value=2_000_000).map(
+                lambda k: (k + 0.5) / 1_000_000
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_quantize_vec_py_matches_duckdb_round(xs):
+    # every new oracle (LSH sigs, IVF probe, PQ/ADC tables) hinges on
+    # the driver-side Decimal HALF_UP quantization agreeing with the
+    # oracle-side round(x * 1e6) — fuzz that pair directly, including
+    # exact halfway points where rounding modes diverge
+    con = duckdb.connect()
+    got = quantize_vec_py(xs)
+    for x, q in zip(xs, got):
+        (exp,) = con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE) * 1000000) AS BIGINT)",
+            [x],
+        ).fetchone()
+        assert q == exp, f"x={x!r}: python {q} != duckdb {exp}"
+
+
+def test_quantize_vec_py_matches_spark_round(spark):
+    # third leg of the parity triangle: executor-side F.round
+    # quantization on an adversarial batch (exact decimal halves,
+    # negatives, subnormal-ish magnitudes) equals the driver-side
+    # Decimal HALF_UP twin
+    from pyspark.sql import Row
+
+    vals = (
+        [(k + 0.5) / 1_000_000 for k in range(-5, 6)]
+        + [0.0, -0.0, 1e-9, -1e-9, 3.1415926535, -2.7182818284]
+        + [(k + 0.5) / 1_000_000 for k in (999_999, -999_999, 123_456)]
+    )
+    df = spark.createDataFrame([Row(embedding=vals)])
+    got = quantize_vec_py(vals)
+    from pyspark.sql import functions as F2
+
+    row = df.select(
+        F2.transform(
+            "embedding",
+            lambda x: F2.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("q")
+    ).head()
+    assert list(row.q) == got
