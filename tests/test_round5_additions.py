@@ -184,8 +184,11 @@ def test_mg_fold_superset_and_size_invariants(stream, k, n_batches):
 import duckdb
 
 from market_pulse_data_pipeline_spark.functions.clustering import (
+    SNAP_SCALE,
     quantize_vec_py,
 )
+
+_PARITY_CON = duckdb.connect()
 
 
 @settings(max_examples=60, deadline=None)
@@ -198,10 +201,10 @@ from market_pulse_data_pipeline_spark.functions.clustering import (
                 allow_nan=False,
                 allow_infinity=False,
             ),
-            # exact decimal-half boundary values: k.5 / 1e6 scaled —
+            # exact decimal-half boundary values: k.5 / SCALE —
             # the HALF_UP-vs-float-path divergence candidates
-            st.integers(min_value=-2_000_000, max_value=2_000_000).map(
-                lambda k: (k + 0.5) / 1_000_000
+            st.integers(min_value=-2 * SNAP_SCALE, max_value=2 * SNAP_SCALE).map(
+                lambda k: (k + 0.5) / SNAP_SCALE
             ),
         ),
         min_size=1,
@@ -211,16 +214,20 @@ from market_pulse_data_pipeline_spark.functions.clustering import (
 def test_quantize_vec_py_matches_duckdb_round(xs):
     # every new oracle (LSH sigs, IVF probe, PQ/ADC tables) hinges on
     # the driver-side Decimal HALF_UP quantization agreeing with the
-    # oracle-side round(x * 1e6) — fuzz that pair directly, including
-    # exact halfway points where rounding modes diverge
-    con = duckdb.connect()
+    # oracle-side round(x * scale) — fuzz that pair directly, one
+    # vectorized query per example, including exact halfway points
+    # where rounding modes diverge
     got = quantize_vec_py(xs)
-    for x, q in zip(xs, got):
-        (exp,) = con.execute(
-            "SELECT CAST(round(CAST(? AS DOUBLE) * 1000000) AS BIGINT)",
-            [x],
-        ).fetchone()
-        assert q == exp, f"x={x!r}: python {q} != duckdb {exp}"
+    exp = [
+        r[0]
+        for r in _PARITY_CON.execute(
+            f"SELECT CAST(round(CAST(t.x AS DOUBLE) * {SNAP_SCALE}) AS BIGINT)"
+            " FROM (SELECT UNNEST(?) AS x, UNNEST(range(len(?))) AS i) t"
+            " ORDER BY t.i",
+            [xs, xs],
+        ).fetchall()
+    ]
+    assert got == exp, f"first divergence: {next((x, g, e) for x, g, e in zip(xs, got, exp) if g != e)}"
 
 
 def test_quantize_vec_py_matches_spark_round(spark):
@@ -228,21 +235,17 @@ def test_quantize_vec_py_matches_spark_round(spark):
     # quantization on an adversarial batch (exact decimal halves,
     # negatives, subnormal-ish magnitudes) equals the driver-side
     # Decimal HALF_UP twin
-    from pyspark.sql import Row
-
     vals = (
-        [(k + 0.5) / 1_000_000 for k in range(-5, 6)]
+        [(k + 0.5) / SNAP_SCALE for k in range(-5, 6)]
         + [0.0, -0.0, 1e-9, -1e-9, 3.1415926535, -2.7182818284]
-        + [(k + 0.5) / 1_000_000 for k in (999_999, -999_999, 123_456)]
+        + [(k + 0.5) / SNAP_SCALE for k in (999_999, -999_999, 123_456)]
     )
     df = spark.createDataFrame([Row(embedding=vals)])
     got = quantize_vec_py(vals)
-    from pyspark.sql import functions as F2
-
     row = df.select(
-        F2.transform(
+        F.transform(
             "embedding",
-            lambda x: F2.round(x.cast("double") * 1_000_000).cast("long"),
+            lambda x: F.round(x.cast("double") * SNAP_SCALE).cast("long"),
         ).alias("q")
     ).head()
     assert list(row.q) == got
