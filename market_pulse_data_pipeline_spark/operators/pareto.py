@@ -69,31 +69,39 @@ def largest_remainder(
     ties broken by key ascending). Pure integer arithmetic end to end.
 
     Degenerate cases: an empty ``df`` returns no rows; when
-    SUM(count_col) is 0 (all-zero counts) every proportional base is
-    defined as 0 — integer DIV/% by zero would otherwise yield NULL and
-    silently break the exact-sum contract — and the whole ``total`` is
-    distributed via the remainder pass, one unit per key ascending
-    (all-equal remainders, the tiebreak order). ``count_col`` is
-    re-aliased internally, so arbitrary column names (including ones
-    needing quoting) are safe — no name is interpolated into SQL text.
+    SUM(count_col) is 0 (all-zero counts) proportionality is undefined,
+    so the budget is split EVENLY — base = total DIV n_keys with the
+    first total % n_keys keys (ascending) taking one extra unit — which
+    preserves the exact-sum contract for any total (integer DIV/% by
+    the zero sum would otherwise yield NULL and silently break it).
+    ``count_col`` is re-aliased internally, so arbitrary column names
+    (including ones needing quoting) are safe — no name is interpolated
+    into SQL text.
     """
     if not isinstance(total, int) or total < 0:
         raise ValueError(f"total must be a non-negative int, got {total!r}")
-    tot = df.agg(F.sum(count_col).cast("long").alias("_n"))
+    tot = df.agg(
+        F.sum(count_col).cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_nk"),
+    )
     base = (
         df.select(key_col, F.col(count_col).alias("_cnt"))
         .crossJoin(F.broadcast(tot))
         .select(
             key_col,
             F.col("_cnt").alias(count_col),
-            F.coalesce(
-                # total is a validated int literal, _cnt/_n internal
-                # aliases — nothing user-supplied reaches the SQL text
-                F.expr(f"({total} * _cnt) DIV _n"), F.lit(0)
-            ).alias("_base"),
-            F.coalesce(
-                F.lit(total) * F.col("_cnt") % F.col("_n"), F.lit(0)
-            ).alias("_rem"),
+            # conditional, NOT coalesce-over-division: under ANSI mode
+            # (the session default) DIV/% by the zero sum THROW rather
+            # than yield NULL, so the degenerate branch must be taken
+            # before the division is evaluated. total is a validated
+            # int literal, _cnt/_n/_nk internal aliases — nothing
+            # user-supplied reaches the SQL text.
+            F.when(F.col("_n") == 0, F.expr(f"{total} DIV _nk"))
+            .otherwise(F.expr(f"({total} * _cnt) DIV _n"))
+            .alias("_base"),
+            F.when(F.col("_n") == 0, F.lit(0))
+            .otherwise(F.lit(total) * F.col("_cnt") % F.col("_n"))
+            .alias("_rem"),
         )
     )
     short = base.agg(

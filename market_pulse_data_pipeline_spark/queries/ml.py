@@ -26,7 +26,9 @@ from market_pulse_data_pipeline_spark.functions.graph import (
 )
 from market_pulse_data_pipeline_spark.queries.common import (
     register,
+    round_div,
     sql_round_avg,
+    sql_round_div,
     t,
 )
 
@@ -216,7 +218,8 @@ def _pq_encode_sql() -> str:
       GROUP BY pu.vec_id
     )
     SELECT c.vec_id, c.codes_csv,
-           ROUND(sqrt(CAST(e.ss AS DOUBLE)) / {SNAP_SCALE}, 4) AS recon_err
+           {sql_round_div("sqrt(CAST(e.ss AS DOUBLE))", str(SNAP_SCALE), 4)}
+             AS recon_err
     FROM codes c JOIN errs e USING (vec_id)
     ORDER BY c.vec_id
     """
@@ -294,8 +297,13 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
             "codes_csv"
         ),
-        F.round(
-            F.sqrt(F.col("ss").cast("double")) / F.lit(SNAP_SCALE), 4
+        # decimal-tie-safe quotient rounding (round_div), NOT bare
+        # F.round: sqrt(ss)/scale CAN terminate decimally (perfect-
+        # square ss with root ≡ 50 mod 100), exactly the tie class
+        # where Spark's BigDecimal route and DuckDB's float route
+        # disagree
+        round_div(
+            F.sqrt(F.col("ss").cast("double")), F.lit(SNAP_SCALE), 4
         ).alias("recon_err"),
     )
 

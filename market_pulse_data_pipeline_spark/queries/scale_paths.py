@@ -36,7 +36,7 @@ from market_pulse_data_pipeline_spark.functions.multimodal import (
     frame_sample,
 )
 from market_pulse_data_pipeline_spark.functions.similarity import (
-    embedding_near_duplicates,
+    _SIG_Q,
     lsh_ann_topk,
 )
 from market_pulse_data_pipeline_spark.queries.common import (
@@ -157,7 +157,7 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= (F.col("_tot") - F.col("intersection")) * 9
         )
     )
-    return verified.select(
+    out = verified.select(
         "doc_a",
         "doc_b",
         "intersection",
@@ -167,6 +167,15 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     ).orderBy("doc_a", "doc_b")
+    # the caches only exist for THIS query's multi-consumer plan, but
+    # the consumers live in the returned (lazy) DataFrame — so force
+    # the tiny pair result once (eager localCheckpoint) and release
+    # the corpus-sized shingle/signature blocks instead of pinning
+    # them for the rest of the session
+    out = out.localCheckpoint(eager=True)
+    hsh.unpersist(blocking=False)
+    sig.unpersist(blocking=False)
+    return out
 
 
 @register(
@@ -181,7 +190,10 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
-_EMB_SCALE = 1_000_000
+# the quantization scale every oracle in this module replays MUST be
+# the one the Spark signature path uses — single-sourced, not a third
+# hardcoded copy that could silently desynchronize
+_EMB_SCALE = _SIG_Q
 
 
 def _sql_lsh_sig(e: str, planes: list[list[int]]) -> str:

@@ -136,3 +136,19 @@ def test_bfs_matches_python_replay(spark, sf_dir):
                 dist[v] = dist[u] + 1
                 dq.append(v)
     assert got == dist
+
+
+def test_largest_remainder_all_zero_counts_splits_evenly(spark):
+    # degenerate all-zero counts: proportionality undefined, so the
+    # budget splits evenly — total DIV n_keys each, first total % n_keys
+    # keys (ascending) take the extra unit; exact-sum contract holds
+    # for totals larger than the key count (the case the old
+    # remainder-only fallback silently violated)
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=c, n=0) for c in "abc"])
+    out = {r.k: r.quota for r in largest_remainder(df, "k", "n", 100).collect()}
+    assert out == {"a": 34, "b": 33, "c": 33}
+    assert sum(out.values()) == 100
+    out2 = {r.k: r.quota for r in largest_remainder(df, "k", "n", 2).collect()}
+    assert out2 == {"a": 1, "b": 1, "c": 0}
