@@ -206,3 +206,51 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert want, "batch twin found no pairs — fixture too sparse for the test"
     assert got == want
+
+
+def test_ingest_replay_after_lost_commit_is_idempotent(spark, tmp_path):
+    """Exactly-once under the failure window: if the driver dies AFTER
+    foreachBatch applied the upsert but BEFORE the checkpoint recorded
+    the commit, restart re-delivers the batch (at-least-once). The
+    keyed upsert is idempotent, so the replay must leave bronze
+    byte-identical — simulated by deleting the newest commit marker
+    from the checkpoint and re-running the stream."""
+    import shutil
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "wh")
+    ck = str(tmp_path / "ck_replay")
+    write_fixture_landing(landing, default_fixture_docs(n_days=10))
+    q = stream_landing_to_bronze(spark, landing, warehouse, ck)
+    q.awaitTermination(120)
+    bronze_path = os.path.join(warehouse, "raw_alphavantage")
+    before = {
+        (r.symbol, str(sorted(r.data["Time Series (Daily)"].keys())))
+        for r in spark.read.parquet(bronze_path).collect()
+    }
+    assert len(before) == 10
+
+    # crash simulation: the sink mutation survived, the commit didn't
+    commits = sorted(
+        f
+        for f in os.listdir(os.path.join(ck, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # stale sidecar would fail the re-create
+        os.remove(crc)
+
+    q2 = stream_landing_to_bronze(spark, landing, warehouse, ck)
+    q2.awaitTermination(120)
+    after = {
+        (r.symbol, str(sorted(r.data["Time Series (Daily)"].keys())))
+        for r in spark.read.parquet(bronze_path).collect()
+    }
+    assert after == before  # replayed batch upserted the same keys
+
+    # and a THIRD run with an intact checkpoint does nothing new
+    q3 = stream_landing_to_bronze(spark, landing, warehouse, ck)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(bronze_path).count() == 10
+    shutil.rmtree(ck, ignore_errors=True)
