@@ -136,3 +136,44 @@ def test_compact_current_version_reduces_files_preserves_rows(spark, tmp_path):
     assert after.exceptAll(before).count() == 0
     # fragmented snapshot still time-travelable until vacuum
     assert read_version(spark, root, frag_version).count() == n_rows
+
+
+def test_pointer_swap_crash_window_leaves_readers_on_old_snapshot(
+    spark, tmp_path
+):
+    """The pointer-swap failure window: a writer that dies AFTER landing
+    its immutable v_ prefix but BEFORE the atomic pointer flip leaves an
+    orphan directory — readers keep resolving the old snapshot (never a
+    torn or half-visible table), the next successful commit supersedes
+    it, and vacuum eventually collects the orphan."""
+    import os
+    import time
+
+    from market_pulse_data_pipeline_spark.operators.merge import (
+        commit_pointer_swap,
+        read_current,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    commit_pointer_swap(_df(spark, [(1, 10), (2, 20)]), root)
+
+    # crash simulation: data fully written, pointer never flipped
+    orphan = "v_orphancrash"
+    _df(spark, [(1, 999)]).write.parquet(os.path.join(root, orphan))
+    got = sorted((r.k, r.v) for r in read_current(spark, root).collect())
+    assert got == [(1, 10), (2, 20)]  # readers unaffected by the orphan
+
+    time.sleep(1.1)  # vacuum orders versions by mtime; separate them
+    commit_pointer_swap(_df(spark, [(3, 30)]), root)
+    assert sorted(
+        (r.k, r.v) for r in read_current(spark, root).collect()
+    ) == [(3, 30)]
+
+    removed = vacuum_versions(root, keep=1)
+    assert any(p.endswith(orphan) for p in removed)  # orphan collected
+    assert not os.path.exists(os.path.join(root, orphan))
+    # current snapshot untouched by vacuum
+    assert sorted(
+        (r.k, r.v) for r in read_current(spark, root).collect()
+    ) == [(3, 30)]
