@@ -20,6 +20,13 @@ embedding store, in their scale-correct Spark shapes:
   (largest-|component| coordinate positive) so output is reproducible
   across numpy builds.
 
+- ``pca_snapped_project``: the cross-engine-exact twin of the above —
+  exact int64 moments, an integer repeated-squaring eigensolve with
+  exact matrix-level deflation (``_pca_snapped_vectors``), and
+  IEEE-deterministic float finishing, fully replayed in SQL by
+  ``pca_oracle_sql``. Same distributed shape; the registry's PCA row
+  uses this variant so it hash-checks against DuckDB.
+
 Neither shape ever materializes an n×n or n×d driver-side structure;
 both survive 100 TB with the same code path.
 """
@@ -640,4 +647,367 @@ def pq_oracle_sql(
     cfin AS ({c_fin})"""
     )
     parts.append(final)
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Snapped PCA: integer repeated-squaring power iteration with exact deflation
+# ---------------------------------------------------------------------------
+
+PCA_VS = SNAP_SCALE  # iteration-vector component scale
+PCA_MS = 1_000_000_000  # matrix rescale target after each squaring
+PCA_J = 9  # squarings: the powered matrix is M^(2^J) direction-wise
+_GRAM_BATCH_MAX = 4_000_000  # int64 overflow guard: rows·scale² < 2^63
+
+
+def _partial_int_gram_factory(dim: int):
+    """Per-Arrow-batch exact int64 partial moments over the QUANTIZED
+    vector column ``v``: Gram cells g_ij = Σ q_i·q_j, column sums s_i
+    (riding along in the j = 0 cells), and the row count n (in every
+    cell, so any (i, j) group's SUM recovers it once). Each batch emits
+    dim² rows; the global aggregate sums them in DECIMAL(38,0) so the
+    total stays exact past int64 at full scale."""
+
+    def partial(batches):
+        i_idx, j_idx = np.meshgrid(
+            range(dim), range(dim), indexing="ij"
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if len(pdf) > _GRAM_BATCH_MAX:
+                raise ValueError(
+                    f"Arrow batch of {len(pdf)} rows would overflow the "
+                    f"int64 partial Gram (guard: {_GRAM_BATCH_MAX}); lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
+            x = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            g = x.T @ x  # exact: rows·scale² below 2^63 by the guard
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": i_idx.ravel().astype(np.int32),
+                    "j": j_idx.ravel().astype(np.int32),
+                    "g": g.ravel(),
+                    "si": np.where(j_idx.ravel() == 0, s[i_idx.ravel()], 0),
+                    "n": np.int64(len(pdf)),
+                }
+            )
+
+    return partial
+
+
+def _pca_int_moments(
+    emb: DataFrame, dim: int, vec_col: str, scale: int
+) -> tuple[int, list[int], list[list[int]]]:
+    """Exact integer (n, s, G) of the scale-quantized vectors — ONE
+    distributed pass, dim² + dim driver-side cells, order-independent
+    by integer associativity."""
+    src = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("v")
+    )
+    cells = (
+        src.mapInPandas(
+            _partial_int_gram_factory(dim),
+            schema="i int, j int, g long, si long, n long",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("g").cast("decimal(38,0)")).alias("g"),
+            F.sum(F.col("si").cast("decimal(38,0)")).alias("si"),
+            F.sum(F.col("n").cast("decimal(38,0)")).alias("n"),
+        )
+        .collect()
+    )  # bounded: dim² rows
+    s = [0] * dim
+    G = [[0] * dim for _ in range(dim)]
+    n = 0
+    for r in cells:
+        G[r["i"]][r["j"]] = int(r["g"])
+        if r["j"] == 0:
+            s[r["i"]] = int(r["si"])
+            n = int(r["n"])
+    return n, s, G
+
+
+def _pca_snapped_vectors(
+    n: int, s: list[int], G: list[list[int]], dim: int,
+    vs: int = PCA_VS, ms: int = PCA_MS, j_sq: int = PCA_J,
+) -> tuple[list[int], list[int]]:
+    """Deterministic integer top-2 eigenvectors of the covariance
+    numerator M = n·G − s·sᵀ (pure Python ints — exact, unbounded):
+
+    - v1: rescale M to |·| ≤ ms, square it ``j_sq`` times (rescaling
+      after each — the gap ratio SQUARES per step, so near-flat spectra
+      converge where plain power iteration cannot), then two matvecs
+      from the all-ones start.
+    - v2: deflate at the MATRIX level in exact arithmetic —
+      B = (d1·I − v1·v1ᵀ)·M·(d1·I − v1·v1ᵀ) has λ2 as its TOP
+      eigenvalue, so the same squaring chain converges regardless of
+      how dominant λ1 was (vector-level deflation after powering
+      underflows integer resolution when (λ2/λ1)^2^j < 1/ms); a final
+      exact vector deflation t = w·d1 − (w·v1)·v1 makes v2 ⊥ v1 exact
+      in integers before the last truncating rescale.
+
+    Every operation (truncating division, max-abs rescale,
+    largest-|component|-positive sign fix with lowest-index ties) is
+    replayed term-for-term by ``pca_oracle_sql``.
+    """
+    rng = range(dim)
+
+    def rmat(A):
+        md = max(abs(A[i][j]) for i in rng for j in rng)
+        d = _trunc_div(md, ms) + 1
+        return [[_trunc_div(A[i][j], d) for j in rng] for i in rng]
+
+    def mm(A, B):
+        return [
+            [sum(A[i][k] * B[k][j] for k in rng) for j in rng] for i in rng
+        ]
+
+    def mv(A, x):
+        return [sum(A[i][j] * x[j] for j in rng) for i in rng]
+
+    def rs(w):
+        m = max(abs(c) for c in w)
+        if m == 0:
+            raise ValueError("degenerate covariance: zero iteration vector")
+        return [_trunc_div(c * vs, m) for c in w]
+
+    def sfx(v):
+        mi = max(rng, key=lambda i: (abs(v[i]), -i))
+        return [-c for c in v] if v[mi] < 0 else list(v)
+
+    M0 = rmat([[n * G[i][j] - s[i] * s[j] for j in rng] for i in rng])
+    P = M0
+    for _ in range(j_sq):
+        P = rmat(mm(P, P))
+    v1 = sfx(rs(mv(P, rs(mv(P, [vs] * dim)))))
+    d1 = sum(c * c for c in v1)
+    Q = [
+        [(d1 if i == j else 0) - v1[i] * v1[j] for j in rng] for i in rng
+    ]
+    B = rmat(mm(Q, M0))
+    B = rmat(mm(B, Q))
+    for _ in range(j_sq):
+        B = rmat(mm(B, B))
+    w = rs(mv(B, rs(mv(B, [vs] * dim))))
+    nm = sum(w[i] * v1[i] for i in rng)
+    t = [w[i] * d1 - nm * v1[i] for i in rng]
+    v2 = sfx(rs(t))
+    return v1, v2
+
+
+def pca_snapped_project(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SNAP_SCALE,
+    digits: int = 4,
+) -> DataFrame:
+    """Top-2 PCA projection with a full value-hash DuckDB twin
+    (``pca_oracle_sql``) — the rows-only eigh variant re-expressed as
+    exact integer arithmetic plus IEEE-deterministic float finishing.
+
+    One mapInPandas pass emits per-batch int64 partial Grams, one
+    aggregate sums the dim² cells (DECIMAL(38,0) — exact past int64),
+    and the repeated-squaring eigensolve runs driver-side on Python
+    ints (``_pca_snapped_vectors``). The finishing floats are
+    engine-portable: components x/√(Σx²) and means s/(n·scale) are
+    single correctly-rounded IEEE ops on identical exact integers, and
+    the per-row projection folds (q/scale − mean)·comp in index order
+    (zip_with + aggregate ≡ DuckDB list_transform + list_sum), snapped
+    through the proven decimal ROUND route. Same 100 TB shape as the
+    float PCA: dim² collect, map-only projection."""
+    from market_pulse_data_pipeline_spark.queries.common import (  # noqa: PLC0415
+        round_div,
+    )
+
+    n, s, G = _pca_int_moments(emb, dim, vec_col, scale)
+    v1, v2 = _pca_snapped_vectors(n, s, G, dim)
+
+    import math  # noqa: PLC0415
+
+    def unit(v):
+        nrm = math.sqrt(float(sum(c * c for c in v)))
+        return [float(c) / nrm for c in v]
+
+    c1, c2 = unit(v1), unit(v2)
+    mean = [float(s[i]) / float(n * scale) for i in range(dim)]
+
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    mean_arr = F.array(*[F.lit(m) for m in mean])
+    cen = F.zip_with(
+        vq, mean_arr, lambda x, mn: x.cast("double") / F.lit(float(scale)) - mn
+    )
+
+    def proj(comp):
+        comp_arr = F.array(*[F.lit(c) for c in comp])
+        p = F.aggregate(
+            F.zip_with(cen, comp_arr, lambda c, w: c * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return round_div(p, F.lit(1.0), digits)
+
+    return emb.select(
+        id_col, proj(c1).alias("pc1"), proj(c2).alias("pc2")
+    )
+
+
+def pca_oracle_sql(
+    *,
+    dim: int,
+    scale: int = SNAP_SCALE,
+    vs: int = PCA_VS,
+    ms: int = PCA_MS,
+    j_sq: int = PCA_J,
+    digits: int = 4,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of ``pca_snapped_project``: quantization, exact
+    integer moments, the rescaled squaring chains for M and the
+    deflated B, matvecs, sign fixes, and the float finishing — all as
+    chained CTEs. CTEs are MATERIALIZED: DuckDB re-expands plain CTEs
+    per reference, and each squaring references its predecessor three
+    times (self-join + max-abs), which would make the expansion
+    exponential in ``j_sq``. Intermediates ride DuckDB's HUGEINT (SUM
+    output), mirroring the driver loop's unbounded Python ints; every
+    truncating ``//`` matches Spark-side ``_trunc_div``."""
+
+    def sq(prev: str, cur: str) -> str:
+        return f""",
+{cur}r AS MATERIALIZED (
+  SELECT a.i, b.j, SUM(a.m * b.m) AS m
+  FROM {prev} a JOIN {prev} b ON a.j = b.i GROUP BY a.i, b.j
+),
+{cur} AS MATERIALIZED (
+  SELECT i, j, m // ((SELECT MAX(ABS(m)) FROM {cur}r) // {ms} + 1) AS m
+  FROM {cur}r
+)"""
+
+    parts = [
+        f"""
+WITH p AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+  FROM {src}
+),
+pu AS MATERIALIZED (
+  SELECT vec_id, i AS pos, v[i + 1] AS qv
+  FROM p CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS i) idx
+),
+mom AS MATERIALIZED (SELECT pos, SUM(qv) AS s FROM pu GROUP BY pos),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM p),
+gr AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.qv * b.qv) AS g
+  FROM pu a JOIN pu b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos
+),
+m0r AS MATERIALIZED (
+  SELECT g.i, g.j, nn.n * g.g - si.s * sj.s AS m
+  FROM gr g, nn, mom si, mom sj WHERE si.pos = g.i AND sj.pos = g.j
+),
+m0 AS MATERIALIZED (
+  SELECT i, j, m // ((SELECT MAX(ABS(m)) FROM m0r) // {ms} + 1) AS m
+  FROM m0r
+)"""
+    ]
+    prev = "m0"
+    for t in range(1, j_sq + 1):
+        parts.append(sq(prev, f"p{t}"))
+        prev = f"p{t}"
+    pt = prev
+    parts.append(f""",
+w1a AS MATERIALIZED (SELECT i AS pos, SUM(m * {vs}) AS w FROM {pt} GROUP BY i),
+v1a AS MATERIALIZED (
+  SELECT pos, (w * {vs}) // (SELECT MAX(ABS(w)) FROM w1a) AS x FROM w1a),
+w1b AS MATERIALIZED (
+  SELECT mm.i AS pos, SUM(mm.m * v.x) AS w
+  FROM {pt} mm JOIN v1a v ON v.pos = mm.j GROUP BY mm.i),
+v1b AS MATERIALIZED (
+  SELECT pos, (w * {vs}) // (SELECT MAX(ABS(w)) FROM w1b) AS x FROM w1b),
+sg1 AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT x FROM v1b
+                    ORDER BY ABS(x) DESC, pos LIMIT 1) < 0
+         THEN -1 ELSE 1 END AS s),
+vf1 AS MATERIALIZED (SELECT pos, x * sg1.s AS x FROM v1b, sg1),
+d1 AS MATERIALIZED (SELECT SUM(x * x) AS d FROM vf1),
+qm AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         (CASE WHEN a.pos = b.pos THEN d1.d ELSE 0 END) - a.x * b.x AS m
+  FROM vf1 a, vf1 b, d1
+),
+b0ar AS MATERIALIZED (
+  SELECT q.i, m.j, SUM(q.m * m.m) AS m
+  FROM qm q JOIN m0 m ON q.j = m.i GROUP BY q.i, m.j
+),
+b0a AS MATERIALIZED (
+  SELECT i, j, m // ((SELECT MAX(ABS(m)) FROM b0ar) // {ms} + 1) AS m
+  FROM b0ar),
+b0r AS MATERIALIZED (
+  SELECT a.i, q.j, SUM(a.m * q.m) AS m
+  FROM b0a a JOIN qm q ON a.j = q.i GROUP BY a.i, q.j
+),
+b0 AS MATERIALIZED (
+  SELECT i, j, m // ((SELECT MAX(ABS(m)) FROM b0r) // {ms} + 1) AS m
+  FROM b0r)""")
+    prev = "b0"
+    for t in range(1, j_sq + 1):
+        parts.append(sq(prev, f"b{t}"))
+        prev = f"b{t}"
+    bt = prev
+    parts.append(f""",
+w2a AS MATERIALIZED (SELECT i AS pos, SUM(m * {vs}) AS w FROM {bt} GROUP BY i),
+v2a AS MATERIALIZED (
+  SELECT pos, (w * {vs}) // (SELECT MAX(ABS(w)) FROM w2a) AS x FROM w2a),
+w2b AS MATERIALIZED (
+  SELECT mm.i AS pos, SUM(mm.m * v.x) AS w
+  FROM {bt} mm JOIN v2a v ON v.pos = mm.j GROUP BY mm.i),
+v2b AS MATERIALIZED (
+  SELECT pos, (w * {vs}) // (SELECT MAX(ABS(w)) FROM w2b) AS x FROM w2b),
+nm AS MATERIALIZED (
+  SELECT SUM(w.x * v1.x) AS nm FROM v2b w JOIN vf1 v1 ON v1.pos = w.pos),
+tv AS MATERIALIZED (
+  SELECT w.pos, w.x * d1.d - nm.nm * v1.x AS x
+  FROM v2b w JOIN vf1 v1 ON v1.pos = w.pos, d1, nm),
+v2r AS MATERIALIZED (
+  SELECT pos, (x * {vs}) // (SELECT MAX(ABS(x)) FROM tv) AS x FROM tv),
+sg2 AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT x FROM v2r
+                    ORDER BY ABS(x) DESC, pos LIMIT 1) < 0
+         THEN -1 ELSE 1 END AS s),
+vf2 AS MATERIALIZED (SELECT pos, x * sg2.s AS x FROM v2r, sg2),
+d2 AS MATERIALIZED (SELECT SUM(x * x) AS d FROM vf2),
+mean_l AS MATERIALIZED (
+  SELECT list(CAST(s AS DOUBLE) / CAST(nn.n * {scale} AS DOUBLE)
+              ORDER BY pos) AS m
+  FROM mom, nn GROUP BY nn.n
+),
+c1_l AS MATERIALIZED (
+  SELECT list(CAST(x AS DOUBLE) / sqrt(CAST(d1.d AS DOUBLE))
+              ORDER BY pos) AS c
+  FROM vf1, d1 GROUP BY d1.d
+),
+c2_l AS MATERIALIZED (
+  SELECT list(CAST(x AS DOUBLE) / sqrt(CAST(d2.d AS DOUBLE))
+              ORDER BY pos) AS c
+  FROM vf2, d2 GROUP BY d2.d
+)
+SELECT p.vec_id,
+  CAST(ROUND(CAST((list_sum(list_transform(range(1, {dim + 1}),
+    i -> (CAST(p.v[i] AS DOUBLE) / {scale}.0 - m.m[i]) * c1.c[i]))) / (1)
+    AS DECIMAL(28,{digits + 4})), {digits}) AS DOUBLE) AS pc1,
+  CAST(ROUND(CAST((list_sum(list_transform(range(1, {dim + 1}),
+    i -> (CAST(p.v[i] AS DOUBLE) / {scale}.0 - m.m[i]) * c2.c[i]))) / (1)
+    AS DECIMAL(28,{digits + 4})), {digits}) AS DOUBLE) AS pc2
+FROM p, mean_l m, c1_l c1, c2_l c2
+ORDER BY vec_id""")
     return "".join(parts)

@@ -93,7 +93,13 @@ _R6_DEFER = [
     # rows-only (no SQL oracle by nature; driver row = weaker
     # rows-only check, so they wait for the ledger-closing round)
     "simhash_near_dups",
-    "bpe_learned_merges", "embedding_pca_project",
+    "bpe_learned_merges",
+    # converted rows-only → full value-hash oracle late in round 5:
+    # the eigh eigensolve replaced by integer repeated-squaring power
+    # iteration with exact matrix-level deflation, replayed by
+    # materialized DuckDB CTE chains
+    # (functions/clustering.py::pca_snapped_project / pca_oracle_sql)
+    "embedding_pca_project",
     # converted rows-only → full value-hash oracles in round 5
     # (VERDICT item 5): hex-chained stub codecs let DuckDB recompute
     # the media plumbing bytes; kmeans_snapped makes Lloyd's

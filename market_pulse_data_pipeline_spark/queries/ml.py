@@ -6,9 +6,13 @@ truncating integer division, so every Lloyd iteration is bit-identical
 across engines and the DuckDB twin unrolls the fit as chained CTEs
 (functions/clustering.py::kmeans_oracle_sql — also parameterized by
 the IVF-ANN oracle; pq_oracle_sql emits one chain per subspace for
-the PQ/ADC rows). PCA remains rows-only (eigendecomposition has no
-ANSI-SQL form); its exactness is pinned by tests/test_clustering.py,
-which replays the identical deterministic algorithm in pure numpy.
+the PQ/ADC rows). The PCA row joined them later in round 5: the eigh
+eigendecomposition (no ANSI-SQL form) was replaced by integer
+repeated-squaring power iteration with exact matrix-level deflation
+(functions/clustering.py::pca_snapped_project), whose DuckDB twin
+(pca_oracle_sql) replays the whole eigensolve as chained CTEs; the
+float eigh variant (pca_project) remains the general library API and
+is still numpy-pinned by tests/test_clustering.py.
 """
 
 from __future__ import annotations
@@ -19,7 +23,8 @@ from pyspark.sql import functions as F
 from market_pulse_data_pipeline_spark.functions.clustering import (
     kmeans_oracle_sql,
     kmeans_snapped,
-    pca_project,
+    pca_oracle_sql,
+    pca_snapped_project,
 )
 from market_pulse_data_pipeline_spark.functions.graph import (
     pagerank_fixed_point,
@@ -97,17 +102,23 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_project",
-    None,
-    doc="PCA projection onto the top-2 principal components: one "
-    "mapInPandas pass emits a d×d partial Gram per partition, one "
-    "aggregate sums the d² cells, eigh runs driver-side on the d×d "
-    "covariance, projection is map-only — the collect is dim², "
-    "independent of corpus size. Eigenvector sign fixed for "
-    "reproducibility. functions/clustering.py.",
+    pca_oracle_sql(dim=_DIM),
+    doc="PCA projection onto the top-2 principal components, converted "
+    "rows-only → FULL value-hash oracle in round 5: the eigensolve is "
+    "integer repeated-squaring power iteration (gap ratio squares per "
+    "step — converges on this corpus's near-flat spectrum where plain "
+    "power iteration cannot) with exact matrix-level deflation for the "
+    "second component, all on exact int64 moments from one mapInPandas "
+    "partial-Gram pass (dim² collect, independent of corpus size; "
+    "projection map-only). Both principal directions align with numpy "
+    "eigh to |cos| ≥ 0.999999 at every fixture SF (pinned in "
+    "tests/test_pca_snapped.py); the DuckDB oracle replays the entire "
+    "eigensolve as materialized CTE chains. "
+    "functions/clustering.py::pca_snapped_project.",
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    return pca_project(emb, dim=_DIM, n_components=2).orderBy("vec_id")
+    return pca_snapped_project(emb, dim=_DIM).orderBy("vec_id")
 
 
 _PR_SCALE = 10**12

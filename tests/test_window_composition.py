@@ -82,14 +82,14 @@ def test_round6_ledger_arithmetic():
 
 
 def test_rows_only_floor():
-    # after the round-5 conversions, exactly three queries remain
+    # after the round-5 conversions, exactly two queries remain
     # without a DuckDB oracle — each genuinely non-replayable (xxhash
-    # simhash signatures, BPE's iterative merges, PCA's
-    # eigendecomposition). A new rows-only query (or a conversion
-    # regression) must be a conscious decision, not drift.
+    # simhash signatures, BPE's iterative merges; PCA converted late in
+    # round 5 via integer repeated-squaring power iteration,
+    # tests/test_pca_snapped.py). A new rows-only query (or a
+    # conversion regression) must be a conscious decision, not drift.
     rows_only = {n for n, q in QUERY_REGISTRY.items() if q.oracle is None}
     assert rows_only == {
         "simhash_near_dups",
         "bpe_learned_merges",
-        "embedding_pca_project",
     }
