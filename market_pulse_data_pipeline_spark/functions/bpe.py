@@ -23,6 +23,19 @@ driver-coordination pattern:
 Exactness is pinned by tests/test_bpe.py against a pure-Python replay
 of the same greedy semantics ("x x x" with pair (x,x) merges positions
 0-1 only — non-overlapping, left to right).
+
+``bpe_oracle_sql`` replays the ENTIRE training loop in DuckDB as
+chained materialized CTEs (the kmeans/pagerank/PCA unrolling
+discipline): per round, the argmax pair is a windowed-lead count with
+the same (n DESC, l, r) order, and the greedy non-overlapping merge is
+gaps-and-islands — candidate positions p (tok=l, next=r) can only
+overlap when consecutive, so within each maximal run of consecutive
+candidates exactly the odd-numbered ones merge, which IS the
+left-to-right greedy rule. Early stop falls out for free: a round
+whose best pair has n < 2 merges nothing (the n >= 2 filter empties
+the candidate set), leaving the corpus unchanged, so every later round
+reproduces the same sub-threshold argmax and is filtered identically —
+matching the Spark loop's break.
 """
 
 from __future__ import annotations
@@ -112,3 +125,83 @@ def bpe_train(
             _merge_pass(F.col("ws"), F.lit(left), F.lit(right)).alias("ws")
         )
     return merges
+
+
+def bpe_oracle_sql(
+    n_merges: int = 8, src: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``bpe_train``: the full iterative loop unrolled as
+    materialized CTEs — t0 is the (doc_id, pos, tok) shred of the split
+    corpus; each round i derives the argmax pair b{i} (LIMIT 1 under the
+    Spark orderBy, kept only when n >= 2), the greedily-kept candidate
+    positions keep{i} (islands of consecutive candidates, odd ranks),
+    and the rewritten corpus t{i} (merged token at kept positions,
+    consumed successors dropped, positions renumbered). Output matches
+    the Spark query's (merge_rank, left, right, pair_count) schema.
+    CTEs are MATERIALIZED so each round's corpus is computed once, not
+    re-expanded per reference."""
+    parts = [
+        f"""
+WITH t0 AS MATERIALIZED (
+  SELECT doc_id, u.pos, u.tok
+  FROM (SELECT doc_id, string_split({text_col}, ' ') AS ws FROM {src}),
+       UNNEST(list_transform(range(1, len(ws) + 1),
+                             i -> {{'pos': i, 'tok': ws[i]}})) AS uu(u)
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = f"t{i - 1}"
+        parts.append(f""",
+b{i} AS MATERIALIZED (
+  SELECT l, r, n FROM (
+    SELECT l, r, COUNT(*) AS n
+    FROM (SELECT tok AS l,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS r
+          FROM {p})
+    WHERE r IS NOT NULL
+    GROUP BY l, r
+    ORDER BY n DESC, l, r
+    LIMIT 1
+  ) WHERE n >= 2
+),
+keep{i} AS MATERIALIZED (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS k
+    FROM (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM (
+        SELECT x.doc_id, x.pos
+        FROM (SELECT doc_id, pos, tok,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS nxt
+              FROM {p}) x, b{i} b
+        WHERE x.tok = b.l AND x.nxt = b.r
+      )
+    )
+  ) WHERE k % 2 = 1
+),
+t{i} AS MATERIALIZED (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         tok
+  FROM (
+    SELECT t.doc_id, t.pos,
+           CASE WHEN k1.pos IS NOT NULL
+                THEN (SELECT l || ' ' || r FROM b{i})
+                ELSE t.tok END AS tok
+    FROM {p} t
+    LEFT JOIN keep{i} k1 ON k1.doc_id = t.doc_id AND k1.pos = t.pos
+    LEFT JOIN keep{i} k2 ON k2.doc_id = t.doc_id AND k2.pos = t.pos - 1
+    WHERE k2.pos IS NULL
+  )
+)""")
+    sel = "\nUNION ALL ".join(
+        f'SELECT {i - 1} AS merge_rank, l AS "left", r AS "right", '
+        f"CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"\nSELECT * FROM ({sel}) ORDER BY merge_rank")
+    return "".join(parts)

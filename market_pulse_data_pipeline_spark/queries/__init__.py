@@ -91,14 +91,16 @@ _R5_PRIORITY = [
 # (tests/test_window_composition.py enforces the composition).
 _R6_DEFER = [
     # rows-only (no SQL oracle by nature; driver row = weaker
-    # rows-only check, so they wait for the ledger-closing round)
+    # rows-only check, so it waits for the ledger-closing round)
     "simhash_near_dups",
-    "bpe_learned_merges",
-    # converted rows-only → full value-hash oracle late in round 5:
-    # the eigh eigensolve replaced by integer repeated-squaring power
-    # iteration with exact matrix-level deflation, replayed by
-    # materialized DuckDB CTE chains
+    # converted rows-only → full value-hash oracles late in round 5:
+    # BPE's training loop unrolled as materialized DuckDB CTEs with the
+    # greedy merge as the gaps-and-islands odd-rank rule
+    # (functions/bpe.py::bpe_oracle_sql); PCA's eigh eigensolve
+    # replaced by integer repeated-squaring power iteration with exact
+    # matrix-level deflation
     # (functions/clustering.py::pca_snapped_project / pca_oracle_sql)
+    "bpe_learned_merges",
     "embedding_pca_project",
     # converted rows-only → full value-hash oracles in round 5
     # (VERDICT item 5): hex-chained stub codecs let DuckDB recompute

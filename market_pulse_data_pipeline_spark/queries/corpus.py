@@ -288,17 +288,32 @@ def bernoulli_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _bpe_oracle() -> str:
+    from market_pulse_data_pipeline_spark.functions.bpe import (  # noqa: PLC0415
+        bpe_oracle_sql,
+    )
+
+    return bpe_oracle_sql(n_merges=8)
+
+
 @register(
     "bpe_learned_merges",
-    None,  # iterative data-dependent argmax per round — no SQL twin;
-    # tests/test_bpe.py pins an exact pure-Python replay
+    _bpe_oracle(),
     doc="distributed BPE merge induction (functions/bpe.py): 8 rounds "
     "of corpus-wide adjacent-pair counting (vocabulary-bounded hash "
     "aggregate), 1-row argmax collect, and a greedy non-overlapping "
     "merge pass as a JVM higher-order aggregate — the actual "
     "vocabulary-LEARNING loop whose artifact text_bpe_token_estimate "
     "consumes. localCheckpoint keeps per-round lineage O(1). Returns "
-    "the learned merge table (rank, left, right, pair_count).",
+    "the learned merge table (rank, left, right, pair_count). "
+    "Converted rows-only → FULL value-hash oracle in round 5: "
+    "functions/bpe.py::bpe_oracle_sql unrolls the whole training loop "
+    "as materialized DuckDB CTEs — the greedy non-overlapping merge is "
+    "the gaps-and-islands odd-rank rule over runs of consecutive "
+    "candidate positions, and early stop (best pair n < 2) falls out "
+    "of the n >= 2 filter because a merge-free round leaves the corpus "
+    "(and thus every later argmax) unchanged. Edge semantics pinned "
+    "engine-free in tests/test_bpe.py.",
 )
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.bpe import bpe_train  # noqa: PLC0415

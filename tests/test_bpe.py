@@ -57,3 +57,59 @@ def test_bpe_greedy_overlap_semantics(spark):
     assert merges == [("x", "x", 3)]  # 2 from doc1 + 1 from doc2
     # second round on the merged corpus: replay agrees end-to-end
     assert bpe_train(df, n_merges=2) == python_bpe(["x x x", "x x y"], 2)
+
+
+def _oracle_rows(con, n_merges):
+    from market_pulse_data_pipeline_spark.functions.bpe import bpe_oracle_sql
+
+    return con.execute(bpe_oracle_sql(n_merges=n_merges)).fetchall()
+
+
+def test_bpe_oracle_matches_python_replay_engine_free():
+    # the same parity the CORRECTNESS gate witnesses Spark-side, pinned
+    # engine-free: the unrolled DuckDB CTE loop must reproduce the
+    # pure-Python greedy replay bit-for-bit at both fixture SFs.
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet'"
+        )
+        texts = [
+            r[0]
+            for r in con.execute(
+                "SELECT text FROM documents ORDER BY doc_id"
+            ).fetchall()
+        ]
+        want = [
+            (i, l, r, n) for i, (l, r, n) in enumerate(python_bpe(texts, 8))
+        ]
+        assert _oracle_rows(con, 8) == want
+    con.close()
+
+
+def test_bpe_oracle_overlap_and_early_stop():
+    import duckdb
+
+    con = duckdb.connect()
+    # greedy overlap: "x x x" contributes 2 to the pair count but only
+    # one merge happens (odd-rank island rule == left-to-right greedy)
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        "(VALUES (1, 'x x x'), (2, 'x x y')) AS v(doc_id, text)"
+    )
+    got = _oracle_rows(con, 3)
+    want = [
+        (i, l, r, n)
+        for i, (l, r, n) in enumerate(python_bpe(["x x x", "x x y"], 3))
+    ]
+    assert got == want and len(got) < 3  # early-stopped below 3 rounds
+    # all-unique corpus: best pair count is 1 < 2 everywhere -> no rows
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        "(VALUES (1, 'a b c'), (2, 'd e f')) AS v(doc_id, text)"
+    )
+    assert _oracle_rows(con, 2) == []
+    con.close()

@@ -82,14 +82,13 @@ def test_round6_ledger_arithmetic():
 
 
 def test_rows_only_floor():
-    # after the round-5 conversions, exactly two queries remain
-    # without a DuckDB oracle — each genuinely non-replayable (xxhash
-    # simhash signatures, BPE's iterative merges; PCA converted late in
-    # round 5 via integer repeated-squaring power iteration,
-    # tests/test_pca_snapped.py). A new rows-only query (or a
-    # conversion regression) must be a conscious decision, not drift.
+    # after the round-5 conversions, exactly one query remains without
+    # a DuckDB oracle — genuinely non-replayable (xxhash64 simhash
+    # signatures; a hash-checked md5 portable twin exists as
+    # simhash_portable). PCA converted via integer repeated-squaring
+    # power iteration (tests/test_pca_snapped.py) and BPE via the
+    # unrolled gaps-and-islands merge loop (tests/test_bpe.py). A new
+    # rows-only query (or a conversion regression) must be a conscious
+    # decision, not drift.
     rows_only = {n for n, q in QUERY_REGISTRY.items() if q.oracle is None}
-    assert rows_only == {
-        "simhash_near_dups",
-        "bpe_learned_merges",
-    }
+    assert rows_only == {"simhash_near_dups"}

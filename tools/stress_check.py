@@ -567,6 +567,21 @@ def main() -> int:
             ),
         )
 
+    # snapped PCA (functions/clustering.py::pca_snapped_project): one
+    # mapInPandas partial-Gram pass + a dim² aggregate (driver state
+    # constant in corpus size), the integer eigensolve on the driver
+    # (corpus-independent), then the map-only projection — the moments
+    # pass must scale linearly in vectors and the projection with it.
+    if only is None or "pca_snapped_project" in only:
+        from market_pulse_data_pipeline_spark.functions.clustering import (
+            pca_snapped_project,
+        )
+
+        emb_p = mat(multiplied(
+            load_table(spark, args.sf, "embeddings"), args.mult, ["vec_id"]
+        ), "embeddings_pca")
+        run("pca_snapped_project", pca_snapped_project(emb_p, dim=64))
+
     # U-shaped attribution (queries/events.py): per-user interval join
     # of conversions to their preceding touches + per-conversion
     # window. Users multiply with the mult (key-offset), so paths per
