@@ -24,7 +24,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["TZ"] = "America/New_York"  # hostile: non-UTC process tz
+# hostile: non-UTC process tz (set before any JVM/duckdb start; --chaos
+# swaps in a half-hour-offset zone, the nastier rendering case)
+os.environ.setdefault("TZ", "America/New_York")
 time.tzset()
 
 import duckdb
@@ -37,21 +39,51 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--chaos",
+        action="store_true",
+        help=(
+            "attack PARALLELISM instead of just session state: 5 cores, "
+            "7 shuffle partitions (prime, != any input split count), "
+            "1 MB input splits (every sf0.01 parquet shreds into many "
+            "tasks), and 512-row Arrow batches (every mapInPandas / "
+            "pandas_udf path sees MANY partial batches instead of one). "
+            "Any query whose bytes depend on fold order, partial-agg "
+            "grouping, per-batch state, or partition count fails here "
+            "even though the layout-friendly default sweep passes."
+        ),
+    )
     args = ap.parse_args()
+
+    if args.chaos:
+        # half-hour-offset zone: the rendering case integer-offset zones
+        # never exercise. Set before the JVM exists so it sticks.
+        os.environ["TZ"] = "Asia/Kolkata"
+        time.tzset()
 
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
 
     # deliberately bare: no nanosAsLong, no UTC session tz, no AQE tuning
-    spark = (
-        SparkSession.builder.master("local[16]")
+    builder = (
+        SparkSession.builder.master(
+            "local[5]" if args.chaos else "local[16]"
+        )
         .appName("hostile-check")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "12g")
-        .getOrCreate()
     )
+    if args.chaos:
+        builder = (
+            builder.config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.files.maxPartitionBytes", "1m")
+            .config("spark.sql.files.openCostInBytes", "0")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+            .config("spark.default.parallelism", "5")
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
