@@ -47,24 +47,31 @@ def main() -> None:
         .save()
     )
 
-    timings: dict[str, float] = {}
-    total = 0.0
     # Fixed alphabetical order: registry iteration order changes as the
     # driver-witness window rotates; bench timings must not depend on it.
-    # Min of 3 runs per query: this host is shared, and back-to-back
-    # medians still swung 2-3x on individual queries (interference hits
-    # 2 of 3 runs often enough). Interference only ever ADDS time, so
-    # the minimum is the unbiased estimator of achievable latency —
-    # the same reasoning as Python's timeit documentation.
-    for name in sorted(bench_queries):
-        q = bench_queries[name]
-        runs = []
-        for _ in range(3):
+    # Min over 3 INTERLEAVED passes: this host is shared, and
+    # interference only ever ADDS time, so the minimum is the unbiased
+    # estimator of achievable latency (the timeit argument). The passes
+    # are interleaved (run the whole list, then again) rather than
+    # back-to-back per query because a single multi-second contention
+    # burst otherwise captures ALL runs of whichever sub-second query
+    # it lands on — exactly the round-5 left_join_enrich 2.01x
+    # artifact, which reproduced at 0.3-0.4 s in every local
+    # configuration. Interleaving spaces a query's runs ~30 s apart,
+    # so one burst can inflate at most one of its three samples.
+    runs: dict[str, list[float]] = {n: [] for n in bench_queries}
+    for _ in range(3):
+        for name in sorted(bench_queries):
+            q = bench_queries[name]
             t0 = time.time()
             df = q.spark(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            runs.append(time.time() - t0)
-        dt = round(min(runs), 3)
+            runs[name].append(time.time() - t0)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(bench_queries):
+        dt = round(min(runs[name]), 3)
         timings[name] = dt
         total += dt
 

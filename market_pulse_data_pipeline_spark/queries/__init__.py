@@ -37,63 +37,28 @@ from market_pulse_data_pipeline_spark.queries import mining  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
-# entries of queries() in iteration order, so queries that have never
-# received a driver-witnessed row must register ahead of the
-# already-witnessed ones. all_queries() orders: (0) the round-5 window
-# below, (1) any other never-witnessed query in registration order,
-# (2) queries deferred to round 6, (3) driver-green rows. As rows turn
-# green in CORRECTNESS_r{N}, move them into _DRIVER_GREEN so the window
-# rotates to whatever is still unwitnessed.
+# entries of queries() in iteration order, so the names that need a
+# driver row THIS round must register ahead of the already-witnessed
+# ones. all_queries() orders: (0) the round-6 window below, (1) any
+# never-witnessed query not in the window — must stay EMPTY this
+# round (registry freeze, tests/test_window_composition.py), (2)
+# driver-green rows ordered oldest-witness-first so overflow slots,
+# if the window ever shrinks, land on the stalest evidence.
 #
-# Round-5 window (VERDICT.md round 4 "Next round" #1): the first 50
-# oracled queries of the round-4 deferral list in its original order
-# (head: text_pii_redact). This exact composition was pre-simulated in
-# round 4 and passes both the dtype-aware local gate
-# (tools/check_oracle.py) and the hostile gate (tools/hostile_check.py,
-# bare session + America/New_York process tz). It includes the four
-# shuffle-discipline queries (salted_skew_aggregate,
-# bucketed_join_colocated, bloom_filter_prejoin, compaction_roundtrip —
-# VERDICT item 6, the 100 TB layout-path proof rows).
-_R5_PRIORITY = [
-    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
-    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
-    "k_anonymity_check", "benford_first_digit_audit",
-    "chi2_independence_lang_source", "format_roundtrip_orc",
-    "format_roundtrip_csv", "format_roundtrip_jsonl",
-    "partitioned_write_readback", "schema_evolution_read",
-    "pagerank_user_event_graph", "centroid_classifier_confusion",
-    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
-    "sql_registered_udf", "sql_lateral_top2_orders",
-    "udtf_split_sentences", "incremental_agg_maintenance",
-    "calendar_gapfill_ffill", "pointer_swap_time_travel",
-    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
-    "zorder_locality_boxes", "bigram_fluency_score", "media_audio_windows",
-    "array_setops_user_events", "higher_order_array_suite",
-    "sql_scalar_udf_params", "sql_table_function_orders",
-    "salted_skew_aggregate", "bucketed_join_colocated",
-    "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
-    "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
-    "sql_recursive_cte", "xml_parse_roundtrip", "hll_sketch_mergeability",
-    "mad_robust_outliers", "cogroup_signup_purchase_counts",
-    "event_sequence_pattern_match", "peak_concurrency_sweep",
-    "streaming_session_window", "collation_case_insensitive_group",
-]
-
-# Round-6 window (committed now — VERDICT round-4 item 3): after the
-# round-5 rotation lands, the remaining backlog is exactly these 34
-# oracled queries + the 7 rows-only queries below + the six-row §2
+# Round-6 window (VERDICT.md round 5 "Next round" #1 — the
+# ledger-zeroing round): all 43 still-unwitnessed oracled queries from
+# the round-5 deferral list in its original order, plus the SURVEY-§2
 # reference-chain re-witness (weekly_rollup, dim_case_mapping,
 # derived_metrics, keyed_upsert, qc_not_null_violations,
-# qc_anti_join_orphans — re-promoted out of _DRIVER_GREEN in the
-# round-6 commit) = 47 of 50 slots, zeroing the ledger. Any query
-# ADDED during round 5 (≤3, VERDICT item 2) must be appended HERE so
-# it cannot displace the verified round-5 window
-# (tests/test_window_composition.py enforces the composition).
-_R6_DEFER = [
-    # rows-only (no SQL oracle by nature; driver row = weaker
-    # rows-only check, so it waits for the ledger-closing round)
-    "simhash_near_dups",
-    # converted rows-only → full value-hash oracles late in round 5:
+# qc_anti_join_orphans — last witnessed r2) and left_join_enrich (§2
+# J1, the round-5 perf-weak row; it takes the slot freed by retiring
+# the rows-only simhash_near_dups in favor of its hash-checked
+# portable twin simhash_portable, VERDICT item 4). 43 + 7 = 50; after
+# this round every registered query has a green driver row and every
+# row in THIS window is full value-hash checked (zero rows-only
+# slots).
+_R6_WINDOW = [
+    # rows-only → full value-hash conversions from late round 5:
     # BPE's training loop unrolled as materialized DuckDB CTEs with the
     # greedy merge as the gaps-and-islands odd-rank rule
     # (functions/bpe.py::bpe_oracle_sql); PCA's eigh eigensolve
@@ -102,22 +67,21 @@ _R6_DEFER = [
     # (functions/clustering.py::pca_snapped_project / pca_oracle_sql)
     "bpe_learned_merges",
     "embedding_pca_project",
-    # converted rows-only → full value-hash oracles in round 5
-    # (VERDICT item 5): hex-chained stub codecs let DuckDB recompute
-    # the media plumbing bytes; kmeans_snapped makes Lloyd's
-    # bit-identical across engines via integer-scaled arithmetic;
-    # minhash LSH candidates exact-verified at J ≥ 0.9 equal the
-    # exhaustive exact-Jaccard pair set (band contract); hyperplane
-    # LSH signatures re-derived exactly in SQL via md5-integer planes
-    # over int64-quantized vectors (ann_lsh_topk); snapped-codebook
-    # IVF and PQ/ADC replayed via the unrolled kmeans CTEs — one chain
-    # per subspace for PQ — plus integer probe / ADC tables
-    # (ann_ivf_topk, pq_encode_embeddings, ann_pq_adc_topk)
+    # converted rows-only → full value-hash oracles in round 5:
+    # hex-chained stub codecs let DuckDB recompute the media plumbing
+    # bytes; kmeans_snapped makes Lloyd's bit-identical across engines
+    # via integer-scaled arithmetic; minhash LSH candidates
+    # exact-verified at J >= 0.9 equal the exhaustive exact-Jaccard
+    # pair set (band contract); hyperplane LSH signatures re-derived
+    # exactly in SQL via md5-integer planes over int64-quantized
+    # vectors (ann_lsh_topk); snapped-codebook IVF and PQ/ADC replayed
+    # via the unrolled kmeans CTEs — one chain per subspace for PQ —
+    # plus integer probe / ADC tables
     "media_decode_features", "media_resize",
     "embedding_kmeans_clusters", "embedding_kmeans_sizes",
     "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
     "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
-    # oracled, waiting for round-6 slots (original deferral order)
+    # oracled backlog (original round-5 deferral order)
     "try_functions_suite", "salted_replicate_join",
     "hashed_linear_quality_score", "mixture_epoch_expansion",
     "watermark_delay_estimate", "prefix_sum_two_phase", "simhash_portable",
@@ -131,37 +95,51 @@ _R6_DEFER = [
     "streaming_outer_join_eviction", "linear_regression_gd",
     "skyline_pareto_parts", "quota_largest_remainder",
     "attribution_position_credit",
-    # round-5 additions (the ≤3 budget — VERDICT round-4 item 2),
-    # appended here so they cannot displace the verified round-5
-    # window; they take round-6 slots 48-50
+    # round-5 additions (the <=3 budget), deferred here per the
+    # round-4 displacement rule
     "heavy_hitters_mg_verified", "vocab_top_p_coverage",
     "rrf_hybrid_fusion",
+    # SURVEY-§2 reference-chain re-witness (dbt_finance/models/ +
+    # minio_to_snowflake.py:66-75 semantics; last driver row r2) +
+    # left_join_enrich (§2 J1 — fact_stock_prices.sql:22-24, the
+    # round-5 perf-weak row, re-witnessed for both freshness and the
+    # bench resolution)
+    "weekly_rollup", "dim_case_mapping", "derived_metrics",
+    "keyed_upsert", "qc_not_null_violations", "qc_anti_join_orphans",
+    "left_join_enrich",
 ]
 
-_DRIVER_GREEN = {
-    # CORRECTNESS_r04.json — 50/50 green (the first fully green round).
-    "sessionization", "running_distinct_event_types",
-    "hourly_activity_bitmask", "source_mixture_weights",
-    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
-    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
-    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
-    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
-    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
-    "rsi_14_daily_revenue", "max_drawdown_summary",
-    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
-    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
-    "quantile_normalize_value", "kwic_concordance",
-    "dedup_survivor_policy", "dedup_prefix_filter_join",
-    "matryoshka_truncation_quality", "contrastive_negative_sampling",
-    "event_type_transition_matrix", "funnel_multi_step",
-    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
-    "rank_functions_suite", "grouping_sets_flags",
-    "profile_columns_lineitem", "skew_heavy_hitters",
-    "streaming_dedup_watermark", "streaming_interval_join_attribution",
-    "streaming_stateful_user_stats", "streaming_static_enrich",
-    "vocab_top_tokens", "cross_corpus_dedup_exact", "doc_chunking",
-    "mixture_rebalanced_sample", "bernoulli_sample_hash",
-    "corpus_pipeline_end_to_end", "corpus_quality_filter",
+# name -> latest CORRECTNESS_r{N}.json round with a green driver row.
+# Insertion order within a round is the original witness-window order;
+# r7_rotation() consumes (round, insertion order) to schedule the
+# steady-state oldest-witness-first re-witness cadence.
+_DRIVER_GREEN = {}
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r02.json — 49 green rows (embedding_int8_quantize
+    # erred there; re-witnessed green in r03).
+    "weekly_rollup", "json_path_extract", "explode_words",
+    "dim_case_mapping", "left_join_enrich", "derived_metrics",
+    "distinct_keys", "keyed_upsert", "dedup_keep_latest",
+    "incremental_merge", "qc_not_null_violations", "qc_unique_violations",
+    "map_explode_props", "variant_path_extract", "qc_anti_join_orphans",
+    "qc_accepted_values_violations", "argmin_unit_price_supplier",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
+    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
+    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue", "text_token_count",
+    "text_quality_score", "text_lang_stats", "lang_id_heuristic",
+    "doc_fingerprint", "text_bpe_token_estimate", "multimodal_meta",
+    "text_repetition_stats", "text_pii_scan",
+    "contamination_ngram_overlap", "stratified_sample_per_lang",
+    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
+    "similarity_topk_cosine", "embedding_label_centroid_norm",
+    "embedding_quantization_error",
+], 2))
+_DRIVER_GREEN.update(dict.fromkeys([
     # CORRECTNESS_r03.json — 49 green rows.
     "event_hourly_windows", "event_sliding_windows",
     "dedup_cluster_assignment", "market_pulse_end_to_end",
@@ -185,51 +163,91 @@ _DRIVER_GREEN = {
     "collect_sorted_event_types", "string_functions_suite",
     "date_functions_suite", "approx_percentiles_events",
     "full_outer_reconciliation", "array_functions_suite",
-    # CORRECTNESS_r02.json — 49 green rows (embedding_int8_quantize
-    # erred there; re-witnessed green in r03 above).
-    "weekly_rollup", "json_path_extract", "explode_words",
-    "dim_case_mapping", "left_join_enrich", "derived_metrics",
-    "distinct_keys", "keyed_upsert", "dedup_keep_latest",
-    "incremental_merge", "qc_not_null_violations", "qc_unique_violations",
-    "map_explode_props", "variant_path_extract", "qc_anti_join_orphans",
-    "qc_accepted_values_violations", "argmin_unit_price_supplier",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
-    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
-    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue", "text_token_count",
-    "text_quality_score", "text_lang_stats", "lang_id_heuristic",
-    "doc_fingerprint", "text_bpe_token_estimate", "multimodal_meta",
-    "text_repetition_stats", "text_pii_scan",
-    "contamination_ngram_overlap", "stratified_sample_per_lang",
-    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
-    "similarity_topk_cosine", "embedding_label_centroid_norm",
-    "embedding_quantization_error",
-}
+], 3))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r04.json — 50/50 green (the first fully green round).
+    "sessionization", "running_distinct_event_types",
+    "hourly_activity_bitmask", "source_mixture_weights",
+    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
+    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
+    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
+    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
+    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
+    "rsi_14_daily_revenue", "max_drawdown_summary",
+    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
+    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
+    "quantile_normalize_value", "kwic_concordance",
+    "dedup_survivor_policy", "dedup_prefix_filter_join",
+    "matryoshka_truncation_quality", "contrastive_negative_sampling",
+    "event_type_transition_matrix", "funnel_multi_step",
+    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
+    "rank_functions_suite", "grouping_sets_flags",
+    "profile_columns_lineitem", "skew_heavy_hitters",
+    "streaming_dedup_watermark", "streaming_interval_join_attribution",
+    "streaming_stateful_user_stats", "streaming_static_enrich",
+    "vocab_top_tokens", "cross_corpus_dedup_exact", "doc_chunking",
+    "mixture_rebalanced_sample", "bernoulli_sample_hash",
+    "corpus_pipeline_end_to_end", "corpus_quality_filter",
+], 4))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r05.json — 50/50 green (the round-5 window, verbatim
+    # order; includes the four shuffle-discipline proof rows).
+    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
+    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
+    "k_anonymity_check", "benford_first_digit_audit",
+    "chi2_independence_lang_source", "format_roundtrip_orc",
+    "format_roundtrip_csv", "format_roundtrip_jsonl",
+    "partitioned_write_readback", "schema_evolution_read",
+    "pagerank_user_event_graph", "centroid_classifier_confusion",
+    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
+    "sql_registered_udf", "sql_lateral_top2_orders",
+    "udtf_split_sentences", "incremental_agg_maintenance",
+    "calendar_gapfill_ffill", "pointer_swap_time_travel",
+    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
+    "zorder_locality_boxes", "bigram_fluency_score", "media_audio_windows",
+    "array_setops_user_events", "higher_order_array_suite",
+    "sql_scalar_udf_params", "sql_table_function_orders",
+    "salted_skew_aggregate", "bucketed_join_colocated",
+    "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
+    "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
+    "sql_recursive_cte", "xml_parse_roundtrip", "hll_sketch_mergeability",
+    "mad_robust_outliers", "cogroup_signup_purchase_counts",
+    "event_sequence_pattern_match", "peak_concurrency_sweep",
+    "streaming_session_window", "collation_case_insensitive_group",
+], 5))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
-    Tiers: (0) round-5 window, (1) other never-driver-witnessed
-    queries in registration order, (2) queries deferred to round 6,
-    (3) driver-green rows (r2 + r3 + r4).
+    Tiers: (0) round-6 window, (1) never-driver-witnessed queries not
+    in the window — empty under the round-6 registry freeze, (2)
+    driver-green rows, stalest witness first.
     """
-    prio_rank = {n: i for i, n in enumerate(_R5_PRIORITY)}
-    defer = set(_R6_DEFER)
+    window_rank = {n: i for i, n in enumerate(_R6_WINDOW)}
+    green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
 
     def tier(n: str) -> tuple:
-        if n in prio_rank:
-            return (0, prio_rank[n])
+        if n in window_rank:
+            return (0, window_rank[n], 0)
         if n in _DRIVER_GREEN:
-            return (3, 0)
-        if n in defer:
-            return (2, 0)
-        return (1, 0)
+            return (2, _DRIVER_GREEN[n], green_rank[n])
+        return (1, 0, 0)
 
     names = sorted(QUERY_REGISTRY, key=lambda n: (tier(n),))
-    # sorted() is stable -> registration order preserved within a tier
+    # sorted() is stable -> registration order preserved within tier 1
     return {n: QUERY_REGISTRY[n] for n in names}
+
+
+def r7_rotation(window: int = 50) -> list[str]:
+    """The proposed round-7 re-witness window (VERDICT round-5 item 7):
+    steady state = rotate the 50 stalest driver witnesses back through
+    the correctness gate each round, oldest round first, original
+    window order within a round. Assumes the round-6 window lands
+    green (its names move to round 6, making the r2 survivors + the
+    head of r3 the stalest evidence)."""
+    after_r6 = dict(_DRIVER_GREEN)
+    after_r6.update(dict.fromkeys(_R6_WINDOW, 6))
+    order = {n: i for i, n in enumerate(after_r6)}
+    names = sorted(after_r6, key=lambda n: (after_r6[n], order[n]))
+    return names[:window]

@@ -8,9 +8,12 @@ replays every sign decision), and portable twins (minhash_lsh_portable,
 simhash_portable) hash-check the xxhash-flavored algorithms end to end
 with md5 substitutes. IVF-ANN hash-checks end to end too: its coarse
 codebook is the integer-snapped k-means, so the oracle unrolls the fit
-as CTEs and replays the probe in exact integers. Only
-simhash_near_dups (engine-specific xxhash64 sig) remains rows-only
-here, with pytest pinning its semantics.
+as CTEs and replays the probe in exact integers. The xxhash64-sig
+SimHash variant is not registered (its signature bits are engine-
+specific, so a cross-engine oracle cannot exist); simhash_portable
+witnesses the operator with a hash-checked md5 twin and
+tests/test_scale_paths.py pins the xxhash path's semantics on
+planted duplicates.
 
 Near-duplicate queries plant their own duplicates (a mutated copy of
 each sampled document) so the result is provably non-empty and the
@@ -27,9 +30,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_pulse_data_pipeline_spark.functions.dedup import (
-    simhash_near_duplicates,
-)
 from market_pulse_data_pipeline_spark.functions.multimodal import (
     decode_media,
     documents_to_media,
@@ -176,17 +176,6 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hsh.unpersist(blocking=False)
     sig.unpersist(blocking=False)
     return out
-
-
-@register(
-    "simhash_near_dups",
-    None,
-    doc="64-bit SimHash near-dup pairs (Hamming ≤ 3, pigeonhole chunk "
-    "candidates) on planted duplicates — rows-only",
-)
-def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_planted_dups(spark, sf_dir)
-    return simhash_near_duplicates(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
 _EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)

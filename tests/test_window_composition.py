@@ -11,84 +11,107 @@ the same commit.
 """
 
 from market_pulse_data_pipeline_spark.queries import (
-    _R6_DEFER,
+    _DRIVER_GREEN,
+    _R6_WINDOW,
     QUERY_REGISTRY,
     all_queries,
+    r7_rotation,
 )
 
-# Round-5 rotation: the first 50 oracled queries of the round-4
-# deferral list in its original order — the exact window pre-simulated
-# and double-gated (dtype-aware + hostile) in round 4. Includes the
-# four shuffle-discipline rows (salted/bucketed/bloom/compaction).
+# Round-6 rotation (the ledger-zeroing round): the 43 still-unwitnessed
+# oracled queries from the round-5 deferral list in original order +
+# the SURVEY-§2 reference-chain re-witness (weekly_rollup,
+# dim_case_mapping, derived_metrics, keyed_upsert,
+# qc_not_null_violations, qc_anti_join_orphans) + left_join_enrich
+# (§2 J1, the round-5 perf-weak row, taking the slot freed by
+# retiring rows-only simhash_near_dups). After this window lands
+# green, every registered query has a driver-witnessed row.
 EXPECTED_WINDOW = [
-    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
-    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
-    "k_anonymity_check", "benford_first_digit_audit",
-    "chi2_independence_lang_source", "format_roundtrip_orc",
-    "format_roundtrip_csv", "format_roundtrip_jsonl",
-    "partitioned_write_readback", "schema_evolution_read",
-    "pagerank_user_event_graph", "centroid_classifier_confusion",
-    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
-    "sql_registered_udf", "sql_lateral_top2_orders",
-    "udtf_split_sentences", "incremental_agg_maintenance",
-    "calendar_gapfill_ffill", "pointer_swap_time_travel",
-    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
-    "zorder_locality_boxes", "bigram_fluency_score",
-    "media_audio_windows", "array_setops_user_events",
-    "higher_order_array_suite", "sql_scalar_udf_params",
-    "sql_table_function_orders", "salted_skew_aggregate",
-    "bucketed_join_colocated", "bloom_filter_prejoin",
-    "compaction_roundtrip", "basket_lift_pairs", "triangle_count_parts",
-    "split_leakage_safe", "unpivot_nation_metrics", "sql_recursive_cte",
-    "xml_parse_roundtrip", "hll_sketch_mergeability",
-    "mad_robust_outliers", "cogroup_signup_purchase_counts",
-    "event_sequence_pattern_match", "peak_concurrency_sweep",
-    "streaming_session_window", "collation_case_insensitive_group",
+    "bpe_learned_merges", "embedding_pca_project",
+    "media_decode_features", "media_resize",
+    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
+    "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
+    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
+    "try_functions_suite", "salted_replicate_join",
+    "hashed_linear_quality_score", "mixture_epoch_expansion",
+    "watermark_delay_estimate", "prefix_sum_two_phase",
+    "simhash_portable", "ann_recall_at_10", "tick_rule_trade_signs",
+    "label_propagation_communities", "scd2_point_in_time_join",
+    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
+    "python_datasource_stream", "m4_downsample",
+    "calendar_interpolate_linear", "ab_test_proportions",
+    "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
+    "qc_join_multiplicity", "graph_bfs_k_hop",
+    "streaming_outer_join_eviction", "linear_regression_gd",
+    "skyline_pareto_parts", "quota_largest_remainder",
+    "attribution_position_credit", "heavy_hitters_mg_verified",
+    "vocab_top_p_coverage", "rrf_hybrid_fusion",
+    "weekly_rollup", "dim_case_mapping", "derived_metrics",
+    "keyed_upsert", "qc_not_null_violations", "qc_anti_join_orphans",
+    "left_join_enrich",
 ]
 
 
 def test_window_is_the_verified_composition():
     assert list(all_queries())[:50] == EXPECTED_WINDOW
+    assert _R6_WINDOW == EXPECTED_WINDOW
 
 
 def test_window_has_full_oracles():
+    # the ledger-zeroing window wastes no slot on a rows-only check:
+    # every one of the 50 rows is full value-hash checked.
     q = all_queries()
     rows_only = [n for n in list(q)[:50] if q[n].oracle is None]
-    assert rows_only == [], (
-        "rows-only query inside the 50-row window wastes a hash-checked "
-        f"slot: {rows_only}"
-    )
+    assert rows_only == []
 
 
-def test_round6_defer_covers_every_unwitnessed_query():
-    # Backlog accounting: after this rotation every registered query is
-    # either in the shipped window, deferred to round 6, or
-    # driver-green. A query added during round 5 that is not appended
-    # to _R6_DEFER would land in tier 1 and displace the window.
-    from market_pulse_data_pipeline_spark.queries import _DRIVER_GREEN, _R5_PRIORITY
-
-    acct = set(_R5_PRIORITY) | set(_R6_DEFER) | set(_DRIVER_GREEN)
-    assert set(QUERY_REGISTRY) == acct
+def test_registry_frozen_for_round6():
+    # VERDICT round-5 item 2: zero additions this round — the window
+    # math (43 backlog + 7 re-witness = 50) has no slack. Every
+    # registered query is either in the shipped window or
+    # driver-green; a new registration lands in tier 1 and breaks
+    # this loudly instead of silently displacing a backlog entry.
+    assert set(QUERY_REGISTRY) == set(_R6_WINDOW) | set(_DRIVER_GREEN)
+    assert len(QUERY_REGISTRY) == 241
 
 
 def test_round6_ledger_arithmetic():
-    # the committed round-6 window: every deferred query + the six-row
-    # SURVEY-§2 re-witness (weekly_rollup, dim_case_mapping,
-    # derived_metrics, keyed_upsert, qc_not_null_violations,
-    # qc_anti_join_orphans) must fill EXACTLY the driver's 50-row
-    # snapshot — an unplanned registry addition breaks this loudly
-    # instead of silently pushing the ledger past round 6.
-    assert len(_R6_DEFER) + 6 == 50
+    assert len(_R6_WINDOW) == 50
+    # the seven re-witness rows are r2-green §2 reference-chain
+    # queries; the other 43 have never had a driver row
+    rewitness = [n for n in _R6_WINDOW if n in _DRIVER_GREEN]
+    assert rewitness == [
+        "weekly_rollup", "dim_case_mapping", "derived_metrics",
+        "keyed_upsert", "qc_not_null_violations", "qc_anti_join_orphans",
+        "left_join_enrich",
+    ]
+    assert all(_DRIVER_GREEN[n] == 2 for n in rewitness)
 
 
 def test_rows_only_floor():
-    # after the round-5 conversions, exactly one query remains without
-    # a DuckDB oracle — genuinely non-replayable (xxhash64 simhash
-    # signatures; a hash-checked md5 portable twin exists as
-    # simhash_portable). PCA converted via integer repeated-squaring
-    # power iteration (tests/test_pca_snapped.py) and BPE via the
-    # unrolled gaps-and-islands merge loop (tests/test_bpe.py). A new
-    # rows-only query (or a conversion regression) must be a conscious
-    # decision, not drift.
+    # round-6 terminal state: zero rows-only queries. simhash_near_dups
+    # (engine-specific xxhash64 signatures — a cross-engine oracle
+    # cannot exist) was retired in favor of its hash-checked md5 twin
+    # simhash_portable; the xxhash path keeps its pytest coverage in
+    # tests/test_scale_paths.py. A new rows-only registration must be
+    # a conscious decision, not drift.
     rows_only = {n for n, q in QUERY_REGISTRY.items() if q.oracle is None}
-    assert rows_only == {"simhash_near_dups"}
+    assert rows_only == set()
+
+
+def test_r7_rotation_is_stalest_first():
+    # VERDICT round-5 item 7: steady-state cadence. The proposed
+    # round-7 window is the 50 stalest witnesses assuming round 6
+    # lands green: the 42 r2 rows not re-witnessed in round 6, then
+    # the first 8 r3 rows in original window order.
+    rot = r7_rotation()
+    assert len(rot) == 50
+    after_r6 = dict(_DRIVER_GREEN)
+    after_r6.update(dict.fromkeys(_R6_WINDOW, 6))
+    r2_left = [n for n, r in _DRIVER_GREEN.items() if r == 2 and n not in _R6_WINDOW]
+    assert rot[: len(r2_left)] == r2_left
+    assert len(r2_left) == 42
+    r3_head = [n for n, r in _DRIVER_GREEN.items() if r == 3][:8]
+    assert rot[len(r2_left):] == r3_head
+    # nothing in the proposal is already in this round's window
+    assert not set(rot) & set(_R6_WINDOW)

@@ -25,8 +25,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # hostile: non-UTC process tz (set before any JVM/duckdb start; --chaos
-# swaps in a half-hour-offset zone, the nastier rendering case)
-os.environ.setdefault("TZ", "America/New_York")
+# swaps in a half-hour-offset zone, the nastier rendering case).
+# UNCONDITIONAL on purpose (round-5 ADVICE): with setdefault, a caller
+# environment exporting TZ=UTC would silently neuter the sweep's
+# non-UTC rendering hostility while still printing success.
+os.environ["TZ"] = "America/New_York"
 time.tzset()
 
 import duckdb
@@ -85,6 +88,16 @@ def main() -> int:
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    # visibility guard (round-5 ADVICE): a sweep that somehow resolved
+    # to UTC exercises none of the rendering hostility this tool was
+    # built for — fail loudly rather than print a neutered "all green".
+    eff_tz = time.tzname
+    print(f"effective process TZ: {os.environ['TZ']} (tzname={eff_tz})")
+    if "UTC" in eff_tz or "GMT" in eff_tz:
+        print("FATAL: hostile sweep is running in UTC — non-UTC "
+              "rendering hostility is not being exercised")
+        return 2
 
     con = duckdb.connect()
     for name in TESTDATA_TABLES:

@@ -168,6 +168,7 @@ def main() -> int:
 
     spark = get_spark(app_name="plan-audit")
     rows = []
+    full_rows = []  # every audited query (--all): persisted table
     extra_bad: list[str] = []
     allowed_seen: list[str] = []
     n_extra = 0
@@ -181,9 +182,12 @@ def main() -> int:
             for stage in cap.captured:
                 merge(m, stage)
         except Exception as e:  # streaming/write-side: note, don't fail
+            err = str(e).splitlines()[0][:60]
             if q.bench:
-                rows.append((name, None, str(e).splitlines()[0][:60]))
+                rows.append((name, None, err))
+            full_rows.append((name, None, err))
             continue
+        full_rows.append((name, m, ""))
         if q.bench:
             rows.append((name, m, ""))
         else:
@@ -229,8 +233,44 @@ def main() -> int:
         f.write("\n".join(out))
     print(f"wrote {path}: {len(rows)} bench queries, {bad} anti-pattern hits")
     if args.all:
+        full = [
+            "# PLAN_AUDIT_FULL — structural plan metrics, ENTIRE registry",
+            "",
+            f"Generated by `tools/plan_audit.py --all` at {args.sf}. Same",
+            "columns as PLAN_AUDIT.md, one row per registered query, so the",
+            "0-rowPy / 0-cartesian claim is reproducible for every plan,",
+            "not just the bench set. The two allowlisted anti-pattern",
+            "witnesses (`join_strategy_independence` — shuffle_replicate_nl",
+            "hint IS CartesianProduct; `udtf_split_sentences` — the Python",
+            "UDTF surface is BatchEvalPython by construction) are marked",
+            "`(allowed)`; everything else must show 0 in both columns.",
+            "",
+            "| query | exch | bcast | scans | pushed | arrowPy |"
+            " rowPy | cartesian | note |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for name, m, err in full_rows:
+            if m is None:
+                full.append(
+                    f"| `{name}` | — | — | — | — | — | — | — | {err} |"
+                )
+                continue
+            note = "(allowed)" if (
+                (m["row_python"] or m["cartesian"])
+                and name in ALLOWED_ANTIPATTERNS
+            ) else ""
+            full.append(
+                f"| `{name}` | {m['n_exchanges']} | {m['n_broadcasts']} | "
+                f"{m['n_scans']} | {m['n_pushed']} | {m['arrow_python']} | "
+                f"{m['row_python']} | {m['cartesian']} | {note} |"
+            )
+        full.append("")
+        full_path = os.path.join(os.path.dirname(path), "PLAN_AUDIT_FULL.md")
+        with open(full_path, "w") as f:
+            f.write("\n".join(full))
         print(
-            f"full-registry sweep: {n_extra} additional plans audited, "
+            f"wrote {full_path}: {len(full_rows)} plans; "
+            f"{n_extra} non-bench plans audited, "
             f"anti-pattern hits: {extra_bad or 0}; allowlisted witnesses "
             f"seen: {allowed_seen}"
         )
