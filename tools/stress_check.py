@@ -582,6 +582,66 @@ def main() -> int:
         ), "embeddings_pca")
         run("pca_snapped_project", pca_snapped_project(emb_p, dim=64))
 
+    # portable-integer LSH-ANN (functions/similarity.py::lsh_ann_topk,
+    # the round-5 final form: md5-integer planes, int64-quantized sign
+    # bits): map-only signature pass + Hamming-radius probe + exact
+    # re-rank of survivors — must be linear in vectors, with the probe
+    # keeping the re-rank fraction roughly constant.
+    if only is None or "ann_lsh_probe" in only:
+        from market_pulse_data_pipeline_spark.functions.similarity import (
+            lsh_ann_topk,
+        )
+
+        emb_base = load_table(spark, args.sf, "embeddings")
+        qrow = emb_base.filter(F.col("vec_id") == 0).select("embedding").head()
+        qvec = [float(x) for x in qrow["embedding"]]
+        emb_l = mat(multiplied(
+            emb_base.filter(F.col("vec_id") != 0), args.mult, ["vec_id"]
+        ), "embeddings_lsh")
+        run("ann_lsh_probe", lsh_ann_topk(emb_l, qvec, dim=len(qvec), k=10))
+
+    # integer-snapped IVF-ANN (the round-5 final form of ann_ivf_topk):
+    # k×dim codebook fit (bounded driver collects per Lloyd round),
+    # map-only Arrow assignment, probe 6 cells, exact re-rank inside —
+    # fit and assignment must be linear in vectors with driver state
+    # constant.
+    if only is None or "ann_ivf_probe" in only:
+        from market_pulse_data_pipeline_spark.functions.clustering import (
+            kmeans_snapped_fit,
+            quantize_vec_py,
+        )
+        from market_pulse_data_pipeline_spark.functions.similarity import (
+            cosine,
+        )
+
+        emb_base = load_table(spark, args.sf, "embeddings")
+        qrow = emb_base.filter(F.col("vec_id") == 0).select("embedding").head()
+        qvec = [float(x) for x in qrow["embedding"]]
+        emb_i = mat(multiplied(
+            emb_base.filter(F.col("vec_id") != 0), args.mult, ["vec_id"]
+        ), "embeddings_ivf").cache()
+        t0_ivf = time.time()
+        assigned, centroids = kmeans_snapped_fit(emb_i, k=16, iters=2)
+        timings["ann_ivf_fit"] = round(time.time() - t0_ivf, 2)
+        rows["ann_ivf_fit"] = len(centroids)
+        eq = quantize_vec_py(qvec)
+        dists = sorted(
+            (sum((int(c) - e) ** 2 for c, e in zip(row, eq)), cid)
+            for cid, row in enumerate(centroids)
+        )
+        probe = [cid for _, cid in dists[:6]]
+        near = assigned.filter(F.col("cluster").isin(probe)).select("vec_id")
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        v = F.col("embedding").cast("array<double>")
+        run(
+            "ann_ivf_probe",
+            emb_i.join(near, "vec_id", "left_semi")
+            .select("vec_id", F.round(cosine(v, qlit), 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(10),
+        )
+        emb_i.unpersist(blocking=False)
+
     # U-shaped attribution (queries/events.py): per-user interval join
     # of conversions to their preceding touches + per-conversion
     # window. Users multiply with the mult (key-offset), so paths per
