@@ -1,0 +1,367 @@
+"""Round-7 staged queries — implemented, oracle-paired, NOT registered.
+
+The round-6 registry is frozen at 241 entries so the ledger-zeroing
+witness window keeps zero slack (VERDICT round-5 item 2;
+tests/test_window_composition.py::test_registry_frozen_for_round6
+pins the count). These three operators are therefore staged in their
+own ``STAGED`` dict instead of ``QUERY_REGISTRY``: the implementations,
+DuckDB value-hash oracles, and pytest parity gates
+(tests/test_r7_staging.py) are final, and round 7 registers them by
+moving the ``@stage`` rows onto ``@register`` and appending the three
+names to the round-8 deferral list (the round-4 displacement rule —
+additions never displace a verified window).
+
+All three are LLM-training-data operators the registry does not yet
+cover:
+
+- ``semdedup_prune`` — SemDeDup (Abbas et al., 2023, arXiv:2303.09540):
+  k-means clusters bound the candidate space, then within-cluster
+  pairwise cosine above a threshold marks semantic duplicates and the
+  lowest vec_id survives. Complements the existing dedup family
+  (exact / MinHash / SimHash / n-gram Jaccard / LSH-cosine): those all
+  key on content overlap; SemDeDup keys on embedding-space semantic
+  proximity with clusters, not hash bands, as the blocking structure.
+- ``ngram_novelty_profile`` — per-document novel-n-gram fraction
+  against everything earlier in ingestion order (the memorization /
+  novelty signal from the dedup literature, e.g. Lee et al. 2022
+  "Deduplicating Training Data Makes Language Models Better"): unlike
+  ``cross_corpus_dedup_exact`` (whole-doc hash vs a fixed corpus) this
+  scores every doc by how much of its n-gram content is first-seen.
+- ``domain_frequency_cap`` — C4/CCNet-style per-source document cap
+  with a deterministic quality priority (n_chars DESC, doc_id ASC):
+  the anti-boilerplate step that bounds any one domain's share of the
+  training mix. Distinct from ``stratified_sample_per_lang``
+  (proportional sampling) and ``quota_largest_remainder``
+  (budget apportionment): a cap is an absolute per-key ceiling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.functions.clustering import (
+    SNAP_SCALE,
+    kmeans_oracle_sql,
+    kmeans_snapped_fit,
+)
+from market_pulse_data_pipeline_spark.queries.common import (
+    QueryDef,
+    round_div,
+    sql_round_div,
+    t,
+)
+
+STAGED: dict[str, QueryDef] = {}
+
+
+def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
+    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
+    keeps the round-6 registry byte-frozen while the implementations,
+    oracles, and tests land."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# semdedup_prune
+# --------------------------------------------------------------------
+
+_SD_K = 10  # k-means clusters (the SemDeDup blocking structure)
+_SD_ITERS = 3
+_SD_DIM = 64
+_SD_PLANT_OFFSET = 1_000_000  # planted-copy id offset (scale_paths idiom)
+# cos >= 0.95 as the exact-integer contract 400*dot^2 >= 361*|a|^2*|b|^2
+# (19/20 squared), valid with dot >= 0; every quantity is int64-exact
+# after round(x * SNAP_SCALE) quantization, so the comparison is
+# bit-identical across engines (HUGEINT in DuckDB, DECIMAL(38,0) in
+# Spark — max magnitude ~1.6e30 for 64-dim unit vectors, 31 digits).
+_SD_NUM, _SD_DEN = 361, 400
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin: the shared unrolled-Lloyd's CTE chain
+    (functions/clustering.py::kmeans_oracle_sql) re-pointed at the
+    planted-union source, then within-cluster pairwise exact-integer
+    cosine and the drop-higher-id rule.
+
+    The generator reads ``FROM embeddings``; round 7 should add a
+    ``src`` parameter when registering — staging re-points the one
+    occurrence textually and asserts the count so a generator change
+    fails loudly here instead of silently diverging.
+    """
+    final = f"""
+    , asg AS (SELECT vec_id, cid AS cluster FROM %(a)s),
+    n2 AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM pu GROUP BY vec_id),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b
+        ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b, SUM(pa.qv * pb.qv) AS dot
+      FROM cand c
+      JOIN pu pa ON pa.vec_id = c.id_a
+      JOIN pu pb ON pb.vec_id = c.id_b AND pb.pos = pa.pos
+      GROUP BY c.id_a, c.id_b
+    ),
+    dup AS (
+      SELECT DISTINCT d.id_a AS vec_id
+      FROM dots d
+      JOIN n2 x ON x.vec_id = d.id_a
+      JOIN n2 y ON y.vec_id = d.id_b
+      WHERE d.dot >= 0
+        AND {_SD_DEN} * d.dot * d.dot >= {_SD_NUM} * x.n2 * y.n2
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+           (dup.vec_id IS NOT NULL) AS dropped
+    FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """
+    sql = kmeans_oracle_sql(
+        final, k=_SD_K, iters=_SD_ITERS, dim=_SD_DIM, scale=SNAP_SCALE
+    )
+    assert sql.count("FROM embeddings") == 1, "generator shape changed"
+    src = f"""(
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SD_PLANT_OFFSET},
+             list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT))
+      FROM embeddings WHERE vec_id % 13 = 0
+    ) both_src"""
+    return sql.replace("FROM embeddings", "FROM " + src)
+
+
+@stage(
+    "semdedup_prune",
+    _semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): integer-snapped "
+    "k-means clusters as the blocking structure, then within-cluster "
+    "pairwise cosine >= 0.95 (exact-integer contract "
+    "400*dot^2 >= 361*|a|^2*|b|^2 on round(x*1e6) int64 vectors) marks "
+    "semantic duplicates; the lowest vec_id in each >=-threshold pair "
+    "survives. Planted 1.001-scaled copies (cosine ~1 by construction) "
+    "make the witness non-trivial — the raw corpus's max pairwise "
+    "cosine is 0.51. 100 TB shape: the quadratic is bounded per "
+    "cluster (SemDeDup's design — k grows with the corpus so cluster "
+    "sizes stay fixed), the fit keeps k*dim ints on the driver, and "
+    "signatures/norms are JVM integer aggregates; one shuffle on "
+    "cluster id for the pair join. Full value-hash oracle via the "
+    "shared unrolled-Lloyd's CTE generator re-pointed at the planted "
+    "union.",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + _SD_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(planted)
+    assigned, _ = kmeans_snapped_fit(both, k=_SD_K, iters=_SD_ITERS)
+    qv = assigned.withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = qv.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("v").alias("v_a"),
+        F.col("n2").alias("na"),
+    )
+    b = qv.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cl_b"),
+        F.col("v").alias("v_b"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    pairs = a.join(
+        b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") > F.col("id_b"))
+    ).withColumn("dot", dot)
+    d = F.col("dot").cast(dec)
+    dup = (
+        pairs.filter(
+            (F.col("dot") >= 0)
+            & (
+                d * d * F.lit(_SD_DEN).cast(dec)
+                >= F.col("na").cast(dec)
+                * F.col("nb").cast(dec)
+                * F.lit(_SD_NUM).cast(dec)
+            )
+        )
+        .select(F.col("id_a").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        qv.join(dup, qv.vec_id == dup.dup_id, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("dup_id").isNotNull().alias("dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------
+# ngram_novelty_profile
+# --------------------------------------------------------------------
+
+_NV_N = 3  # shingle width (tokens)
+
+
+@stage(
+    "ngram_novelty_profile",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, s, s + {_NV_N - 1}), ' ') AS sh
+      FROM toks, UNNEST(generate_series(1, n - {_NV_N - 1})) AS g(s)
+      WHERE n >= {_NV_N}
+    ),
+    fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {sql_round_div(
+        "SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)",
+        "COUNT(*)",
+    )} AS novelty
+    FROM sh s JOIN fo f USING (sh)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="per-document novelty: the fraction of a doc's distinct "
+    "3-gram shingles whose FIRST occurrence (min doc_id = ingestion "
+    "order) is the doc itself — the novel-n-gram signal the dedup "
+    "literature uses to quantify cross-document repetition (Lee et "
+    "al. 2022). Two shuffles at 100 TB, both on the shingle key: a "
+    "min-aggregate to find each shingle's first doc, and the "
+    "join-back — per-shingle state is one bigint, never a doc list. "
+    "Docs shorter than the shingle width are excluded on both "
+    "engines.",
+)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    with_tk = docs.select("doc_id", tk.alias("tk")).filter(
+        F.size("tk") >= _NV_N
+    )
+    sh = (
+        with_tk.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (_NV_N - 1)),
+                    lambda s: F.concat_ws(
+                        " ", F.slice(F.col("tk"), s, _NV_N)
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    fo = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    agg = (
+        sh.join(fo, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        round_div(
+            F.col("n_novel").cast("double"), F.col("n_shingles")
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# domain_frequency_cap
+# --------------------------------------------------------------------
+
+_CAP = 15  # max docs per source (each source has 25 at the fixture SFs)
+
+
+@stage(
+    "domain_frequency_cap",
+    f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rk > {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN rk <= {_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="C4/CCNet-style per-domain frequency cap: keep at most 15 docs "
+    "per source under a deterministic quality priority (n_chars DESC, "
+    "doc_id ASC tiebreak) — the ceiling that stops one boilerplate-"
+    "heavy domain from dominating the mix, distinct from proportional "
+    "sampling (stratified_sample_per_lang) and budget apportionment "
+    "(quota_largest_remainder). One shuffle on source for the window "
+    "rank, then a per-source aggregate; at 100 TB a skewed domain is "
+    "exactly the case the cap exists for — the rank only needs each "
+    "source's top CAP rows, which Spark's window TopK/rank pushdown "
+    "bounds, and the output is one row per domain.",
+)
+def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    kept = F.col("rk") <= _CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,88 @@
+"""Round-7 staged queries (queries/r7_staging.py) — oracle parity at
+sf0.001 plus semantic pins. These rows are NOT in QUERY_REGISTRY (the
+round-6 registry freeze); round 7 moves them onto @register and this
+file's parity gate becomes redundant with tools/check_oracle.py."""
+
+import sys
+
+import duckdb
+import pytest
+
+from market_pulse_data_pipeline_spark.queries.r7_staging import (
+    _CAP,
+    _SD_PLANT_OFFSET,
+    STAGED,
+)
+from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+sys.path.insert(0, "/root/repo")
+from tools.check_oracle import frame_fingerprint  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def test_staged_rows_are_not_registered():
+    from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
+
+    assert not set(STAGED) & set(QUERY_REGISTRY)
+    assert set(STAGED) == {
+        "semdedup_prune",
+        "ngram_novelty_profile",
+        "domain_frequency_cap",
+    }
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
+    q = STAGED[name]
+    sdf = q.spark(spark, sf_dir)
+    s_fp = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = duck.execute(q.oracle)
+    cols = [d[0] for d in cur.description]
+    o_fp = frame_fingerprint(cols, cur.fetchall())
+    assert s_fp == o_fp, f"{name}: spark={s_fp} oracle={o_fp}"
+    assert s_fp[0] > 0
+
+
+def test_semdedup_drops_exactly_the_planted_copies(spark, sf_dir):
+    rows = STAGED["semdedup_prune"].spark(spark, sf_dir).collect()
+    dropped = {r["vec_id"] for r in rows if r["dropped"]}
+    planted = {r["vec_id"] for r in rows if r["vec_id"] >= _SD_PLANT_OFFSET}
+    assert planted, "fixture lost its planted copies"
+    # every planted copy has cosine ~1 with its original; both land in
+    # the same cluster (identical direction), so all planted ids drop
+    # and no original does (raw max pairwise cosine is 0.51 << 0.95)
+    assert dropped == planted
+
+
+def test_novelty_bounds_and_first_doc(spark, sf_dir):
+    rows = STAGED["ngram_novelty_profile"].spark(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    # the earliest doc's shingles are first-seen by definition
+    assert first["n_novel"] == first["n_shingles"]
+    assert first["novelty"] == 1.0
+    for r in rows:
+        assert 0 < r["n_shingles"]
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty"] <= 1.0
+
+
+def test_domain_cap_arithmetic(spark, sf_dir):
+    rows = STAGED["domain_frequency_cap"].spark(spark, sf_dir).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["n_kept"] <= _CAP
+        assert r["chars_kept"] > 0
+    # fixture has 25 docs per source, so the cap is binding everywhere
+    assert all(r["n_dropped"] > 0 for r in rows)
