@@ -77,6 +77,17 @@ def test_novelty_bounds_and_first_doc(spark, sf_dir):
         assert 0.0 <= r["novelty"] <= 1.0
 
 
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_plan_antipatterns(spark, sf_dir, name):
+    # same two structural bans as tests/test_plan_invariants.py; the
+    # semdedup row trains its codebook at construction (like the
+    # registered kmeans rows) — the final plan is still built unrun
+    df = STAGED[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+
+
 def test_domain_cap_arithmetic(spark, sf_dir):
     rows = STAGED["domain_frequency_cap"].spark(spark, sf_dir).collect()
     assert rows, "no sources"

@@ -129,6 +129,12 @@ def main() -> int:
         help="check exactly the first 50 queries() entries — the "
         "driver's CORRECTNESS snapshot",
     )
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="check queries/r7_staging.py::STAGED (pre-registration "
+        "rows) instead of the registry",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -142,8 +148,16 @@ def main() -> int:
             f"read_parquet('{args.sf}/{name}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if args.staged:
+        from market_pulse_data_pipeline_spark.queries.r7_staging import (
+            STAGED,
+        )
+
+        qs = {n: d.spark for n, d in STAGED.items()}
+        oracles = {n: d.oracle for n, d in STAGED.items() if d.oracle}
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
     if args.window:
         only = set(list(qs)[:50]) | (only or set())

@@ -56,6 +56,12 @@ def main() -> int:
             "even though the layout-friendly default sweep passes."
         ),
     )
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="sweep queries/r7_staging.py::STAGED (pre-registration "
+        "rows) instead of the registry",
+    )
     args = ap.parse_args()
 
     if args.chaos:
@@ -106,8 +112,16 @@ def main() -> int:
             f"read_parquet('{args.sf}/{name}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if args.staged:
+        from market_pulse_data_pipeline_spark.queries.r7_staging import (
+            STAGED,
+        )
+
+        qs = {n: d.spark for n, d in STAGED.items()}
+        oracles = {n: d.oracle for n, d in STAGED.items() if d.oracle}
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
     failures = []
     for name, fn in qs.items():

@@ -712,6 +712,114 @@ def main() -> int:
         ),
     )
 
+    # SemDeDup pair stage (queries/r7_staging.py::semdedup_prune,
+    # staged for round 7): the scale discipline under test is that k
+    # grows with the corpus so CLUSTER SIZE stays fixed (~50 vectors)
+    # and the within-cluster quadratic stays flat per doc — the paper's
+    # own deployment argument. Driver state is k×dim int64 (1200×64 at
+    # 30×), assignment is the Arrow int64 matmul, and the pair join
+    # shuffles once on cluster id.
+    if only is None or "semdedup_pairs" in only:
+        from market_pulse_data_pipeline_spark.functions.clustering import (
+            kmeans_snapped_fit,
+        )
+
+        emb_sd = mat(multiplied(
+            load_table(spark, args.sf, "embeddings"), args.mult, ["vec_id"]
+        ), "emb_semdedup")
+        planted_sd = emb_sd.filter(F.col("vec_id") % 13 == 0).select(
+            (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 1.001).cast("float")
+            ).alias("embedding"),
+        )
+        both_sd = emb_sd.select("vec_id", "embedding").unionByName(
+            planted_sd
+        )
+        n_sd = both_sd.count()
+        k_sd = max(10, n_sd // 50)
+        assigned_sd, _ = kmeans_snapped_fit(both_sd, k=k_sd, iters=2)
+        qv_sd = assigned_sd.withColumn(
+            "n2",
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        ).localCheckpoint()  # price the fit once, measure the pair stage
+        a_sd = qv_sd.select(
+            F.col("vec_id").alias("id_a"), F.col("cluster").alias("cl_a"),
+            F.col("v").alias("v_a"), F.col("n2").alias("na"),
+        )
+        b_sd = qv_sd.select(
+            F.col("vec_id").alias("id_b"), F.col("cluster").alias("cl_b"),
+            F.col("v").alias("v_b"), F.col("n2").alias("nb"),
+        )
+        dot_sd = F.aggregate(
+            F.zip_with("v_a", "v_b", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dec = "decimal(38,0)"
+        d_sd = F.col("dot").cast(dec)
+        run(
+            "semdedup_pairs",
+            a_sd.join(
+                b_sd,
+                (F.col("cl_a") == F.col("cl_b"))
+                & (F.col("id_a") > F.col("id_b")),
+            )
+            .withColumn("dot", dot_sd)
+            .filter(
+                (F.col("dot") >= 0)
+                & (
+                    d_sd * d_sd * F.lit(400).cast(dec)
+                    >= F.col("na").cast(dec)
+                    * F.col("nb").cast(dec)
+                    * F.lit(361).cast(dec)
+                )
+            )
+            .select("id_a", "id_b"),
+        )
+
+    # n-gram novelty (queries/r7_staging.py::ngram_novelty_profile,
+    # staged for round 7): two shuffles both keyed on the shingle —
+    # min-doc aggregate + join-back. Per-shingle state is one bigint,
+    # so the stage must scale linearly in total shingle count.
+    if only is None or "ngram_novelty" in only:
+        docs_nv = mat(multiplied(
+            load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+        ), "docs_novelty")
+        tk_nv = F.split("text", " ")
+        with_tk = docs_nv.select("doc_id", tk_nv.alias("tk")).filter(
+            F.size("tk") >= 3
+        )
+        sh_nv = with_tk.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 2),
+                    lambda s: F.concat_ws(
+                        " ", F.slice(F.col("tk"), s, 3)
+                    ),
+                )
+            ).alias("sh"),
+        ).distinct()
+        fo_nv = sh_nv.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+        run(
+            "ngram_novelty",
+            sh_nv.join(fo_nv, "sh")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).alias("n_novel"),
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
