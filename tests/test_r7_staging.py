@@ -38,6 +38,7 @@ def test_staged_rows_are_not_registered():
         "semdedup_prune",
         "ngram_novelty_profile",
         "domain_frequency_cap",
+        "kcenter_diversity_sample",
     }
 
 
@@ -86,6 +87,44 @@ def test_staged_plan_antipatterns(spark, sf_dir, name):
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+
+
+def test_kcenter_is_farthest_point_traversal(spark, sf_dir):
+    import duckdb as dd
+
+    rows = STAGED["kcenter_diversity_sample"].spark(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    # pure-Python replay: exact int64 farthest-point over the same
+    # quantized vectors must reproduce the picks bit-for-bit
+    con = dd.connect()
+    data = con.execute(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(round("
+        "CAST(x AS DOUBLE) * 1000000) AS BIGINT)) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(i): v for i, v in data}
+    sel = [min(vecs)]
+    expect = [(1, sel[0], 0)]
+    for rank in range(2, len(rows) + 1):
+        best = None
+        for i, v in vecs.items():
+            if i in sel:
+                continue
+            mind = min(
+                sum((a - b) * (a - b) for a, b in zip(v, vecs[s]))
+                for s in sel
+            )
+            key = (-mind, i)
+            if best is None or key < best[0]:
+                best = (key, i, mind)
+        expect.append((rank, best[1], best[2]))
+        sel.append(best[1])
+    got = [(r["rank"], r["vec_id"], r["d2_at_pick"]) for r in rows]
+    assert got == expect
+    # the coverage radius sequence is non-increasing after the seed
+    d2s = [r["d2_at_pick"] for r in rows][1:]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))
 
 
 def test_domain_cap_arithmetic(spark, sf_dir):
