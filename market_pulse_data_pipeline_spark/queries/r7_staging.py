@@ -3,15 +3,15 @@
 The round-6 registry is frozen at 241 entries so the ledger-zeroing
 witness window keeps zero slack (VERDICT round-5 item 2;
 tests/test_window_composition.py::test_registry_frozen_for_round6
-pins the count). These three operators are therefore staged in their
+pins the count). These operators are therefore staged in their
 own ``STAGED`` dict instead of ``QUERY_REGISTRY``: the implementations,
 DuckDB value-hash oracles, and pytest parity gates
 (tests/test_r7_staging.py) are final, and round 7 registers them by
-moving the ``@stage`` rows onto ``@register`` and appending the four
+moving the ``@stage`` rows onto ``@register`` and appending the
 names to the round-8 deferral list (the round-4 displacement rule —
 additions never displace a verified window).
 
-All four are LLM-training-data operators the registry does not yet
+All are LLM-training-data operators the registry does not yet
 cover:
 
 - ``semdedup_prune`` — SemDeDup (Abbas et al., 2023, arXiv:2303.09540):
@@ -40,6 +40,13 @@ cover:
   "maximize coverage of embedding space" subset picks), dual to the
   similarity-driven dedup family: dedup removes the closest pairs,
   k-center KEEPS the farthest spread.
+- ``colbert_maxsim_topk`` — late-interaction retrieval (ColBERT,
+  Khattab & Zaharia, SIGIR 2020): a query is a BAG of token vectors
+  and a document scores sum-over-query-tokens of the max dot product
+  against any of its token vectors. The multi-vector complement of
+  the single-vector ANN family; exact int64 arithmetic because the
+  fixture embeddings are unit-norm, so the quantized dot IS the
+  scaled cosine.
 """
 
 from __future__ import annotations
@@ -504,3 +511,104 @@ def kcenter_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks, "rank int, vec_id long, d2_at_pick long"
     )
     return spark_out.orderBy("rank")
+
+
+# --------------------------------------------------------------------
+# colbert_maxsim_topk
+# --------------------------------------------------------------------
+
+_MS_GROUP = 8  # token vectors per pseudo-document (vec_id DIV 8)
+_MS_TOPK = 10
+
+
+@stage(
+    "colbert_maxsim_topk",
+    f"""
+    WITH p AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(vec_id // {_MS_GROUP} AS BIGINT) AS grp,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {SNAP_SCALE}) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    pu AS MATERIALIZED (
+      SELECT vec_id, grp, i AS pos, v[i + 1] AS qv
+      FROM p CROSS JOIN (SELECT UNNEST(range(0, {_SD_DIM})) AS i) idx
+    ),
+    dots AS (
+      SELECT q.vec_id AS q_tok, d.grp AS doc_id,
+             d.vec_id AS d_tok, SUM(q.qv * d.qv) AS dot
+      FROM pu q JOIN pu d ON d.pos = q.pos AND d.grp > 0
+      WHERE q.grp = 0
+      GROUP BY q.vec_id, d.grp, d.vec_id
+    ),
+    best AS (
+      SELECT q_tok, doc_id, MAX(dot) AS best_dot
+      FROM dots GROUP BY q_tok, doc_id
+    )
+    SELECT doc_id, CAST(SUM(best_dot) AS BIGINT) AS maxsim
+    FROM best
+    GROUP BY doc_id
+    ORDER BY maxsim DESC, doc_id
+    LIMIT {_MS_TOPK}
+    """,
+    doc="ColBERT MaxSim late-interaction retrieval (Khattab & Zaharia, "
+    "SIGIR 2020): vec_ids group into 8-token pseudo-documents "
+    "(vec_id DIV 8; group 0 is the query), a document's score is "
+    "sum-over-query-tokens of the max dot product against any of its "
+    "token vectors, top-10 docs returned. Dots are exact int64 on "
+    "round(x*1e6)-quantized vectors — the fixture embeddings are "
+    "unit-norm, so the integer dot IS the scaled cosine and the whole "
+    "score is portable integer arithmetic. 100 TB shape: the query's "
+    "8x64 ints broadcast into a map-side zip_with over doc tokens "
+    "(no shuffle to score), one hash aggregate per (doc, q_tok) max "
+    "and one per doc sum, TakeOrderedAndProject for the top-k; a real "
+    "deployment bounds the candidate doc set with the existing "
+    "ANN/IVF primitives first — MaxSim is the re-rank stage.",
+)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / _MS_GROUP).cast("long").alias("grp"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * SNAP_SCALE).cast("long"),
+        ).alias("v"),
+    )
+    # the query: group 0's token vectors — bounded (8 x dim ints)
+    q_rows = emb.filter(F.col("grp") == 0).select("vec_id", "v").collect()
+    docs = emb.filter(F.col("grp") > 0).select(
+        F.col("grp").alias("doc_id"), F.col("v").alias("dv")
+    )
+    dot = lambda qvec: F.aggregate(  # noqa: E731
+        F.zip_with(
+            "dv",
+            F.array(*[F.lit(int(c)) for c in qvec]),
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = docs.select(
+        "doc_id",
+        *[
+            dot(r["v"]).alias(f"q{r['vec_id']}")
+            for r in sorted(q_rows, key=lambda r: r["vec_id"])
+        ],
+    )
+    per_tok_max = scored.groupBy("doc_id").agg(
+        *[
+            F.max(f"q{r['vec_id']}").alias(f"m{r['vec_id']}")
+            for r in sorted(q_rows, key=lambda r: r["vec_id"])
+        ]
+    )
+    maxsim = None
+    for r in sorted(q_rows, key=lambda r: r["vec_id"]):
+        c = F.col(f"m{r['vec_id']}")
+        maxsim = c if maxsim is None else maxsim + c
+    return (
+        per_tok_max.select("doc_id", maxsim.alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("doc_id"))
+        .limit(_MS_TOPK)
+    )

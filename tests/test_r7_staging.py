@@ -39,6 +39,7 @@ def test_staged_rows_are_not_registered():
         "ngram_novelty_profile",
         "domain_frequency_cap",
         "kcenter_diversity_sample",
+        "colbert_maxsim_topk",
     }
 
 
@@ -125,6 +126,38 @@ def test_kcenter_is_farthest_point_traversal(spark, sf_dir):
     # the coverage radius sequence is non-increasing after the seed
     d2s = [r["d2_at_pick"] for r in rows][1:]
     assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+
+
+def test_maxsim_matches_python_replay(spark, sf_dir):
+    import duckdb as dd
+
+    rows = STAGED["colbert_maxsim_topk"].spark(spark, sf_dir).collect()
+    assert len(rows) == 10
+    got = [(r["doc_id"], r["maxsim"]) for r in rows]
+    con = dd.connect()
+    data = con.execute(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(round("
+        "CAST(x AS DOUBLE) * 1000000) AS BIGINT)) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(i): v for i, v in data}
+    q = [vecs[i] for i in sorted(vecs) if i // 8 == 0]
+    docs: dict[int, list] = {}
+    for i, v in vecs.items():
+        if i // 8 > 0:
+            docs.setdefault(i // 8, []).append(v)
+    scores = {
+        d: sum(
+            max(sum(a * b for a, b in zip(qt, dt)) for dt in toks)
+            for qt in q
+        )
+        for d, toks in docs.items()
+    }
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect
+    # ranking sanity: returned scores are non-increasing
+    ms = [r["maxsim"] for r in rows]
+    assert all(a >= b for a, b in zip(ms, ms[1:]))
 
 
 def test_domain_cap_arithmetic(spark, sf_dir):
