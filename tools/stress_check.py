@@ -820,6 +820,58 @@ def main() -> int:
             ),
         )
 
+    # ColBERT MaxSim re-rank (queries/r7_staging.py::colbert_maxsim_topk,
+    # staged for round 7): the scored pass is map-only — 8 broadcast
+    # query tokens folded per doc token row — plus two hash aggregates
+    # (per-(doc, q_tok) max, per-doc sum), so it must scale linearly in
+    # corpus token count. TakeOrdered keeps the top-k driver-bounded.
+    if only is None or "maxsim_rerank" in only:
+        emb_ms = mat(multiplied(
+            load_table(spark, args.sf, "embeddings"), args.mult, ["vec_id"]
+        ), "emb_maxsim")
+        grouped = emb_ms.select(
+            "vec_id",
+            (F.col("vec_id") / 8).cast("long").alias("grp"),
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1_000_000).cast(
+                    "long"
+                ),
+            ).alias("v"),
+        )
+        q_ms = grouped.filter(F.col("grp") == 0).orderBy("vec_id").collect()
+        docs_ms = grouped.filter(F.col("grp") > 0).select(
+            F.col("grp").alias("doc_id"), F.col("v").alias("dv")
+        )
+        def _dot_ms(qvec):
+            return F.aggregate(
+                F.zip_with(
+                    "dv",
+                    F.array(*[F.lit(int(c)) for c in qvec]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        scored_ms = docs_ms.select(
+            "doc_id", *[_dot_ms(r["v"]).alias(f"q{i}")
+                        for i, r in enumerate(q_ms)]
+        )
+        run(
+            "maxsim_rerank",
+            scored_ms.groupBy("doc_id")
+            .agg(*[F.max(f"q{i}").alias(f"m{i}") for i in range(len(q_ms))])
+            .select(
+                "doc_id",
+                sum(
+                    (F.col(f"m{i}") for i in range(1, len(q_ms))),
+                    F.col("m0"),
+                ).alias("maxsim"),
+            )
+            .orderBy(F.desc("maxsim"), F.asc("doc_id"))
+            .limit(10),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
