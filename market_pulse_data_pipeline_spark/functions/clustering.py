@@ -144,6 +144,7 @@ def kmeans_oracle_sql(
     dim: int,
     scale: int = SNAP_SCALE,
     where: str = "",
+    src: str = "embeddings",
 ) -> str:
     """Unrolled-iteration DuckDB twin of kmeans_snapped: integer-scaled
     Lloyd's is exactly expressible as chained CTEs — one
@@ -153,7 +154,9 @@ def kmeans_oracle_sql(
     ``final`` is a format string over ``%(a)s`` (the assignment under
     the final centroids, CTE a{iters+1}) and ``%(c)s`` (the final
     centroid table c{iters}); ``where`` optionally restricts the
-    training rows (e.g. ``WHERE vec_id <> 0`` for the IVF codebook)."""
+    training rows (e.g. ``WHERE vec_id <> 0`` for the IVF codebook);
+    ``src`` swaps the source relation (must expose vec_id + embedding
+    — e.g. the semdedup oracle's planted-union subquery)."""
     parts = [
         f"""
     WITH p AS (
@@ -161,7 +164,7 @@ def kmeans_oracle_sql(
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
                AS v
-      FROM embeddings {where}
+      FROM {src} {where}
     ),
     pu AS (
       SELECT vec_id, i AS pos, v[i + 1] AS qv

@@ -105,10 +105,8 @@ def _semdedup_oracle() -> str:
     planted-union source, then within-cluster pairwise exact-integer
     cosine and the drop-higher-id rule.
 
-    The generator reads ``FROM embeddings``; round 7 should add a
-    ``src`` parameter when registering — staging re-points the one
-    occurrence textually and asserts the count so a generator change
-    fails loudly here instead of silently diverging.
+    Uses the generator's ``src`` parameter to train on the
+    planted-union subquery instead of the raw table.
     """
     final = f"""
     , asg AS (SELECT vec_id, cid AS cluster FROM %(a)s),
@@ -138,10 +136,6 @@ def _semdedup_oracle() -> str:
     FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
     ORDER BY a.vec_id
     """
-    sql = kmeans_oracle_sql(
-        final, k=_SD_K, iters=_SD_ITERS, dim=_SD_DIM, scale=SNAP_SCALE
-    )
-    assert sql.count("FROM embeddings") == 1, "generator shape changed"
     src = f"""(
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
@@ -149,7 +143,10 @@ def _semdedup_oracle() -> str:
              list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT))
       FROM embeddings WHERE vec_id % 13 = 0
     ) both_src"""
-    return sql.replace("FROM embeddings", "FROM " + src)
+    return kmeans_oracle_sql(
+        final, k=_SD_K, iters=_SD_ITERS, dim=_SD_DIM, scale=SNAP_SCALE,
+        src=src,
+    )
 
 
 @stage(
