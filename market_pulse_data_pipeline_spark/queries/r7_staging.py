@@ -47,6 +47,12 @@ cover:
   the single-vector ANN family; exact int64 arithmetic because the
   fixture embeddings are unit-norm, so the quantized dot IS the
   scaled cosine.
+- ``incremental_near_dup_lsh`` — batch-vs-corpus NEAR-dup detection
+  (the daily-crawl production shape): asymmetric banded MinHash-LSH
+  pairing only incoming x corpus, with the corpus band table as
+  compute-once store-forever state. Complements
+  ``cross_corpus_dedup_exact`` (exact incremental) and the self-join
+  LSH rows (full-corpus near-dup).
 """
 
 from __future__ import annotations
@@ -609,3 +615,204 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim"), F.asc("doc_id"))
         .limit(_MS_TOPK)
     )
+
+
+# --------------------------------------------------------------------
+# incremental_near_dup_lsh
+# --------------------------------------------------------------------
+
+_INC_PERM = 16
+_INC_BANDS = 4
+_INC_T = 0.5
+_INC_PLANT_OFFSET = 1_000_000
+
+
+def _inc_neardup_oracle() -> str:
+    """Asymmetric twin of the proven minhash_lsh_portable oracle
+    (queries/scale_paths.py::_portable_minhash_sql): identical md5
+    60-bit shingle hashes and universal-hash permutations, but the
+    banded join pairs INCOMING docs against CORPUS docs only."""
+    from market_pulse_data_pipeline_spark.functions.dedup import (
+        _MERSENNE,
+        _perm_params,
+    )
+
+    params = _perm_params(_INC_PERM)
+    rpb = _INC_PERM // _INC_BANDS
+    mins = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MERSENNE}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, side, {b} AS band, [{ms}] AS bh FROM sigs".format(
+            b=b, ms=", ".join(f"m{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(_INC_BANDS)
+    )
+    eq_sum = " + ".join(f"(si.m{i} = sc.m{i})::INT" for i in range(_INC_PERM))
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, 'c' AS side FROM documents WHERE doc_id % 2 = 0
+    ), incoming AS (
+      SELECT doc_id, text, 'i' AS side FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + {_INC_PLANT_OFFSET}, text || ' planted', 'i'
+      FROM documents WHERE doc_id % 26 = 0
+    ), alldocs AS (
+      SELECT * FROM corpus UNION ALL SELECT * FROM incoming
+    ), toks AS (
+      SELECT doc_id, side, string_split(text, ' ') AS ws FROM alldocs
+      WHERE len(string_split(text, ' ')) >= 3
+    ), hs AS (
+      SELECT doc_id, side,
+             list_transform(range(1, len(ws) - 1),
+               i -> ('0x' || substring(
+                       md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+                       1, 15))::BIGINT % {_MERSENNE}) AS hs
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id, side,
+             {mins}
+      FROM hs
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corpus_id
+      FROM bands i JOIN bands c
+        ON i.band = c.band AND i.bh = c.bh
+       AND i.side = 'i' AND c.side = 'c'
+    )
+    SELECT inc_id, corpus_id,
+           ROUND(({eq_sum}) / {float(_INC_PERM)}, 6) AS est_jaccard
+    FROM cand
+    JOIN sigs si ON si.doc_id = inc_id AND si.side = 'i'
+    JOIN sigs sc ON sc.doc_id = corpus_id AND sc.side = 'c'
+    WHERE ({eq_sum}) / {float(_INC_PERM)} >= {_INC_T}
+    ORDER BY inc_id, corpus_id
+    """
+
+
+@stage(
+    "incremental_near_dup_lsh",
+    _inc_neardup_oracle(),
+    doc="incremental (batch-vs-corpus) NEAR-duplicate detection — the "
+    "production daily-crawl shape the registry's self-join LSH rows "
+    "don't witness: even-id docs stand in for the accumulated corpus, "
+    "odd-id docs plus planted near-copies of corpus docs for the "
+    "incoming batch, and the banded join pairs ONLY incoming x corpus "
+    "(never corpus x corpus — history is not re-paired, never "
+    "incoming x incoming — intra-batch dedup is a separate, cheaper "
+    "pass). Same portable md5 60-bit MinHash as the driver-green "
+    "minhash_lsh_portable (16 perms / 4 bands), so every signature, "
+    "band bucket, candidate, and Jaccard estimate is bit-reproducible "
+    "in DuckDB. 100 TB shape: the corpus band table is compute-once, "
+    "store-forever state partitioned by (band, bucket); each day's "
+    "batch builds its own (small) band table and joins in — candidate "
+    "cost is per-bucket collisions, never |corpus| x |batch|.",
+)
+def incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (
+        _MERSENNE,
+        _perm_params,
+        portable_hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    incoming = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 26 == 0).select(
+                (F.col("doc_id") + _INC_PLANT_OFFSET).alias("doc_id"),
+                F.concat("text", F.lit(" planted")).alias("text"),
+            )
+        )
+    )
+
+    rpb = _INC_PERM // _INC_BANDS
+
+    def sigs_of(side: DataFrame) -> DataFrame:
+        toks = side.select(
+            "doc_id", F.split("text", " ").alias("ws")
+        ).filter(F.size("ws") >= 3)
+        shingle_arr = F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 3),
+            lambda i: F.concat_ws(
+                " ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]
+            ),
+        )
+        hashes = toks.select(
+            "doc_id",
+            F.transform(
+                shingle_arr,
+                lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
+            ).alias("hs"),
+        )
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "hs",
+                        lambda h: F.pmod(
+                            F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)
+                        ),
+                    )
+                )
+                for (a, b) in _perm_params(_INC_PERM)
+            ]
+        )
+        return hashes.select("doc_id", sig.alias("sig"))
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_INC_BANDS - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.slice(F.col("sig"), b * rpb + 1, rpb).alias("bh"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("doc_id", "e.band", "e.bh")
+
+    sig_c = sigs_of(corpus).cache()
+    sig_i = sigs_of(incoming).cache()
+    cand = (
+        bands_of(sig_i)
+        .select(F.col("doc_id").alias("inc_id"), "band", "bh")
+        .join(
+            bands_of(sig_c).select(
+                F.col("doc_id").alias("corpus_id"), "band", "bh"
+            ),
+            ["band", "bh"],
+        )
+        .select("inc_id", "corpus_id")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_i", "sig_c", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(_INC_PERM))
+    out = (
+        cand.join(
+            sig_i.select(F.col("doc_id").alias("inc_id"), F.col("sig").alias("sig_i")),
+            "inc_id",
+        )
+        .join(
+            sig_c.select(
+                F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_c")
+            ),
+            "corpus_id",
+        )
+        .select(
+            "inc_id", "corpus_id", F.round(est, 6).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= _INC_T)
+        .orderBy("inc_id", "corpus_id")
+    )
+    return out

@@ -40,6 +40,7 @@ def test_staged_rows_are_not_registered():
         "domain_frequency_cap",
         "kcenter_diversity_sample",
         "colbert_maxsim_topk",
+        "incremental_near_dup_lsh",
     }
 
 
@@ -158,6 +159,35 @@ def test_maxsim_matches_python_replay(spark, sf_dir):
     # ranking sanity: returned scores are non-increasing
     ms = [r["maxsim"] for r in rows]
     assert all(a >= b for a, b in zip(ms, ms[1:]))
+
+
+def test_incremental_near_dup_contract(spark, sf_dir):
+    from market_pulse_data_pipeline_spark.queries.r7_staging import (
+        _INC_PLANT_OFFSET,
+        _INC_T,
+    )
+
+    rows = STAGED["incremental_near_dup_lsh"].spark(spark, sf_dir).collect()
+    assert rows, "no near-dup pairs found"
+    planted_hits = set()
+    for r in rows:
+        # asymmetric contract: left side incoming (odd or planted),
+        # right side corpus (even, un-planted)
+        inc, cor = r["inc_id"], r["corpus_id"]
+        assert inc % 2 == 1 or inc >= _INC_PLANT_OFFSET
+        assert cor % 2 == 0 and cor < _INC_PLANT_OFFSET
+        assert r["est_jaccard"] >= _INC_T
+        if inc >= _INC_PLANT_OFFSET:
+            planted_hits.add((inc - _INC_PLANT_OFFSET, cor))
+    # every planted near-copy must be caught against its own original
+    import duckdb as dd
+
+    n_planted = dd.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE doc_id % 26 = 0"
+    ).fetchone()[0]
+    self_pairs = {(o, c) for o, c in planted_hits if o == c}
+    assert len(self_pairs) == n_planted
 
 
 def test_domain_cap_arithmetic(spark, sf_dir):
