@@ -820,6 +820,104 @@ def main() -> int:
             ),
         )
 
+    # Incremental batch-vs-corpus near-dup
+    # (queries/r7_staging.py::incremental_near_dup_lsh, staged for
+    # round 7): corpus grows with mult, the incoming batch stays
+    # FIXED-size (one day's crawl) — the claim under test is that
+    # candidate cost tracks per-bucket collisions, never
+    # |corpus| x |batch|, so a growing corpus costs the batch join
+    # only its own band lookups plus corpus signature build.
+    if only is None or "incremental_neardup" in only:
+        from market_pulse_data_pipeline_spark.queries.r7_staging import (
+            _INC_BANDS,
+            _INC_PERM,
+        )
+        from market_pulse_data_pipeline_spark.functions.dedup import (
+            _MERSENNE,
+            _perm_params,
+            portable_hash60,
+        )
+
+        docs_all = mat(multiplied(
+            load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+        ), "docs_incdup")
+        corpus_in = docs_all.select("doc_id", "text")  # grows with mult
+        batch_in = (
+            load_table(spark, args.sf, "documents")
+            .filter(F.col("doc_id") % 26 == 0)
+            .select(
+                (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" planted")).alias("text"),
+            )
+        )  # fixed-size incoming day
+
+        rpb = _INC_PERM // _INC_BANDS
+
+        def _sigs(side):
+            toks = side.select(
+                "doc_id", F.split("text", " ").alias("ws")
+            ).filter(F.size("ws") >= 3)
+            shingle_arr = F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("ws")[i],
+                    F.col("ws")[i + 1],
+                    F.col("ws")[i + 2],
+                ),
+            )
+            hashes = toks.select(
+                "doc_id",
+                F.transform(
+                    shingle_arr,
+                    lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
+                ).alias("hs"),
+            )
+            sig = F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            "hs",
+                            lambda h: F.pmod(
+                                F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)
+                            ),
+                        )
+                    )
+                    for (a, b) in _perm_params(_INC_PERM)
+                ]
+            )
+            return hashes.select("doc_id", sig.alias("sig"))
+
+        def _bands(sigs):
+            return sigs.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(_INC_BANDS - 1)),
+                        lambda b: F.struct(
+                            b.alias("band"),
+                            F.slice(
+                                F.col("sig"), b * rpb + 1, rpb
+                            ).alias("bh"),
+                        ),
+                    )
+                ).alias("e"),
+            ).select("doc_id", "e.band", "e.bh")
+
+        run(
+            "incremental_neardup",
+            _bands(_sigs(batch_in))
+            .select(F.col("doc_id").alias("inc_id"), "band", "bh")
+            .join(
+                _bands(_sigs(corpus_in)).select(
+                    F.col("doc_id").alias("corpus_id"), "band", "bh"
+                ),
+                ["band", "bh"],
+            )
+            .select("inc_id", "corpus_id")
+            .distinct(),
+        )
+
     # ColBERT MaxSim re-rank (queries/r7_staging.py::colbert_maxsim_topk,
     # staged for round 7): the scored pass is map-only — 8 broadcast
     # query tokens folded per doc token row — plus two hash aggregates
