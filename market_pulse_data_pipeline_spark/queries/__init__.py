@@ -37,81 +37,61 @@ from market_pulse_data_pipeline_spark.queries import mining  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
-# entries of queries() in iteration order, so the names that need a
-# driver row THIS round must register ahead of the already-witnessed
-# ones. all_queries() orders: (0) the round-6 window below, (1) any
-# never-witnessed query not in the window — must stay EMPTY this
-# round (registry freeze, tests/test_window_composition.py), (2)
-# driver-green rows ordered oldest-witness-first so overflow slots,
-# if the window ever shrinks, land on the stalest evidence.
+# entries of queries() in iteration order. As of round 7 the registry
+# is in STEADY STATE: every registered query has a green driver row
+# (CORRECTNESS_r06 closed the ledger at 241/241), so each round's
+# window re-witnesses the 50 STALEST rows — oldest witness round
+# first, original window order within a round — keeping the "EVERY
+# operator has a passing driver row" claim fresh over time.
+# all_queries() orders: (0) this round's rotation window, (1)
+# never-witnessed registrations (`_R8_DEFER` — new operators land
+# AFTER the window so they can never displace a verified slot; they
+# head the NEXT round's window), (2) remaining driver-green rows,
+# stalest first.
 #
-# Round-6 window (VERDICT.md round 5 "Next round" #1 — the
-# ledger-zeroing round): all 43 still-unwitnessed oracled queries from
-# the round-5 deferral list in its original order, plus the SURVEY-§2
-# reference-chain re-witness (weekly_rollup, dim_case_mapping,
-# derived_metrics, keyed_upsert, qc_not_null_violations,
-# qc_anti_join_orphans — last witnessed r2) and left_join_enrich (§2
-# J1, the round-5 perf-weak row; it takes the slot freed by retiring
-# the rows-only simhash_near_dups in favor of its hash-checked
-# portable twin simhash_portable, VERDICT item 4). 43 + 7 = 50; after
-# this round every registered query has a green driver row and every
-# row in THIS window is full value-hash checked (zero rows-only
-# slots).
-_R6_WINDOW = [
-    # rows-only → full value-hash conversions from late round 5:
-    # BPE's training loop unrolled as materialized DuckDB CTEs with the
-    # greedy merge as the gaps-and-islands odd-rank rule
-    # (functions/bpe.py::bpe_oracle_sql); PCA's eigh eigensolve
-    # replaced by integer repeated-squaring power iteration with exact
-    # matrix-level deflation
-    # (functions/clustering.py::pca_snapped_project / pca_oracle_sql)
-    "bpe_learned_merges",
-    "embedding_pca_project",
-    # converted rows-only → full value-hash oracles in round 5:
-    # hex-chained stub codecs let DuckDB recompute the media plumbing
-    # bytes; kmeans_snapped makes Lloyd's bit-identical across engines
-    # via integer-scaled arithmetic; minhash LSH candidates
-    # exact-verified at J >= 0.9 equal the exhaustive exact-Jaccard
-    # pair set (band contract); hyperplane LSH signatures re-derived
-    # exactly in SQL via md5-integer planes over int64-quantized
-    # vectors (ann_lsh_topk); snapped-codebook IVF and PQ/ADC replayed
-    # via the unrolled kmeans CTEs — one chain per subspace for PQ —
-    # plus integer probe / ADC tables
-    "media_decode_features", "media_resize",
-    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
-    "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
-    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
-    # oracled backlog (original round-5 deferral order)
-    "try_functions_suite", "salted_replicate_join",
-    "hashed_linear_quality_score", "mixture_epoch_expansion",
-    "watermark_delay_estimate", "prefix_sum_two_phase", "simhash_portable",
-    "ann_recall_at_10", "tick_rule_trade_signs",
-    "label_propagation_communities", "scd2_point_in_time_join",
-    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
-    "python_datasource_stream", "m4_downsample",
-    "calendar_interpolate_linear", "ab_test_proportions",
-    "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
-    "qc_join_multiplicity", "graph_bfs_k_hop",
-    "streaming_outer_join_eviction", "linear_regression_gd",
-    "skyline_pareto_parts", "quota_largest_remainder",
-    "attribution_position_credit",
-    # round-5 additions (the <=3 budget), deferred here per the
-    # round-4 displacement rule
-    "heavy_hitters_mg_verified", "vocab_top_p_coverage",
-    "rrf_hybrid_fusion",
-    # SURVEY-§2 reference-chain re-witness (dbt_finance/models/ +
-    # minio_to_snowflake.py:66-75 semantics; last driver row r2) +
-    # left_join_enrich (§2 J1 — fact_stock_prices.sql:22-24, the
-    # round-5 perf-weak row, re-witnessed for both freshness and the
-    # bench resolution)
-    "weekly_rollup", "dim_case_mapping", "derived_metrics",
-    "keyed_upsert", "qc_not_null_violations", "qc_anti_join_orphans",
-    "left_join_enrich",
+# Round-7 window (VERDICT.md round 6 "Next round" #1): exactly
+# rotation_window() — the 42 r2 survivors not re-witnessed in round 6,
+# then the first 8 r3 rows, in original witness-window order. Pinned
+# literally so any registry or ledger edit that would shift the
+# driver's snapshot fails tests/test_window_composition.py loudly.
+_R7_WINDOW = [
+    # CORRECTNESS_r02 survivors (the SURVEY-§2 stg_alphavantage /
+    # get_stock.py:84-105 chain at the head, per VERDICT round-6 #1)
+    "json_path_extract", "explode_words", "distinct_keys",
+    "dedup_keep_latest", "incremental_merge", "qc_unique_violations",
+    "map_explode_props", "variant_path_extract",
+    "qc_accepted_values_violations", "argmin_unit_price_supplier",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
+    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
+    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue", "text_token_count",
+    "text_quality_score", "text_lang_stats", "lang_id_heuristic",
+    "doc_fingerprint", "text_bpe_token_estimate", "multimodal_meta",
+    "text_repetition_stats", "text_pii_scan",
+    "contamination_ngram_overlap", "stratified_sample_per_lang",
+    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
+    "similarity_topk_cosine", "embedding_label_centroid_norm",
+    "embedding_quantization_error",
+    # head of CORRECTNESS_r03 (original window order)
+    "event_hourly_windows", "event_sliding_windows",
+    "dedup_cluster_assignment", "market_pulse_end_to_end",
+    "minhash_lsh_portable", "asof_join_latest_anchor",
+    "range_join_price_bands", "rolling_avg_7rows",
 ]
+
+# Round-7 registrations, deferred to the round-8 window per the
+# round-4 displacement rule (additions never displace a verified
+# window). These names order tier 1 and will head rotation_window()
+# once their first driver row lands.
+_R8_DEFER: list[str] = []
 
 # name -> latest CORRECTNESS_r{N}.json round with a green driver row.
 # Insertion order within a round is the original witness-window order;
-# r7_rotation() consumes (round, insertion order) to schedule the
+# stalest_green() consumes (round, insertion order) to schedule the
 # steady-state oldest-witness-first re-witness cadence.
 _DRIVER_GREEN = {}
 _DRIVER_GREEN.update(dict.fromkeys([
@@ -215,39 +195,79 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "event_sequence_pattern_match", "peak_concurrency_sweep",
     "streaming_session_window", "collation_case_insensitive_group",
 ], 5))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r06.json — 50/50 green (the ledger-zeroing window,
+    # verbatim order: 43 backlog rows + the SURVEY-§2 reference-chain
+    # re-witness). Every registered query now has a driver row.
+    "bpe_learned_merges", "embedding_pca_project",
+    "media_decode_features", "media_resize",
+    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
+    "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
+    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
+    "try_functions_suite", "salted_replicate_join",
+    "hashed_linear_quality_score", "mixture_epoch_expansion",
+    "watermark_delay_estimate", "prefix_sum_two_phase",
+    "simhash_portable", "ann_recall_at_10", "tick_rule_trade_signs",
+    "label_propagation_communities", "scd2_point_in_time_join",
+    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
+    "python_datasource_stream", "m4_downsample",
+    "calendar_interpolate_linear", "ab_test_proportions",
+    "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
+    "qc_join_multiplicity", "graph_bfs_k_hop",
+    "streaming_outer_join_eviction", "linear_regression_gd",
+    "skyline_pareto_parts", "quota_largest_remainder",
+    "attribution_position_credit", "heavy_hitters_mg_verified",
+    "vocab_top_p_coverage", "rrf_hybrid_fusion",
+    "weekly_rollup", "dim_case_mapping", "derived_metrics",
+    "keyed_upsert", "qc_not_null_violations", "qc_anti_join_orphans",
+    "left_join_enrich",
+], 6))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
-    Tiers: (0) round-6 window, (1) never-driver-witnessed queries not
-    in the window — empty under the round-6 registry freeze, (2)
+    Tiers: (0) this round's rotation window, (1) never-driver-witnessed
+    registrations (``_R8_DEFER`` order — after the window, so new
+    operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R6_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R7_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
+    defer_rank = {n: i for i, n in enumerate(_R8_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
             return (0, window_rank[n], 0)
         if n in _DRIVER_GREEN:
             return (2, _DRIVER_GREEN[n], green_rank[n])
-        return (1, 0, 0)
+        return (1, defer_rank.get(n, len(defer_rank)), 0)
 
     names = sorted(QUERY_REGISTRY, key=lambda n: (tier(n),))
     # sorted() is stable -> registration order preserved within tier 1
     return {n: QUERY_REGISTRY[n] for n in names}
 
 
-def r7_rotation(window: int = 50) -> list[str]:
-    """The proposed round-7 re-witness window (VERDICT round-5 item 7):
-    steady state = rotate the 50 stalest driver witnesses back through
-    the correctness gate each round, oldest round first, original
-    window order within a round. Assumes the round-6 window lands
-    green (its names move to round 6, making the r2 survivors + the
-    head of r3 the stalest evidence)."""
-    after_r6 = dict(_DRIVER_GREEN)
-    after_r6.update(dict.fromkeys(_R6_WINDOW, 6))
-    order = {n: i for i, n in enumerate(after_r6)}
-    names = sorted(after_r6, key=lambda n: (after_r6[n], order[n]))
-    return names[:window]
+def stalest_green(window: int = 50) -> list[str]:
+    """The 50 stalest driver-green rows — oldest witness round first,
+    ledger-insertion order within a round. ``_R7_WINDOW`` is this
+    round's pinned snapshot of exactly this list (a regression test
+    keeps them in lockstep)."""
+    order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
+    stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
+    return stale[:window]
+
+
+def r8_rotation(window: int = 50) -> list[str]:
+    """The proposed round-8 window under the steady-state cadence:
+    never-witnessed round-7 registrations (``_R8_DEFER``) at the head
+    — new operators get their first driver row the round after they
+    land — then the stalest greens assuming this round's window lands
+    green (its names move to round 7). Any r07 RED row outranks all of
+    this and goes to the very front instead (red rows beat rotation)."""
+    never = [n for n in _R8_DEFER if n in QUERY_REGISTRY]
+    after_r7 = dict(_DRIVER_GREEN)
+    after_r7.update(dict.fromkeys(_R7_WINDOW, 7))
+    order = {n: i for i, n in enumerate(after_r7)}
+    stale = sorted(after_r7, key=lambda n: (after_r7[n], order[n]))
+    return (never + stale)[:window]

@@ -12,106 +12,113 @@ the same commit.
 
 from market_pulse_data_pipeline_spark.queries import (
     _DRIVER_GREEN,
-    _R6_WINDOW,
+    _R7_WINDOW,
+    _R8_DEFER,
     QUERY_REGISTRY,
     all_queries,
-    r7_rotation,
+    r8_rotation,
+    stalest_green,
 )
 
-# Round-6 rotation (the ledger-zeroing round): the 43 still-unwitnessed
-# oracled queries from the round-5 deferral list in original order +
-# the SURVEY-§2 reference-chain re-witness (weekly_rollup,
-# dim_case_mapping, derived_metrics, keyed_upsert,
-# qc_not_null_violations, qc_anti_join_orphans) + left_join_enrich
-# (§2 J1, the round-5 perf-weak row, taking the slot freed by
-# retiring rows-only simhash_near_dups). After this window lands
-# green, every registered query has a driver-witnessed row.
+# Round-7 rotation (VERDICT round-6 item 1 — the first steady-state
+# round): CORRECTNESS_r06 landed 50/50 green, closing the ledger at
+# 241/241 driver-witnessed, so from here each round re-witnesses the
+# 50 STALEST rows. That is the 42 r2 survivors not re-witnessed in
+# round 6 (the SURVEY-§2 stg_alphavantage / get_stock.py:84-105 chain
+# at the head), then the first 8 r3 rows, in original window order —
+# exactly what round 6's pinned r7_rotation() computed.
 EXPECTED_WINDOW = [
-    "bpe_learned_merges", "embedding_pca_project",
-    "media_decode_features", "media_resize",
-    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
-    "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
-    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
-    "try_functions_suite", "salted_replicate_join",
-    "hashed_linear_quality_score", "mixture_epoch_expansion",
-    "watermark_delay_estimate", "prefix_sum_two_phase",
-    "simhash_portable", "ann_recall_at_10", "tick_rule_trade_signs",
-    "label_propagation_communities", "scd2_point_in_time_join",
-    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
-    "python_datasource_stream", "m4_downsample",
-    "calendar_interpolate_linear", "ab_test_proportions",
-    "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
-    "qc_join_multiplicity", "graph_bfs_k_hop",
-    "streaming_outer_join_eviction", "linear_regression_gd",
-    "skyline_pareto_parts", "quota_largest_remainder",
-    "attribution_position_credit", "heavy_hitters_mg_verified",
-    "vocab_top_p_coverage", "rrf_hybrid_fusion",
-    "weekly_rollup", "dim_case_mapping", "derived_metrics",
-    "keyed_upsert", "qc_not_null_violations", "qc_anti_join_orphans",
-    "left_join_enrich",
+    "json_path_extract", "explode_words", "distinct_keys",
+    "dedup_keep_latest", "incremental_merge", "qc_unique_violations",
+    "map_explode_props", "variant_path_extract",
+    "qc_accepted_values_violations", "argmin_unit_price_supplier",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
+    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
+    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue", "text_token_count",
+    "text_quality_score", "text_lang_stats", "lang_id_heuristic",
+    "doc_fingerprint", "text_bpe_token_estimate", "multimodal_meta",
+    "text_repetition_stats", "text_pii_scan",
+    "contamination_ngram_overlap", "stratified_sample_per_lang",
+    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
+    "similarity_topk_cosine", "embedding_label_centroid_norm",
+    "embedding_quantization_error",
+    "event_hourly_windows", "event_sliding_windows",
+    "dedup_cluster_assignment", "market_pulse_end_to_end",
+    "minhash_lsh_portable", "asof_join_latest_anchor",
+    "range_join_price_bands", "rolling_avg_7rows",
 ]
 
 
 def test_window_is_the_verified_composition():
     assert list(all_queries())[:50] == EXPECTED_WINDOW
-    assert _R6_WINDOW == EXPECTED_WINDOW
+    assert _R7_WINDOW == EXPECTED_WINDOW
+
+
+def test_window_is_the_stalest_green():
+    # the pinned window and the cadence computation stay in lockstep:
+    # a ledger edit that would shift the driver's snapshot fails here
+    assert _R7_WINDOW == stalest_green()
+    # the re-witness cadence actually rotates: nothing in this window
+    # was witnessed later than round 3
+    assert all(_DRIVER_GREEN[n] <= 3 for n in _R7_WINDOW)
 
 
 def test_window_has_full_oracles():
-    # the ledger-zeroing window wastes no slot on a rows-only check:
-    # every one of the 50 rows is full value-hash checked.
+    # steady state preserves the round-6 terminal property: every
+    # window row is full value-hash checked, no rows-only slots.
     q = all_queries()
     rows_only = [n for n in list(q)[:50] if q[n].oracle is None]
     assert rows_only == []
 
 
-def test_registry_frozen_for_round6():
-    # VERDICT round-5 item 2: zero additions this round — the window
-    # math (43 backlog + 7 re-witness = 50) has no slack. Every
-    # registered query is either in the shipped window or
-    # driver-green; a new registration lands in tier 1 and breaks
-    # this loudly instead of silently displacing a backlog entry.
-    assert set(QUERY_REGISTRY) == set(_R6_WINDOW) | set(_DRIVER_GREEN)
-    assert len(QUERY_REGISTRY) == 241
+def test_ledger_is_closed_and_additions_defer():
+    # Steady-state invariant: every registered query is either
+    # driver-green or a deferred round-7 registration awaiting its
+    # first row. A registration missing from _R8_DEFER lands in
+    # tier 1 with rank len(_R8_DEFER) — caught here, not silently
+    # shuffled into the window.
+    assert set(QUERY_REGISTRY) == set(_DRIVER_GREEN) | set(_R8_DEFER)
+    assert not set(_R8_DEFER) & set(_DRIVER_GREEN)
+    # tier-1 names (positions 50..) are exactly the deferral list, in
+    # order — new operators never displace a verified window slot
+    assert list(all_queries())[50:50 + len(_R8_DEFER)] == _R8_DEFER
 
 
-def test_round6_ledger_arithmetic():
-    assert len(_R6_WINDOW) == 50
-    # the seven re-witness rows are r2-green §2 reference-chain
-    # queries; the other 43 have never had a driver row
-    rewitness = [n for n in _R6_WINDOW if n in _DRIVER_GREEN]
-    assert rewitness == [
-        "weekly_rollup", "dim_case_mapping", "derived_metrics",
-        "keyed_upsert", "qc_not_null_violations", "qc_anti_join_orphans",
-        "left_join_enrich",
-    ]
-    assert all(_DRIVER_GREEN[n] == 2 for n in rewitness)
+def test_round7_ledger_arithmetic():
+    assert len(_R7_WINDOW) == 50
+    assert len(set(_R7_WINDOW)) == 50
+    # every window row is a re-witness of an existing green row
+    assert all(n in _DRIVER_GREEN for n in _R7_WINDOW)
+    r2_left = [n for n in _R7_WINDOW if _DRIVER_GREEN[n] == 2]
+    assert len(r2_left) == 42
+    assert len([n for n in _R7_WINDOW if _DRIVER_GREEN[n] == 3]) == 8
 
 
 def test_rows_only_floor():
-    # round-6 terminal state: zero rows-only queries. simhash_near_dups
-    # (engine-specific xxhash64 signatures — a cross-engine oracle
-    # cannot exist) was retired in favor of its hash-checked md5 twin
-    # simhash_portable; the xxhash path keeps its pytest coverage in
-    # tests/test_scale_paths.py. A new rows-only registration must be
-    # a conscious decision, not drift.
+    # round-6 terminal state, preserved: zero rows-only queries. A new
+    # rows-only registration must be a conscious decision, not drift.
     rows_only = {n for n, q in QUERY_REGISTRY.items() if q.oracle is None}
     assert rows_only == set()
 
 
-def test_r7_rotation_is_stalest_first():
-    # VERDICT round-5 item 7: steady-state cadence. The proposed
-    # round-7 window is the 50 stalest witnesses assuming round 6
-    # lands green: the 42 r2 rows not re-witnessed in round 6, then
-    # the first 8 r3 rows in original window order.
-    rot = r7_rotation()
+def test_r8_rotation_defers_then_rotates():
+    # the proposed round-8 window: never-witnessed round-7
+    # registrations first, then the stalest greens assuming this
+    # round's window lands green (r3 survivors continue the rotation).
+    rot = r8_rotation()
     assert len(rot) == 50
-    after_r6 = dict(_DRIVER_GREEN)
-    after_r6.update(dict.fromkeys(_R6_WINDOW, 6))
-    r2_left = [n for n, r in _DRIVER_GREEN.items() if r == 2 and n not in _R6_WINDOW]
-    assert rot[: len(r2_left)] == r2_left
-    assert len(r2_left) == 42
-    r3_head = [n for n, r in _DRIVER_GREEN.items() if r == 3][:8]
-    assert rot[len(r2_left):] == r3_head
-    # nothing in the proposal is already in this round's window
-    assert not set(rot) & set(_R6_WINDOW)
+    assert rot[: len(_R8_DEFER)] == _R8_DEFER
+    rest = rot[len(_R8_DEFER):]
+    after_r7 = dict(_DRIVER_GREEN)
+    after_r7.update(dict.fromkeys(_R7_WINDOW, 7))
+    # stalest-first: the 41 remaining r3 rows, then the head of r4
+    rounds = [after_r7[n] for n in rest]
+    assert rounds == sorted(rounds)
+    assert rounds[0] == 3 and rounds.count(3) == 41
+    # nothing in the proposal repeats this round's window
+    assert not set(rot) & set(_R7_WINDOW)
