@@ -34,6 +34,7 @@ from market_pulse_data_pipeline_spark.queries import layout  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import sketches  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import shuffle_ops  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import mining  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r7_staging  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -85,9 +86,18 @@ _R7_WINDOW = [
 
 # Round-7 registrations, deferred to the round-8 window per the
 # round-4 displacement rule (additions never displace a verified
-# window). These names order tier 1 and will head rotation_window()
-# once their first driver row lands.
-_R8_DEFER: list[str] = []
+# window). These names order tier 1 (driver positions 51+) and head
+# r8_rotation() so their first driver row lands next round. The six
+# LLM-pipeline operators were staged + triple-gated in round 6
+# (queries/r7_staging.py) and registered here per VERDICT r6 item 2.
+_R8_DEFER: list[str] = [
+    "semdedup_prune",
+    "ngram_novelty_profile",
+    "domain_frequency_cap",
+    "kcenter_diversity_sample",
+    "colbert_maxsim_topk",
+    "incremental_near_dup_lsh",
+]
 
 # name -> latest CORRECTNESS_r{N}.json round with a green driver row.
 # Insertion order within a round is the original witness-window order;

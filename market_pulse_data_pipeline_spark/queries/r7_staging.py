@@ -1,17 +1,13 @@
-"""Round-7 staged queries — implemented, oracle-paired, NOT registered.
+"""Round-7 LLM-training-data operators (staged in round 6, registered
+in round 7 per VERDICT round-6 item 2).
 
-The round-6 registry is frozen at 241 entries so the ledger-zeroing
-witness window keeps zero slack (VERDICT round-5 item 2;
-tests/test_window_composition.py::test_registry_frozen_for_round6
-pins the count). These operators are therefore staged in their
-own ``STAGED`` dict instead of ``QUERY_REGISTRY``: the implementations,
-DuckDB value-hash oracles, and pytest parity gates
-(tests/test_r7_staging.py) are final, and round 7 registers them by
-moving the ``@stage`` rows onto ``@register`` and appending the
-names to the round-8 deferral list (the round-4 displacement rule —
-additions never displace a verified window).
+Landed as round-6 staging rows with their DuckDB value-hash oracles and
+pytest gates already final; round 7 moved them onto ``@register`` and
+appended the six names to the round-8 deferral list (the round-4
+displacement rule — additions never displace a verified window), so
+their first driver witness is the round-8 rotation window.
 
-All are LLM-training-data operators the registry does not yet
+All are LLM-training-data operators the registry did not previously
 cover:
 
 - ``semdedup_prune`` — SemDeDup (Abbas et al., 2023, arXiv:2303.09540):
@@ -57,8 +53,6 @@ cover:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -68,26 +62,11 @@ from market_pulse_data_pipeline_spark.functions.clustering import (
     kmeans_snapped_fit,
 )
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    keeps the round-6 registry byte-frozen while the implementations,
-    oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
 
 # --------------------------------------------------------------------
 # semdedup_prune
@@ -96,7 +75,10 @@ def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 _SD_K = 10  # k-means clusters (the SemDeDup blocking structure)
 _SD_ITERS = 3
 _SD_DIM = 64
-_SD_PLANT_OFFSET = 1_000_000  # planted-copy id offset (scale_paths idiom)
+# planted-copy id offset; 1e9 clears any realistic fixture id (sf0.1
+# max vec_id is 1999) and tests/test_r7_staging.py asserts
+# max(id) < offset so id growth can't silently alias a plant
+_SD_PLANT_OFFSET = 1_000_000_000
 # cos >= 0.95 as the exact-integer contract 400*dot^2 >= 361*|a|^2*|b|^2
 # (19/20 squared), valid with dot >= 0; every quantity is int64-exact
 # after round(x * SNAP_SCALE) quantization, so the comparison is
@@ -155,9 +137,10 @@ def _semdedup_oracle() -> str:
     )
 
 
-@stage(
+@register(
     "semdedup_prune",
     _semdedup_oracle(),
+    bench=True,  # headline shape: semantic dedup (VERDICT round-6 item 3)
     doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): integer-snapped "
     "k-means clusters as the blocking structure, then within-cluster "
     "pairwise cosine >= 0.95 (exact-integer contract "
@@ -244,7 +227,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NV_N = 3  # shingle width (tokens)
 
 
-@stage(
+@register(
     "ngram_novelty_profile",
     f"""
     WITH toks AS (
@@ -329,7 +312,7 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAP = 15  # max docs per source (each source has 25 at the fixture SFs)
 
 
-@stage(
+@register(
     "domain_frequency_cap",
     f"""
     WITH ranked AS (
@@ -458,7 +441,7 @@ def _kcenter_oracle() -> str:
     return "".join(parts)
 
 
-@stage(
+@register(
     "kcenter_diversity_sample",
     _kcenter_oracle(),
     doc="greedy k-center / farthest-point traversal (Gonzalez 1985, the "
@@ -520,11 +503,12 @@ def kcenter_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # colbert_maxsim_topk
 # --------------------------------------------------------------------
 
-_MS_GROUP = 8  # token vectors per pseudo-document (vec_id DIV 8)
+_MS_GROUP = 8  # token vectors per pseudo-document; power of two so the
+assert _MS_GROUP & (_MS_GROUP - 1) == 0  # shiftright grouping is exact
 _MS_TOPK = 10
 
 
-@stage(
+@register(
     "colbert_maxsim_topk",
     f"""
     WITH p AS MATERIALIZED (
@@ -556,6 +540,7 @@ _MS_TOPK = 10
     ORDER BY maxsim DESC, doc_id
     LIMIT {_MS_TOPK}
     """,
+    bench=True,  # headline shape: late-interaction re-rank (VERDICT r6 #3)
     doc="ColBERT MaxSim late-interaction retrieval (Khattab & Zaharia, "
     "SIGIR 2020): vec_ids group into 8-token pseudo-documents "
     "(vec_id DIV 8; group 0 is the query), a document's score is "
@@ -573,7 +558,10 @@ _MS_TOPK = 10
 def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        (F.col("vec_id") / _MS_GROUP).cast("long").alias("grp"),
+        # arithmetic shift = exact int64 FLOOR division by 2^3, matching
+        # DuckDB's // for every long (double-division truncation would
+        # diverge for negatives and ids past 2^53)
+        F.shiftright(F.col("vec_id"), _MS_GROUP.bit_length() - 1).alias("grp"),
         F.transform(
             "embedding",
             lambda x: F.round(x.cast("double") * SNAP_SCALE).cast("long"),
@@ -624,7 +612,9 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_PERM = 16
 _INC_BANDS = 4
 _INC_T = 0.5
-_INC_PLANT_OFFSET = 1_000_000
+# 1e9 clears any realistic fixture doc_id (sf0.1 max is 4999); a
+# fixture guard test pins max(doc_id) < offset (ADVICE round 6)
+_INC_PLANT_OFFSET = 1_000_000_000
 
 
 def _inc_neardup_oracle() -> str:
@@ -693,7 +683,7 @@ def _inc_neardup_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "incremental_near_dup_lsh",
     _inc_neardup_oracle(),
     doc="incremental (batch-vs-corpus) NEAR-duplicate detection — the "
@@ -779,6 +769,10 @@ def incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         ).select("doc_id", "e.band", "e.bh")
 
+    # cached for the band-explode + signature-compare double read, then
+    # released after the eager checkpoint below (the registered
+    # minhash_lsh_near_dups idiom) so full-registry sweeps don't pin
+    # two corpus-sized signature tables per invocation
     sig_c = sigs_of(corpus).cache()
     sig_i = sigs_of(incoming).cache()
     cand = (
@@ -809,10 +803,16 @@ def incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "corpus_id",
         )
+        # filter on the UNROUNDED estimate exactly like the oracle's
+        # WHERE — rounding first would move the threshold boundary if
+        # _INC_PERM ever stops being a power of two (ADVICE round 6)
+        .filter(est >= _INC_T)
         .select(
             "inc_id", "corpus_id", F.round(est, 6).alias("est_jaccard")
         )
-        .filter(F.col("est_jaccard") >= _INC_T)
         .orderBy("inc_id", "corpus_id")
     )
+    out = out.localCheckpoint(eager=True)
+    sig_c.unpersist(blocking=False)
+    sig_i.unpersist(blocking=False)
     return out

@@ -1,63 +1,55 @@
-"""Round-7 staged queries (queries/r7_staging.py) — oracle parity at
-sf0.001 plus semantic pins. These rows are NOT in QUERY_REGISTRY (the
-round-6 registry freeze); round 7 moves them onto @register and this
-file's parity gate becomes redundant with tools/check_oracle.py."""
-
-import sys
+"""Semantic pins for the round-7 LLM-pipeline operators
+(queries/r7_staging.py — registered in round 7; oracle parity is now
+covered by the registry-wide tools/check_oracle.py gate, so this file
+keeps only the invariants the value-hash compare can't express:
+pure-Python algorithm replays, planted-witness contracts, plan
+anti-patterns, and the plant-offset fixture guard from ADVICE r6)."""
 
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r7_staging import (
     _CAP,
+    _INC_PLANT_OFFSET,
+    _INC_T,
     _SD_PLANT_OFFSET,
-    STAGED,
 )
-from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
 
-sys.path.insert(0, "/root/repo")
-from tools.check_oracle import frame_fingerprint  # noqa: E402
-
-
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
-    for name in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{name}.parquet')"
-        )
-    return con
+R7_NAMES = [
+    "semdedup_prune",
+    "ngram_novelty_profile",
+    "domain_frequency_cap",
+    "kcenter_diversity_sample",
+    "colbert_maxsim_topk",
+    "incremental_near_dup_lsh",
+]
 
 
-def test_staged_rows_are_not_registered():
-    from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
+def test_r7_rows_are_registered_and_deferred():
+    from market_pulse_data_pipeline_spark.queries import _R8_DEFER
 
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) == {
-        "semdedup_prune",
-        "ngram_novelty_profile",
-        "domain_frequency_cap",
-        "kcenter_diversity_sample",
-        "colbert_maxsim_topk",
-        "incremental_near_dup_lsh",
-    }
+    assert set(R7_NAMES) <= set(QUERY_REGISTRY)
+    assert _R8_DEFER == R7_NAMES
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
-    q = STAGED[name]
-    sdf = q.spark(spark, sf_dir)
-    s_fp = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
-    cur = duck.execute(q.oracle)
-    cols = [d[0] for d in cur.description]
-    o_fp = frame_fingerprint(cols, cur.fetchall())
-    assert s_fp == o_fp, f"{name}: spark={s_fp} oracle={o_fp}"
-    assert s_fp[0] > 0
+@pytest.mark.parametrize("table,offset", [
+    ("embeddings", _SD_PLANT_OFFSET),
+    ("documents", _INC_PLANT_OFFSET),
+])
+def test_plant_offset_clears_fixture_ids(sf_dir, table, offset):
+    # ADVICE r6: a fixture id >= offset would alias a planted copy and
+    # silently break the dropped==planted invariants below. Guarded
+    # here instead of per-invocation so the query plan stays scan-only.
+    col = "vec_id" if table == "embeddings" else "doc_id"
+    mx = duckdb.connect().execute(
+        f"SELECT max({col}) FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchone()[0]
+    assert mx < offset
 
 
 def test_semdedup_drops_exactly_the_planted_copies(spark, sf_dir):
-    rows = STAGED["semdedup_prune"].spark(spark, sf_dir).collect()
+    rows = QUERY_REGISTRY["semdedup_prune"].spark(spark, sf_dir).collect()
     dropped = {r["vec_id"] for r in rows if r["dropped"]}
     planted = {r["vec_id"] for r in rows if r["vec_id"] >= _SD_PLANT_OFFSET}
     assert planted, "fixture lost its planted copies"
@@ -68,7 +60,9 @@ def test_semdedup_drops_exactly_the_planted_copies(spark, sf_dir):
 
 
 def test_novelty_bounds_and_first_doc(spark, sf_dir):
-    rows = STAGED["ngram_novelty_profile"].spark(spark, sf_dir).collect()
+    rows = (
+        QUERY_REGISTRY["ngram_novelty_profile"].spark(spark, sf_dir).collect()
+    )
     by_id = {r["doc_id"]: r for r in rows}
     first = by_id[min(by_id)]
     # the earliest doc's shingles are first-seen by definition
@@ -80,26 +74,28 @@ def test_novelty_bounds_and_first_doc(spark, sf_dir):
         assert 0.0 <= r["novelty"] <= 1.0
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_plan_antipatterns(spark, sf_dir, name):
+@pytest.mark.parametrize("name", sorted(R7_NAMES))
+def test_r7_plan_antipatterns(spark, sf_dir, name):
     # same two structural bans as tests/test_plan_invariants.py; the
     # semdedup row trains its codebook at construction (like the
     # registered kmeans rows) — the final plan is still built unrun
-    df = STAGED[name].spark(spark, sf_dir)
+    df = QUERY_REGISTRY[name].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
 
 
 def test_kcenter_is_farthest_point_traversal(spark, sf_dir):
-    import duckdb as dd
-
-    rows = STAGED["kcenter_diversity_sample"].spark(spark, sf_dir).collect()
+    rows = (
+        QUERY_REGISTRY["kcenter_diversity_sample"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     assert len({r["vec_id"] for r in rows}) == len(rows)
     # pure-Python replay: exact int64 farthest-point over the same
     # quantized vectors must reproduce the picks bit-for-bit
-    con = dd.connect()
+    con = duckdb.connect()
     data = con.execute(
         "SELECT vec_id, list_transform(embedding, x -> CAST(round("
         "CAST(x AS DOUBLE) * 1000000) AS BIGINT)) FROM "
@@ -130,12 +126,12 @@ def test_kcenter_is_farthest_point_traversal(spark, sf_dir):
 
 
 def test_maxsim_matches_python_replay(spark, sf_dir):
-    import duckdb as dd
-
-    rows = STAGED["colbert_maxsim_topk"].spark(spark, sf_dir).collect()
+    rows = (
+        QUERY_REGISTRY["colbert_maxsim_topk"].spark(spark, sf_dir).collect()
+    )
     assert len(rows) == 10
     got = [(r["doc_id"], r["maxsim"]) for r in rows]
-    con = dd.connect()
+    con = duckdb.connect()
     data = con.execute(
         "SELECT vec_id, list_transform(embedding, x -> CAST(round("
         "CAST(x AS DOUBLE) * 1000000) AS BIGINT)) FROM "
@@ -162,12 +158,11 @@ def test_maxsim_matches_python_replay(spark, sf_dir):
 
 
 def test_incremental_near_dup_contract(spark, sf_dir):
-    from market_pulse_data_pipeline_spark.queries.r7_staging import (
-        _INC_PLANT_OFFSET,
-        _INC_T,
+    rows = (
+        QUERY_REGISTRY["incremental_near_dup_lsh"]
+        .spark(spark, sf_dir)
+        .collect()
     )
-
-    rows = STAGED["incremental_near_dup_lsh"].spark(spark, sf_dir).collect()
     assert rows, "no near-dup pairs found"
     planted_hits = set()
     for r in rows:
@@ -180,9 +175,7 @@ def test_incremental_near_dup_contract(spark, sf_dir):
         if inc >= _INC_PLANT_OFFSET:
             planted_hits.add((inc - _INC_PLANT_OFFSET, cor))
     # every planted near-copy must be caught against its own original
-    import duckdb as dd
-
-    n_planted = dd.connect().execute(
+    n_planted = duckdb.connect().execute(
         f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
         " WHERE doc_id % 26 = 0"
     ).fetchone()[0]
@@ -191,7 +184,9 @@ def test_incremental_near_dup_contract(spark, sf_dir):
 
 
 def test_domain_cap_arithmetic(spark, sf_dir):
-    rows = STAGED["domain_frequency_cap"].spark(spark, sf_dir).collect()
+    rows = (
+        QUERY_REGISTRY["domain_frequency_cap"].spark(spark, sf_dir).collect()
+    )
     assert rows, "no sources"
     for r in rows:
         assert r["n_kept"] + r["n_dropped"] == r["n_docs"]

@@ -149,12 +149,19 @@ def main() -> int:
         )
 
     if args.staged:
-        from market_pulse_data_pipeline_spark.queries.r7_staging import (
-            STAGED,
+        # "staged" now means the newest registrations still awaiting
+        # their first driver witness (the round-8 deferral list)
+        from market_pulse_data_pipeline_spark.queries import (
+            _R8_DEFER,
+            QUERY_REGISTRY,
         )
 
-        qs = {n: d.spark for n, d in STAGED.items()}
-        oracles = {n: d.oracle for n, d in STAGED.items() if d.oracle}
+        qs = {n: QUERY_REGISTRY[n].spark for n in _R8_DEFER}
+        oracles = {
+            n: QUERY_REGISTRY[n].oracle
+            for n in _R8_DEFER
+            if QUERY_REGISTRY[n].oracle
+        }
     else:
         qs = entrymod.queries()
         oracles = entrymod.oracle_sql()
