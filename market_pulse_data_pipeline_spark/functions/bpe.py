@@ -101,11 +101,32 @@ def _merge_pass(ws, left, right):
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` merges; returns [(left, right, pair_count)]
     in rank order. Stops early when no pair occurs twice."""
-    sym = docs.select(F.split(F.col(text_col), " ").alias("ws"))
+    merges, _ = bpe_train_encode(docs, n_merges, text_col, id_col)
+    return merges
+
+
+def bpe_train_encode(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """``bpe_train`` that also returns the ENCODED corpus — the symbol
+    arrays after every learned merge has been applied in rank order
+    (training's final state IS the encode of the training corpus: BPE
+    encoding applies merges in learned order, which is exactly what
+    each training round's merge pass did). ``id_col`` carries a
+    per-document key through the merge passes so the encode is
+    addressable; the extra column never enters pair counting."""
+    keep = [id_col] if id_col else []
+    sym = docs.select(*keep, F.split(F.col(text_col), " ").alias("ws"))
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         sym = sym.localCheckpoint(eager=True)  # O(1) lineage per round
@@ -122,13 +143,17 @@ def bpe_train(
         left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
         merges.append((left, right, n))
         sym = sym.select(
-            _merge_pass(F.col("ws"), F.lit(left), F.lit(right)).alias("ws")
+            *keep,
+            _merge_pass(F.col("ws"), F.lit(left), F.lit(right)).alias("ws"),
         )
-    return merges
+    return merges, sym
 
 
 def bpe_oracle_sql(
-    n_merges: int = 8, src: str = "documents", text_col: str = "text"
+    n_merges: int = 8,
+    src: str = "documents",
+    text_col: str = "text",
+    final: str | None = None,
 ) -> str:
     """DuckDB twin of ``bpe_train``: the full iterative loop unrolled as
     materialized CTEs — t0 is the (doc_id, pos, tok) shred of the split
@@ -137,8 +162,11 @@ def bpe_oracle_sql(
     positions keep{i} (islands of consecutive candidates, odd ranks),
     and the rewritten corpus t{i} (merged token at kept positions,
     consumed successors dropped, positions renumbered). Output matches
-    the Spark query's (merge_rank, left, right, pair_count) schema.
-    CTEs are MATERIALIZED so each round's corpus is computed once, not
+    the Spark query's (merge_rank, left, right, pair_count) schema —
+    unless ``final`` overrides the tail SELECT, which may reference any
+    chain CTE (``t{n_merges}`` is the fully-encoded corpus — the
+    ``bpe_encode_corpus`` oracle aggregates it per doc). CTEs are
+    MATERIALIZED so each round's corpus is computed once, not
     re-expanded per reference."""
     parts = [
         f"""
@@ -198,6 +226,9 @@ t{i} AS MATERIALIZED (
     WHERE k2.pos IS NULL
   )
 )""")
+    if final is not None:
+        parts.append(final)
+        return "".join(parts)
     sel = "\nUNION ALL ".join(
         f'SELECT {i - 1} AS merge_rank, l AS "left", r AS "right", '
         f"CAST(n AS BIGINT) AS pair_count FROM b{i}"

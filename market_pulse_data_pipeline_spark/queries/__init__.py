@@ -97,6 +97,11 @@ _R8_DEFER: list[str] = [
     "kcenter_diversity_sample",
     "colbert_maxsim_topk",
     "incremental_near_dup_lsh",
+    # round-7 additions (the <=3 budget, VERDICT r6 item 5): the BPE
+    # tokenizer's ENCODE half and the quality classifier's
+    # operating-point sweep
+    "bpe_encode_corpus",
+    "quality_threshold_sweep",
 ]
 
 # name -> latest CORRECTNESS_r{N}.json round with a green driver row.

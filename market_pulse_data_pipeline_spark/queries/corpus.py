@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from market_pulse_data_pipeline_spark.queries.common import register, t
+from market_pulse_data_pipeline_spark.queries.common import (
+    register,
+    round_div,
+    sql_round_div,
+    t,
+)
 
 _VOCAB_K = 200
 
@@ -324,6 +329,75 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "merge_rank int, left string, right string, pair_count long",
     )
+
+
+def _bpe_encode_oracle() -> str:
+    from market_pulse_data_pipeline_spark.functions.bpe import (  # noqa: PLC0415
+        bpe_oracle_sql,
+    )
+
+    # t8 (the chain's final corpus state) IS the encoded corpus:
+    # training applies each learned merge corpus-wide in rank order,
+    # which is exactly what BPE encoding does at inference.
+    return bpe_oracle_sql(
+        n_merges=8,
+        final="""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(string_split(tok, ' '))) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_merged,
+       md5(string_agg(tok, '|' ORDER BY pos)) AS encoding_hash,
+       """
+        + sql_round_div("COUNT(*)", "SUM(len(string_split(tok, ' ')))")
+        + """ AS tokens_per_word
+FROM t8
+GROUP BY doc_id
+ORDER BY doc_id""",
+    )
+
+
+@register(
+    "bpe_encode_corpus",
+    _bpe_encode_oracle(),
+    doc="BPE ENCODE — the other half of the tokenizer story "
+    "(bpe_learned_merges trains the vocab; this applies it): every "
+    "learned merge replays corpus-wide in rank order via the same "
+    "greedy non-overlapping JVM merge pass, and each document's "
+    "encoded symbol stream is emitted as (token count, word count, "
+    "merged-symbol count, md5 fingerprint of the '|'-joined stream, "
+    "tokens-per-word compression). 100 TB shape: encode is one "
+    "map-only higher-order-aggregate pass per merge rank — no shuffle "
+    "after training; the per-doc aggregate is computed from the "
+    "symbol arrays in place. Full value-hash oracle: the shared "
+    "unrolled-training-chain generator's final corpus CTE (t8) is the "
+    "encode, aggregated per doc with string_agg in position order "
+    "matching Spark's concat_ws over the in-order array.",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.bpe import (  # noqa: PLC0415
+        bpe_train_encode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    _, enc = bpe_train_encode(docs, n_merges=8, id_col="doc_id")
+    n_words = F.aggregate(
+        F.transform("ws", lambda s: F.size(F.split(s, " "))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return enc.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        n_words.alias("n_words"),
+        F.size(
+            F.filter("ws", lambda s: s.contains(" "))
+        ).cast("long").alias("n_merged"),
+        F.md5(F.concat_ws("|", "ws")).alias("encoding_hash"),
+        round_div(
+            F.size("ws").cast("double"), n_words
+        ).alias("tokens_per_word"),
+    ).orderBy("doc_id")
 
 
 _CP_MIN_CHARS = 150

@@ -649,3 +649,169 @@ def hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (F.col("raw_milli") > 0).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------
+# quality_threshold_sweep
+# --------------------------------------------------------------------
+
+_TS_LABEL_CHARS = 300  # ground-truth label: n_chars >= this (~50/50 split)
+_TS_RES = 20  # score-bucket resolution: thresholds at multiples of 1/20
+
+
+@register(
+    "quality_threshold_sweep",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_chars,
+             {_FH_SQL_H60.format(e="concat('f:', tok)")} % {_FH_BUCKETS}
+               AS bucket
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id,
+             MIN(n_chars) >= {_TS_LABEL_CHARS} AS label,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(({_FH_SQL_H60.format(
+                 e="concat('w:', CAST(bucket AS VARCHAR))")}
+                 % 2001) - 1000) AS BIGINT) AS raw_milli
+      FROM feat GROUP BY doc_id
+    ),
+    bucketed AS (
+      -- exact integer floor(score * RES) = floor(raw_milli /
+      -- (1000/RES * n_tokens)); portable floor division via the
+      -- always-non-negative modulus
+      SELECT CAST((raw_milli
+                   - ((raw_milli % ({1000 // _TS_RES} * n_tokens))
+                      + ({1000 // _TS_RES} * n_tokens))
+                     % ({1000 // _TS_RES} * n_tokens))
+                  / ({1000 // _TS_RES} * n_tokens) AS BIGINT) AS b,
+             label
+      FROM scored
+    ),
+    hist AS (
+      SELECT b,
+             SUM(CASE WHEN label THEN 1 ELSE 0 END) AS pos,
+             SUM(CASE WHEN label THEN 0 ELSE 1 END) AS neg
+      FROM bucketed GROUP BY b
+    ),
+    curve AS (
+      SELECT b,
+             SUM(pos) OVER (ORDER BY b DESC) AS tp,
+             SUM(neg) OVER (ORDER BY b DESC) AS fp,
+             SUM(pos) OVER () AS total_pos
+      FROM hist
+    )
+    SELECT CAST(b AS INTEGER) AS threshold_bucket,
+           CAST(b AS DOUBLE) / {_TS_RES} AS threshold,
+           CAST(tp + fp AS BIGINT) AS n_pred_pos,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(total_pos - tp AS BIGINT) AS fn,
+           {sql_round_div("tp", "tp + fp")} AS precision,
+           {sql_round_div("tp", "total_pos")} AS recall,
+           {sql_round_div("2 * tp", "2 * tp + fp + (total_pos - tp)")}
+             AS f1
+    FROM curve
+    ORDER BY threshold_bucket
+    """,
+    doc="precision/recall/F1 threshold sweep over the hashing-trick "
+    "quality classifier's scores (hashed_linear_quality_score is the "
+    "scoring pass; this picks its operating point) against a "
+    "deterministic ground-truth label (n_chars >= 300, ~50/50 at the "
+    "fixture SFs). The curve is computed the scale-correct way: "
+    "scores histogram into exact integer buckets (floor(score*20) "
+    "computed as integer floor division of raw_milli — no float "
+    "boundary can move a doc across buckets), ONE doc-level hash "
+    "aggregate builds the (bucket, label) histogram, and the whole "
+    "PR curve falls out of suffix sums over the <=41-row histogram — "
+    "never a per-threshold rescan of the corpus. Predicting positive "
+    "at threshold b/20 is exactly bucket >= b (floor contract), so "
+    "every tp/fp/fn is integer-exact cross-engine; ratios go through "
+    "the shared decimal rounding route. At 100 TB: explode + two "
+    "hash aggregates on the corpus, then driver-free window math on "
+    "a bounded table.",
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        portable_hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    feat = toks.select(
+        "doc_id",
+        "n_chars",
+        F.pmod(
+            portable_hash60(F.concat(F.lit("f:"), F.col("tok"))),
+            F.lit(_FH_BUCKETS),
+        ).alias("bucket"),
+    )
+    w = (
+        F.pmod(
+            portable_hash60(
+                F.concat(F.lit("w:"), F.col("bucket").cast("string"))
+            ),
+            F.lit(2001),
+        )
+        - 1000
+    )
+    scored = feat.groupBy("doc_id").agg(
+        (F.min("n_chars") >= _TS_LABEL_CHARS).alias("label"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(w).cast("long").alias("raw_milli"),
+    )
+    # exact integer floor(score * RES); see the oracle comment
+    d = F.lit(1000 // _TS_RES) * F.col("n_tokens")
+    b = (
+        (F.col("raw_milli") - F.pmod(F.col("raw_milli"), d)) / d
+    ).cast("long")
+    hist = (
+        scored.select(b.alias("b"), "label")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("neg"),
+        )
+    )
+    # the histogram is bounded (<= 2*RES+1 rows), so the unpartitioned
+    # windows below are driver-free math on a tiny table, not a skew
+    suffix = Window.orderBy(F.desc("b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    everything = Window.orderBy(F.desc("b")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = hist.select(
+        "b",
+        F.sum("pos").over(suffix).alias("tp"),
+        F.sum("neg").over(suffix).alias("fp"),
+        F.sum("pos").over(everything).alias("total_pos"),
+    )
+    fn = F.col("total_pos") - F.col("tp")
+    return curve.select(
+        F.col("b").cast("int").alias("threshold_bucket"),
+        (F.col("b").cast("double") / _TS_RES).alias("threshold"),
+        (F.col("tp") + F.col("fp")).cast("long").alias("n_pred_pos"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        round_div(F.col("tp").cast("double"), F.col("tp") + F.col("fp")).alias(
+            "precision"
+        ),
+        round_div(F.col("tp").cast("double"), F.col("total_pos")).alias(
+            "recall"
+        ),
+        round_div(
+            (F.lit(2) * F.col("tp")).cast("double"),
+            F.lit(2) * F.col("tp") + F.col("fp") + fn,
+        ).alias("f1"),
+    ).orderBy("threshold_bucket")

@@ -36,6 +36,8 @@ GENERATOR_ORACLE_SHA256 = {
         "52aa7f0ae665933ca1af00f257ddfdd2c95c9dcf8a895171bd494c88af4acce7",
     "bpe_learned_merges":
         "9bc2b7718395f7041be3933793baa497a5ac27e4b9684107bbaf655a207a6523",
+    "bpe_encode_corpus":
+        "49a89170c31a626b441ee33ac86d051d21c5347fe374ee2624e8ea36842b0aef",
 }
 
 

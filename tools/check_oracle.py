@@ -132,8 +132,9 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="check queries/r7_staging.py::STAGED (pre-registration "
-        "rows) instead of the registry",
+        help="check the newest registrations still awaiting their "
+        "first driver witness (queries/__init__.py::_R8_DEFER) "
+        "instead of the whole registry",
     )
     args = ap.parse_args()
 

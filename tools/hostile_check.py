@@ -59,8 +59,9 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="sweep queries/r7_staging.py::STAGED (pre-registration "
-        "rows) instead of the registry",
+        help="sweep the newest registrations still awaiting their "
+        "first driver witness (queries/__init__.py::_R8_DEFER) "
+        "instead of the whole registry",
     )
     args = ap.parse_args()
 
