@@ -30,7 +30,8 @@ def test_r7_rows_are_registered_and_deferred():
     from market_pulse_data_pipeline_spark.queries import _R8_DEFER
 
     assert set(R7_NAMES) <= set(QUERY_REGISTRY)
-    assert _R8_DEFER == R7_NAMES
+    # the six head the deferral list; later round-7 additions append
+    assert _R8_DEFER[: len(R7_NAMES)] == R7_NAMES
 
 
 @pytest.mark.parametrize("table,offset", [
