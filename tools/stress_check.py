@@ -970,6 +970,94 @@ def main() -> int:
             .limit(10),
         )
 
+    # BPE encode (queries/corpus.py::bpe_encode_corpus, round-7
+    # addition): training is vocab-bounded (one pair-count hash
+    # aggregate + a 1-row argmax per merge round, independent of corpus
+    # size in state), and the ENCODE is one map-only higher-order
+    # aggregate pass per merge rank — the whole stage must scale
+    # linearly in corpus token count with zero post-training shuffles.
+    if only is None or "bpe_encode" in only:
+        from market_pulse_data_pipeline_spark.functions.bpe import (
+            bpe_train_encode,
+        )
+
+        docs_bpe = mat(multiplied(
+            load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+        ), "docs_bpe")
+        _, enc_bpe = bpe_train_encode(docs_bpe, n_merges=8, id_col="doc_id")
+        run(
+            "bpe_encode",
+            enc_bpe.select(
+                "doc_id",
+                F.size("ws").alias("n_tokens"),
+                F.md5(F.concat_ws("|", "ws")).alias("encoding_hash"),
+            ),
+        )
+
+    # Quality threshold sweep (queries/quality.py::quality_threshold_sweep,
+    # round-7 addition): the corpus-touching work is one explode +
+    # doc-level hash aggregate; the PR curve itself is suffix sums over
+    # a <=41-row histogram, so the stage must track the scoring
+    # aggregate linearly and never rescan per threshold.
+    if only is None or "quality_sweep" in only:
+        from market_pulse_data_pipeline_spark.functions.dedup import (
+            portable_hash60,
+        )
+
+        docs_qs = mat(multiplied(
+            load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+        ), "docs_qsweep")
+        toks_qs = docs_qs.select(
+            "doc_id", "n_chars",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        feat_qs = toks_qs.select(
+            "doc_id", "n_chars",
+            F.pmod(
+                portable_hash60(F.concat(F.lit("f:"), F.col("tok"))),
+                F.lit(256),
+            ).alias("bucket"),
+        )
+        w_qs = (
+            F.pmod(
+                portable_hash60(
+                    F.concat(F.lit("w:"), F.col("bucket").cast("string"))
+                ),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        scored_qs = feat_qs.groupBy("doc_id").agg(
+            (F.min("n_chars") >= 300).alias("label"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(w_qs).cast("long").alias("raw_milli"),
+        )
+        d_qs = F.lit(50) * F.col("n_tokens")
+        b_qs = (
+            (F.col("raw_milli") - F.pmod(F.col("raw_milli"), d_qs)) / d_qs
+        ).cast("long")
+        from pyspark.sql import Window as _W
+
+        hist_qs = (
+            scored_qs.select(b_qs.alias("b"), "label")
+            .groupBy("b")
+            .agg(
+                F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("pos"),
+                F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("neg"),
+            )
+        )
+        suffix_qs = _W.orderBy(F.desc("b")).rowsBetween(
+            _W.unboundedPreceding, _W.currentRow
+        )
+        run(
+            "quality_sweep",
+            hist_qs.select(
+                "b",
+                F.sum("pos").over(suffix_qs).alias("tp"),
+                F.sum("neg").over(suffix_qs).alias("fp"),
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
