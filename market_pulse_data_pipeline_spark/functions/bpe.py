@@ -116,16 +116,23 @@ def bpe_train_encode(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
-    id_col: str | None = None,
+    id_col: str | list[str] | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """``bpe_train`` that also returns the ENCODED corpus — the symbol
     arrays after every learned merge has been applied in rank order
     (training's final state IS the encode of the training corpus: BPE
     encoding applies merges in learned order, which is exactly what
     each training round's merge pass did). ``id_col`` carries a
-    per-document key through the merge passes so the encode is
-    addressable; the extra column never enters pair counting."""
-    keep = [id_col] if id_col else []
+    per-document key (or list of passthrough columns — e.g. the
+    language for a per-lang rollup) through the merge passes so the
+    encode is addressable; the extra columns never enter pair
+    counting."""
+    if id_col is None:
+        keep = []
+    elif isinstance(id_col, str):
+        keep = [id_col]
+    else:
+        keep = list(id_col)
     sym = docs.select(*keep, F.split(F.col(text_col), " ").alias("ws"))
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):

@@ -102,6 +102,7 @@ _R8_DEFER: list[str] = [
     # operating-point sweep
     "bpe_encode_corpus",
     "quality_threshold_sweep",
+    "bpe_fertility_by_lang",
 ]
 
 # name -> latest CORRECTNESS_r{N}.json round with a green driver row.

@@ -400,6 +400,89 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _bpe_fertility_oracle() -> str:
+    from market_pulse_data_pipeline_spark.functions.bpe import (  # noqa: PLC0415
+        bpe_oracle_sql,
+    )
+
+    return bpe_oracle_sql(
+        n_merges=8,
+        final="""
+SELECT d.lang,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(string_split(t.tok, ' '))) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN t.tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_merged,
+       """
+        + sql_round_div("COUNT(*)", "SUM(len(string_split(t.tok, ' ')))")
+        + """ AS tokens_per_word
+FROM t8 t JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang""",
+    )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    _bpe_fertility_oracle(),
+    doc="per-language tokenizer fertility — the equity metric "
+    "multilingual tokenizer work reports (a language whose text "
+    "compresses poorly under a shared vocab pays more tokens per "
+    "word): the corpus-trained merge table applies everywhere, then "
+    "encoded token and word counts aggregate per language with the "
+    "tokens-per-word ratio (merges only fire where the vocab fits "
+    "the language, so a skewed training mix shows up directly). "
+    "100 TB shape: the encode is the same map-only pass as "
+    "bpe_encode_corpus; the language rollup is one broadcast-joined "
+    "hash aggregate over a |langs|-bounded output. Oracle: the shared "
+    "training-chain generator's final corpus CTE joined back to "
+    "documents for the language key.",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.bpe import (  # noqa: PLC0415
+        bpe_train_encode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    # lang rides through the merge passes as a passthrough column, so
+    # the rollup needs no join back to the corpus — map-only encode,
+    # one hash aggregate on the |langs|-bounded key
+    _, enc = bpe_train_encode(docs, n_merges=8, id_col=["doc_id", "lang"])
+    per_doc = enc.select(
+        "lang",
+        F.size("ws").cast("long").alias("toks"),
+        F.aggregate(
+            F.transform("ws", lambda s: F.size(F.split(s, " "))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("words"),
+        F.size(
+            F.filter("ws", lambda s: s.contains(" "))
+        ).cast("long").alias("merged"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum("words").alias("n_words"),
+            F.sum("merged").alias("n_merged"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_words",
+            "n_merged",
+            round_div(
+                F.col("n_tokens").cast("double"), F.col("n_words")
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
 _CP_MIN_CHARS = 150
 _CP_MIN_TOK = 25
 _CP_T = 0.4  # near-dup Jaccard threshold

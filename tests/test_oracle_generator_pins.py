@@ -38,6 +38,8 @@ GENERATOR_ORACLE_SHA256 = {
         "9bc2b7718395f7041be3933793baa497a5ac27e4b9684107bbaf655a207a6523",
     "bpe_encode_corpus":
         "49a89170c31a626b441ee33ac86d051d21c5347fe374ee2624e8ea36842b0aef",
+    "bpe_fertility_by_lang":
+        "4d0024e8acef9c4ddd06140026f69d3c4c3a439ee48b41ff08a67b66681b4fe1",
 }
 
 

@@ -103,8 +103,40 @@ def test_threshold_sweep_is_a_pr_curve(spark, sf_dir):
     assert rows[0]["fn"] == 0
 
 
+def test_fertility_is_the_encode_rolled_up(spark, sf_dir):
+    """The per-lang rollup must be exactly the per-doc encode grouped
+    by each doc's language — two independent paths through the same
+    learned vocab."""
+    enc = QUERY_REGISTRY["bpe_encode_corpus"].spark(spark, sf_dir).collect()
+    fert = (
+        QUERY_REGISTRY["bpe_fertility_by_lang"].spark(spark, sf_dir).collect()
+    )
+    langs = dict(
+        duckdb.connect().execute(
+            "SELECT doc_id, lang FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    agg: dict[str, list] = {}
+    for r in enc:
+        a = agg.setdefault(langs[r["doc_id"]], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_tokens"]
+        a[2] += r["n_words"]
+        a[3] += r["n_merged"]
+    assert {r["lang"] for r in fert} == set(agg)
+    for r in fert:
+        a = agg[r["lang"]]
+        assert [r["n_docs"], r["n_tokens"], r["n_words"], r["n_merged"]] == a
+        assert 0.0 < r["tokens_per_word"] <= 1.0
+
+
 def test_additions_plan_antipatterns(spark, sf_dir):
-    for name in ("bpe_encode_corpus", "quality_threshold_sweep"):
+    for name in (
+        "bpe_encode_corpus",
+        "quality_threshold_sweep",
+        "bpe_fertility_by_lang",
+    ):
         df = QUERY_REGISTRY[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().sparkPlan().toString()
         assert "CartesianProduct" not in plan, name

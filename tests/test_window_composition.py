@@ -84,8 +84,8 @@ def test_ledger_is_closed_and_additions_defer():
     # shuffled into the window.
     assert set(QUERY_REGISTRY) == set(_DRIVER_GREEN) | set(_R8_DEFER)
     assert not set(_R8_DEFER) & set(_DRIVER_GREEN)
-    # 241 green + 6 round-6-staged + 2 round-7 additions
-    assert len(QUERY_REGISTRY) == 249
+    # 241 green + 6 round-6-staged + 3 round-7 additions
+    assert len(QUERY_REGISTRY) == 250
     # tier-1 names (positions 50..) are exactly the deferral list, in
     # order — new operators never displace a verified window slot
     assert list(all_queries())[50:50 + len(_R8_DEFER)] == _R8_DEFER
