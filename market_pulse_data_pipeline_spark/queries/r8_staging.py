@@ -1,0 +1,246 @@
+"""Round-8 staged queries — implemented, oracle-paired, NOT registered.
+
+Round 7 spent its full steady-state addition budget (≤3 registrations,
+VERDICT round-6 item 5), so these land the way the round-7 batch did in
+round 6: implementations, DuckDB value-hash oracles, and pytest parity
+gates final now (tests/test_r8_staging.py), registration deferred to
+round 8 by moving the ``@stage`` rows onto ``@register`` and appending
+the names to the round-9 deferral list.
+
+Both extend the LLM-training-data surface with famous pipeline steps
+the registry does not yet cover:
+
+- ``ccnet_perplexity_buckets`` — CCNet's quality partitioning (Wenzek
+  et al., LREC 2020): score every document with a language-model
+  signal, split EACH LANGUAGE into head/middle/tail terciles by that
+  score, and keep head+middle. The per-language split is the point —
+  an absolute threshold would throw away low-resource languages
+  wholesale. The LM stands in as the registry's model-free
+  ``bigram_fluency_score`` (mean inverse conditional bigram
+  probability under the corpus MLE — low = fluent), and the terciles
+  are NTILE(3) under a total order (score, doc_id), so bucket
+  membership is integer-exact cross-engine: no float percentile
+  boundary anywhere.
+- ``mixture_temperature_weights`` — temperature-based mixture
+  re-weighting (the multilingual sampling recipe of mBERT / XLM-R,
+  Devlin et al. 2019 appendix, Conneau et al. 2020: sample languages
+  ∝ p^α to up-weight low-resource ones). α = 0.5, so the re-weight is
+  ``sqrt`` — correctly-rounded IEEE, bit-identical across engines —
+  and the normalization runs through the exact-decimal sum + decimal
+  quotient route, so every emitted weight hash-matches. Emits per
+  language: document count, raw share p, temperature weight, and the
+  up/down-sampling factor weight/p.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import (
+    QueryDef,
+    round_div,
+    sql_round_div,
+    t,
+)
+
+STAGED: dict[str, QueryDef] = {}
+
+
+def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
+    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
+    keeps the round-7 addition budget intact while the implementations,
+    oracles, and tests land."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# ccnet_perplexity_buckets
+# --------------------------------------------------------------------
+
+# the registered bigram_fluency_score shape (queries/sketches.py),
+# with lang carried through for the per-language tercile split
+_CCNET_SCORE_SQL = f"""
+    WITH bg AS (
+      SELECT doc_id, lang, bigram, split_part(bigram, ' ', 1) AS w1
+      FROM (
+        SELECT doc_id, lang,
+               UNNEST(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+              FROM documents)
+        WHERE len(ws) >= 2
+      )
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id, bg.lang,
+             {sql_round_div(
+        "CAST(SUM(CAST(CAST(c1.n1 AS DOUBLE) / c2.n2 AS DECIMAL(20,6)))"
+        " AS DOUBLE)",
+        "COUNT(*)",
+    )} AS mean_inv_p
+      FROM bg
+      JOIN c2 USING (bigram)
+      JOIN c1 USING (w1)
+      GROUP BY bg.doc_id, bg.lang
+    )"""
+
+
+@stage(
+    "ccnet_perplexity_buckets",
+    _CCNET_SCORE_SQL
+    + """
+    SELECT lang, doc_id, mean_inv_p,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           (tile <= 2) AS keep
+    FROM (
+      SELECT lang, doc_id, mean_inv_p,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY mean_inv_p, doc_id) AS tile
+      FROM scored
+    )
+    ORDER BY lang, doc_id
+    """,
+    doc="CCNet quality partitioning (Wenzek et al., LREC 2020): per "
+    "LANGUAGE, split documents into head/middle/tail terciles by an "
+    "LM fluency signal and keep head+middle — the per-lang split is "
+    "what keeps low-resource languages alive where an absolute "
+    "threshold would drop them wholesale. The LM is the registered "
+    "model-free bigram fluency score (mean inverse conditional bigram "
+    "probability, corpus MLE); buckets are NTILE(3) under the total "
+    "order (score, doc_id), so membership is integer-exact on both "
+    "engines — no float percentile boundary. 100 TB shape: the score "
+    "is two token-keyed count aggregates + co-partitioned joins (the "
+    "driver-green fluency plan), then ONE window partitioned by lang "
+    "— the skew unit is a language, the classic case for AQE skew "
+    "handling, and the rank never needs a global sort.",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(ws[i - 1], ' ', ws[i]))"
+            )
+        ).alias("bigram"),
+    ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    term = (F.col("n1").cast("double") / F.col("n2")).cast("decimal(20,6)")
+    scored = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id", "lang")
+        .agg(
+            round_div(
+                F.sum(term).cast("double"), F.count(F.lit(1))
+            ).alias("mean_inv_p"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("mean_inv_p", "doc_id")
+    tiled = scored.select(
+        "lang", "doc_id", "mean_inv_p", F.ntile(3).over(w).alias("tile")
+    )
+    return tiled.select(
+        "lang",
+        "doc_id",
+        "mean_inv_p",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        (F.col("tile") <= 2).alias("keep"),
+    ).orderBy("lang", "doc_id")
+
+
+# --------------------------------------------------------------------
+# mixture_temperature_weights
+# --------------------------------------------------------------------
+
+# α = 0.5 exactly so the re-weight is sqrt — correctly-rounded IEEE,
+# hence bit-identical across engines (a general pow(x, 0.3) is NOT
+# correctly rounded everywhere and could diverge in the last ulp)
+
+
+@stage(
+    "mixture_temperature_weights",
+    f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    shares AS (
+      SELECT lang, n,
+             CAST(n AS DOUBLE) / (SELECT SUM(n) FROM counts) AS p,
+             CAST(sqrt(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM counts))
+                  AS DECIMAL(28,12)) AS sq
+      FROM counts
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           {sql_round_div("p", "1")} AS p_raw,
+           {sql_round_div(
+        "CAST(sq AS DOUBLE)",
+        "CAST((SELECT SUM(sq) FROM shares) AS DOUBLE)",
+        6,
+    )} AS weight,
+           {sql_round_div(
+        "CAST(sq AS DOUBLE)"
+        " / CAST((SELECT SUM(sq) FROM shares) AS DOUBLE)",
+        "p",
+        6,
+    )} AS boost
+    FROM shares
+    ORDER BY lang
+    """,
+    doc="temperature-based mixture re-weighting (the multilingual "
+    "sampling recipe of mBERT/XLM-R: sample languages proportional to "
+    "p^alpha, alpha=0.5, to up-weight low-resource languages without "
+    "drowning high-resource ones). alpha=0.5 makes the re-weight "
+    "sqrt — correctly-rounded IEEE, bit-identical on both engines — "
+    "and the normalization runs each sqrt through DECIMAL(28,12) "
+    "snapping so the cross-language sum is order-independent and "
+    "exact. Emits per language: doc count, raw share p, temperature "
+    "weight, and the up/down-sampling factor weight/p (the number a "
+    "sampler multiplies into per-language inclusion probabilities). "
+    "100 TB shape: one count aggregate on the |langs|-bounded key; "
+    "everything after is arithmetic on a handful of rows.",
+)
+def mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shares = counts.select(
+        "lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    ).withColumn("sq", F.sqrt(F.col("p")).cast("decimal(28,12)"))
+    denom = F.sum("sq").over(tot).cast("double")
+    return shares.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        round_div(F.col("p"), F.lit(1)).alias("p_raw"),
+        round_div(F.col("sq").cast("double"), denom, 6).alias("weight"),
+        round_div(
+            F.col("sq").cast("double") / denom, F.col("p"), 6
+        ).alias("boost"),
+    ).orderBy("lang")

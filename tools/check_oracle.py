@@ -130,6 +130,12 @@ def main() -> int:
         "driver's CORRECTNESS snapshot",
     )
     ap.add_argument(
+        "--staging",
+        action="store_true",
+        help="sweep the pre-registration staging dict "
+        "(queries/r8_staging.py::STAGED) with the identical machinery",
+    )
+    ap.add_argument(
         "--staged",
         action="store_true",
         help="check the newest registrations still awaiting their "
@@ -149,7 +155,14 @@ def main() -> int:
             f"read_parquet('{args.sf}/{name}.parquet')"
         )
 
-    if args.staged:
+    if args.staging:
+        from market_pulse_data_pipeline_spark.queries.r8_staging import (
+            STAGED,
+        )
+
+        qs = {n: d.spark for n, d in STAGED.items()}
+        oracles = {n: d.oracle for n, d in STAGED.items() if d.oracle}
+    elif args.staged:
         # "staged" now means the newest registrations still awaiting
         # their first driver witness (the round-8 deferral list)
         from market_pulse_data_pipeline_spark.queries import (
