@@ -7,7 +7,7 @@ gates final now (tests/test_r8_staging.py), registration deferred to
 round 8 by moving the ``@stage`` rows onto ``@register`` and appending
 the names to the round-9 deferral list.
 
-Both extend the LLM-training-data surface with famous pipeline steps
+All extend the LLM-training-data surface with famous pipeline steps
 the registry does not yet cover:
 
 - ``ccnet_perplexity_buckets`` — CCNet's quality partitioning (Wenzek
@@ -30,6 +30,14 @@ the registry does not yet cover:
   quotient route, so every emitted weight hash-matches. Emits per
   language: document count, raw share p, temperature weight, and the
   up/down-sampling factor weight/p.
+- ``winnowing_fingerprint_pairs`` — winnowing fingerprints (Schleimer,
+  Wilkerson & Aiken, SIGMOD 2003; the MOSS plagiarism detector):
+  min-of-window selection over k-gram hashes gives a fingerprint set
+  with a GUARANTEE — any shared run of ≥ w+k-1 tokens shares a
+  fingerprint — where MinHash only offers probability. Docs sharing
+  ≥ T selected fingerprints pair as candidates; planted tail-extended
+  copies witness the guarantee (a suffix edit only perturbs trailing
+  windows).
 """
 
 from __future__ import annotations
@@ -244,3 +252,127 @@ def mixture_temperature_weights(
             F.col("sq").cast("double") / denom, F.col("p"), 6
         ).alias("boost"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------
+# winnowing_fingerprint_pairs
+# --------------------------------------------------------------------
+
+_WN_K = 4  # k-gram width (tokens)
+_WN_W = 5  # winnowing window (hashes per window)
+_WN_T = 3  # candidate gate: docs sharing >= T selected fingerprints
+_WN_PLANT_OFFSET = 1_000_000_000
+
+
+def _winnow_oracle() -> str:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+    )
+
+    h60 = (
+        "(('0x' || substring(md5(array_to_string("
+        f"list_slice(ws, i, i + {_WN_K - 1}), ' ')), 1, 15))::BIGINT"
+        f" % {_MERSENNE})"
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_WN_PLANT_OFFSET}, text || ' winnow planted tail'
+      FROM documents WHERE doc_id % 31 = 0
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM src
+      WHERE len(string_split(text, ' ')) >= {_WN_K + _WN_W - 1}
+    ),
+    kg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws) - {_WN_K - 1} + 1),
+                            i -> {h60}) AS hs
+      FROM toks
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, UNNEST(
+        list_transform(range(1, len(hs) - {_WN_W - 1} + 1),
+                       j -> list_min(list_slice(hs, j, j + {_WN_W - 1})))
+      ) AS fp
+      FROM kg
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id > b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WN_T}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@stage(
+    "winnowing_fingerprint_pairs",
+    _winnow_oracle(),
+    doc="winnowing document fingerprints (Schleimer, Wilkerson & Aiken, "
+    "SIGMOD 2003 — the MOSS algorithm): hash every 4-token k-gram "
+    "(portable 60-bit md5), slide a 5-hash window, select each "
+    "window's minimum, and the distinct selected hashes are the doc's "
+    "fingerprint set — any shared substring of at least w+k-1 tokens "
+    "is GUARANTEED to share a fingerprint (the winnowing guarantee, "
+    "which MinHash can only provide probabilistically). Docs sharing "
+    ">= 3 fingerprints pair as plagiarism/near-dup candidates; "
+    "planted tail-extended copies witness the contract (a suffix edit "
+    "only perturbs the trailing windows). 100 TB shape: selection is "
+    "JVM higher-order transforms per doc (map-only), the pair join is "
+    "keyed on the fingerprint — density ~2/(w+1) of k-gram count, so "
+    "the inverted index is a fraction of shingle-join size — and the "
+    "gate aggregates per pair. All-integer arithmetic, bit-identical "
+    "cross-engine.",
+)
+def winnowing_fingerprint_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+        portable_hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 31 == 0).select(
+            (F.col("doc_id") + _WN_PLANT_OFFSET).alias("doc_id"),
+            F.concat("text", F.lit(" winnow planted tail")).alias("text"),
+        )
+    )
+    toks = src.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= _WN_K + _WN_W - 1)
+    kgram_hash = lambda i: F.pmod(  # noqa: E731
+        portable_hash60(F.concat_ws(" ", F.slice(F.col("ws"), i, _WN_K))),
+        F.lit(_MERSENNE),
+    )
+    kg = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (_WN_K - 1)), kgram_hash
+        ).alias("hs"),
+    )
+    fp = (
+        kg.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - (_WN_W - 1)),
+                    lambda j: F.array_min(F.slice(F.col("hs"), j, _WN_W)),
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") > F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WN_T)
+        .orderBy("doc_a", "doc_b")
+    )

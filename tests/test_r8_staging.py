@@ -34,6 +34,7 @@ def test_staged_rows_are_not_registered():
     assert set(STAGED) == {
         "ccnet_perplexity_buckets",
         "mixture_temperature_weights",
+        "winnowing_fingerprint_pairs",
     }
 
 
@@ -109,3 +110,31 @@ def test_temperature_weights_redistribute_toward_rare(spark, sf_dir):
         f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()[0]
     assert sum(r["n_docs"] for r in rows) == n_total
+
+
+def test_winnowing_guarantee_on_planted_tails(spark, sf_dir):
+    from market_pulse_data_pipeline_spark.queries.r8_staging import (
+        _WN_PLANT_OFFSET,
+        _WN_T,
+    )
+
+    rows = (
+        STAGED["winnowing_fingerprint_pairs"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    planted_hits = {
+        (r["doc_a"] - _WN_PLANT_OFFSET, r["doc_b"])
+        for r in rows
+        if r["doc_a"] >= _WN_PLANT_OFFSET
+    }
+    for r in rows:
+        assert r["doc_a"] > r["doc_b"]
+        assert r["n_shared"] >= _WN_T
+    # the winnowing guarantee: every planted tail-extension shares its
+    # whole prefix with the original, so (planted, original) must pair
+    n_eligible = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE doc_id % 31 = 0 AND len(string_split(text, ' ')) >= 8"
+    ).fetchone()[0]
+    self_pairs = {(o, b) for o, b in planted_hits if o == b}
+    assert len(self_pairs) == n_eligible
