@@ -1058,6 +1058,129 @@ def main() -> int:
             ),
         )
 
+    # CCNet perplexity buckets (queries/r8_staging.py, staged for
+    # round 8): the corpus-touching work is the driver-green bigram
+    # fluency shape (token-keyed count aggregates + co-partitioned
+    # joins); the tercile NTILE is one window partitioned by lang.
+    # Must scale linearly in token count.
+    if only is None or "ccnet_buckets" in only:
+        from pyspark.sql import Window as _W
+
+        docs_cc = mat(multiplied(
+            load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+        ), "docs_ccnet")
+        toked_cc = docs_cc.select(
+            "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+        ).filter(F.size("ws") >= 2)
+        bg_cc = toked_cc.select(
+            "doc_id", "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("bigram"),
+        ).withColumn("w1", F.substring_index("bigram", " ", 1))
+        c2_cc = bg_cc.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+        c1_cc = bg_cc.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+        term_cc = (
+            F.col("n1").cast("double") / F.col("n2")
+        ).cast("decimal(20,6)")
+        scored_cc = (
+            bg_cc.join(c2_cc, "bigram")
+            .join(c1_cc, "w1")
+            .groupBy("doc_id", "lang")
+            .agg(F.sum(term_cc).cast("double").alias("s"))
+        )
+        w_cc = _W.partitionBy("lang").orderBy("s", "doc_id")
+        run(
+            "ccnet_buckets",
+            scored_cc.select(
+                "lang", "doc_id", F.ntile(3).over(w_cc).alias("tile")
+            ),
+        )
+
+    # Winnowing fingerprint pairs (queries/r8_staging.py, staged for
+    # round 8): fingerprint selection is map-only higher-order
+    # transforms; the pair join is keyed on the selected fingerprint
+    # (~2/(w+1) the density of a full shingle join). Candidate pairs
+    # grow with true duplication, never quadratically in corpus size.
+    if only is None or "winnow_pairs" in only:
+        from market_pulse_data_pipeline_spark.functions.dedup import (
+            _MERSENNE,
+            portable_hash60,
+        )
+        from market_pulse_data_pipeline_spark.queries.r8_staging import (
+            _WN_K,
+            _WN_T,
+            _WN_W,
+        )
+
+        # per-copy TOKEN-tagged corpora: every token carries its copy
+        # index, so k-grams never collide across copies and the pair
+        # count grows linearly with true duplication (the 10-period
+        # char-rotation used by the minhash stage leaves tokens without
+        # a-j letters identical across copies, which a k-gram-exact
+        # fingerprint join amplifies quadratically — a harness
+        # artifact, not an operator property)
+        base_wn = load_table(spark, args.sf, "documents").select(
+            "doc_id", "text"
+        )
+        docs_wn = None
+        for i in range(args.mult):
+            c = base_wn.select(
+                (F.col("doc_id") + F.lit(i * _KEY_SPAN)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda tk: F.concat(tk, F.lit(f"_{i}")),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            docs_wn = c if docs_wn is None else docs_wn.unionByName(c)
+        docs_wn = mat(docs_wn, "docs_winnow_tagged")
+        toks_wn = docs_wn.select(
+            "doc_id", F.split("text", " ").alias("ws")
+        ).filter(F.size("ws") >= _WN_K + _WN_W - 1)
+        kg_wn = toks_wn.select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (_WN_K - 1)),
+                lambda i: F.pmod(
+                    portable_hash60(
+                        F.concat_ws(" ", F.slice(F.col("ws"), i, _WN_K))
+                    ),
+                    F.lit(_MERSENNE),
+                ),
+            ).alias("hs"),
+        )
+        fp_wn = (
+            kg_wn.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - (_WN_W - 1)),
+                        lambda j: F.array_min(
+                            F.slice(F.col("hs"), j, _WN_W)
+                        ),
+                    )
+                ).alias("fp"),
+            )
+            .distinct()
+        )
+        run(
+            "winnow_pairs",
+            fp_wn.select(F.col("doc_id").alias("doc_a"), "fp")
+            .join(
+                fp_wn.select(F.col("doc_id").alias("doc_b"), "fp"), "fp"
+            )
+            .filter(F.col("doc_a") > F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= _WN_T),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
