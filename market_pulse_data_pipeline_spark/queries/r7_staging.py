@@ -558,9 +558,12 @@ _MS_TOPK = 10
 def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        # arithmetic shift = exact int64 FLOOR division by 2^3, matching
-        # DuckDB's // for every long (double-division truncation would
-        # diverge for negatives and ids past 2^53)
+        # arithmetic shift = exact int64 division by 2^3 for every
+        # NON-NEGATIVE long, including ids past 2^53 where the old
+        # double-division truncation lost exactness. The engines agree
+        # only on non-negatives (shiftright floors, DuckDB's //
+        # truncates toward zero, so a negative vec_id would diverge) —
+        # tests/test_r7_staging.py pins min(vec_id) >= 0 (ADVICE r7).
         F.shiftright(F.col("vec_id"), _MS_GROUP.bit_length() - 1).alias("grp"),
         F.transform(
             "embedding",

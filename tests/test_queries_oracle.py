@@ -7,8 +7,9 @@ import pytest
 from market_pulse_data_pipeline_spark.queries import all_queries
 from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
 
+import pathlib
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from tools.check_oracle import frame_fingerprint  # noqa: E402
 
 

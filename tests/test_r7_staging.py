@@ -43,10 +43,15 @@ def test_plant_offset_clears_fixture_ids(sf_dir, table, offset):
     # silently break the dropped==planted invariants below. Guarded
     # here instead of per-invocation so the query plan stays scan-only.
     col = "vec_id" if table == "embeddings" else "doc_id"
-    mx = duckdb.connect().execute(
-        f"SELECT max({col}) FROM read_parquet('{sf_dir}/{table}.parquet')"
-    ).fetchone()[0]
+    mn, mx = duckdb.connect().execute(
+        f"SELECT min({col}), max({col}) "
+        f"FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchone()
     assert mx < offset
+    # ADVICE r7: colbert_maxsim_topk's shiftright grouping floors while
+    # DuckDB's // truncates toward zero — they agree only for
+    # non-negative ids, so pin the fixture's floor alongside its ceiling.
+    assert mn >= 0
 
 
 def test_semdedup_drops_exactly_the_planted_copies(spark, sf_dir):

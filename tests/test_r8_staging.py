@@ -4,6 +4,7 @@ full ≤3 addition budget); round 8 moves them onto @register, appends
 the names to the round-9 deferral list, and retires this file's parity
 gate in favor of the registry-wide tools/check_oracle.py sweep."""
 
+import pathlib
 import sys
 
 import duckdb
@@ -12,7 +13,7 @@ import pytest
 from market_pulse_data_pipeline_spark.queries.r8_staging import STAGED
 from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from tools.check_oracle import frame_fingerprint  # noqa: E402
 
 
