@@ -35,75 +35,90 @@ from market_pulse_data_pipeline_spark.queries import sketches  # noqa: F401, E40
 from market_pulse_data_pipeline_spark.queries import shuffle_ops  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import mining  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r7_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r8_staging  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
-# entries of queries() in iteration order. As of round 7 the registry
-# is in STEADY STATE: every registered query has a green driver row
-# (CORRECTNESS_r06 closed the ledger at 241/241), so each round's
-# window re-witnesses the 50 STALEST rows — oldest witness round
-# first, original window order within a round — keeping the "EVERY
-# operator has a passing driver row" claim fresh over time.
+# entries of queries() in iteration order. The registry is in STEADY
+# STATE (CORRECTNESS_r06 closed the ledger at 241/241): each round's
+# window re-witnesses the STALEST rows — oldest witness round first,
+# original window order within a round — with one exception: names
+# that have NEVER had a driver row (the previous round's deferral
+# list) go to the very head, so new operators get their first witness
+# exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R8_DEFER` — new operators land
+# never-witnessed registrations (`_R9_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
 #
-# Round-7 window (VERDICT.md round 6 "Next round" #1): exactly
-# rotation_window() — the 42 r2 survivors not re-witnessed in round 6,
-# then the first 8 r3 rows, in original witness-window order. Pinned
+# Round-8 window (VERDICT.md round 7 "Next round" #1): exactly what
+# round 7's pinned r8_rotation() computed — the 9 round-7
+# registrations taking their FIRST driver witness, then the 41
+# remaining r3 rows, in original witness-window order. Pinned
 # literally so any registry or ledger edit that would shift the
 # driver's snapshot fails tests/test_window_composition.py loudly.
-_R7_WINDOW = [
-    # CORRECTNESS_r02 survivors (the SURVEY-§2 stg_alphavantage /
-    # get_stock.py:84-105 chain at the head, per VERDICT round-6 #1)
-    "json_path_extract", "explode_words", "distinct_keys",
-    "dedup_keep_latest", "incremental_merge", "qc_unique_violations",
-    "map_explode_props", "variant_path_extract",
-    "qc_accepted_values_violations", "argmin_unit_price_supplier",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
-    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
-    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue", "text_token_count",
-    "text_quality_score", "text_lang_stats", "lang_id_heuristic",
-    "doc_fingerprint", "text_bpe_token_estimate", "multimodal_meta",
-    "text_repetition_stats", "text_pii_scan",
-    "contamination_ngram_overlap", "stratified_sample_per_lang",
-    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
-    "similarity_topk_cosine", "embedding_label_centroid_norm",
-    "embedding_quantization_error",
-    # head of CORRECTNESS_r03 (original window order)
-    "event_hourly_windows", "event_sliding_windows",
-    "dedup_cluster_assignment", "market_pulse_end_to_end",
-    "minhash_lsh_portable", "asof_join_latest_anchor",
-    "range_join_price_bands", "rolling_avg_7rows",
+_R8_WINDOW = [
+    # first driver witness for the nine round-7 registrations (the
+    # LLM-pipeline surface lands its CORRECTNESS rows here)
+    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
+    "kcenter_diversity_sample", "colbert_maxsim_topk",
+    "incremental_near_dup_lsh", "bpe_encode_corpus",
+    "quality_threshold_sweep", "bpe_fertility_by_lang",
+    # then the 41 remaining CORRECTNESS_r03 rows (original order)
+    "weekly_ohlc", "embedding_int8_quantize", "streaming_ingest_upsert",
+    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
+    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
+    "set_ops_nations", "except_user_event_pairs", "lag_lead_weekly",
+    "regr_slope_by_event_type", "value_histogram_by_event_type",
+    "corr_quantity_price_by_flag", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_suppliers",
+    "exact_substring_spans", "label_centroid_pairwise_cosine",
+    "session_window_native", "retention_cohorts",
+    "event_funnel_signup_purchase", "media_frame_sample",
+    "numeric_functions_suite", "zscore_outliers", "bool_aggregates",
+    "variance_by_event_type", "regex_extract_props",
+    "percentiles_by_event_type", "approx_distinct_parts",
+    "collect_sorted_event_types", "string_functions_suite",
+    "date_functions_suite", "approx_percentiles_events",
+    "full_outer_reconciliation", "array_functions_suite",
 ]
 
-# Round-7 registrations, deferred to the round-8 window per the
+# the window head: names taking their FIRST driver row this round —
+# they join _DRIVER_GREEN (round 8) at the next rotation
+_R8_FIRST_WITNESS = _R8_WINDOW[:9]
+
+# Round-8 registrations, deferred to the round-9 window per the
 # round-4 displacement rule (additions never displace a verified
 # window). These names order tier 1 (driver positions 51+) and head
-# r8_rotation() so their first driver row lands next round. The six
-# LLM-pipeline operators were staged + triple-gated in round 6
-# (queries/r7_staging.py) and registered here per VERDICT r6 item 2.
-_R8_DEFER: list[str] = [
-    "semdedup_prune",
-    "ngram_novelty_profile",
-    "domain_frequency_cap",
-    "kcenter_diversity_sample",
-    "colbert_maxsim_topk",
-    "incremental_near_dup_lsh",
-    # round-7 additions (the <=3 budget, VERDICT r6 item 5): the BPE
-    # tokenizer's ENCODE half and the quality classifier's
-    # operating-point sweep
-    "bpe_encode_corpus",
-    "quality_threshold_sweep",
-    "bpe_fertility_by_lang",
+# r9_rotation() so their first driver row lands next round. The three
+# staged operators were implemented + triple-gated in round 7
+# (queries/r8_staging.py) and registered here per VERDICT r7 item 2.
+_R9_DEFER: list[str] = [
+    "ccnet_perplexity_buckets",
+    "mixture_temperature_weights",
+    "winnowing_fingerprint_pairs",
 ]
+
+# stable alias for tools (check_oracle --staged, hostile_check): the
+# newest registrations still awaiting their first driver witness —
+# points at the current round's deferral list so the tools never need
+# a per-round rename again
+PENDING_FIRST_WITNESS = _R9_DEFER
+
+
+def staging_candidates():
+    """The NEXT round's pre-registration staging dict (name ->
+    QueryDef) — empty between registering one staging module and
+    landing the next. Stable entry point for check_oracle --staging /
+    hostile_check --staging, so the tools survive per-round renames."""
+    try:
+        from market_pulse_data_pipeline_spark.queries import r9_staging
+        return dict(r9_staging.STAGED)
+    except ImportError:
+        return {}
 
 # name -> latest CORRECTNESS_r{N}.json round with a green driver row.
 # Insertion order within a round is the original witness-window order;
@@ -238,19 +253,50 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "keyed_upsert", "qc_not_null_violations", "qc_anti_join_orphans",
     "left_join_enrich",
 ], 6))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r07.json — 50/50 green (the first steady-state
+    # re-witness window, verbatim order: the 42 r2 survivors then the
+    # first 8 r3 rows). All 50 were already green from r2/r3; this
+    # update refreshes their witness round to 7 — dict.update keeps
+    # each name's original insertion position, which is exactly the
+    # "original window order within a round" the cadence sorts on.
+    "json_path_extract", "explode_words", "distinct_keys",
+    "dedup_keep_latest", "incremental_merge", "qc_unique_violations",
+    "map_explode_props", "variant_path_extract",
+    "qc_accepted_values_violations", "argmin_unit_price_supplier",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
+    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
+    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue", "text_token_count",
+    "text_quality_score", "text_lang_stats", "lang_id_heuristic",
+    "doc_fingerprint", "text_bpe_token_estimate", "multimodal_meta",
+    "text_repetition_stats", "text_pii_scan",
+    "contamination_ngram_overlap", "stratified_sample_per_lang",
+    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
+    "similarity_topk_cosine", "embedding_label_centroid_norm",
+    "embedding_quantization_error",
+    "event_hourly_windows", "event_sliding_windows",
+    "dedup_cluster_assignment", "market_pulse_end_to_end",
+    "minhash_lsh_portable", "asof_join_latest_anchor",
+    "range_join_price_bands", "rolling_avg_7rows",
+], 7))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R8_DEFER`` order — after the window, so new
+    registrations (``_R9_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R7_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R8_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R8_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R9_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -265,25 +311,30 @@ def all_queries():
 
 
 def stalest_green(window: int = 50) -> list[str]:
-    """The 50 stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R7_WINDOW`` is this
-    round's pinned snapshot of exactly this list (a regression test
-    keeps them in lockstep)."""
+    """The stalest driver-green rows — oldest witness round first,
+    ledger-insertion order within a round. ``_R8_WINDOW``'s tail is
+    this round's pinned snapshot of exactly ``stalest_green(41)`` (a
+    regression test keeps them in lockstep; the window head is the 9
+    first-witness names, which have no green row yet)."""
     order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
     stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
     return stale[:window]
 
 
-def r8_rotation(window: int = 50) -> list[str]:
-    """The proposed round-8 window under the steady-state cadence:
-    never-witnessed round-7 registrations (``_R8_DEFER``) at the head
+def r9_rotation(window: int = 50) -> list[str]:
+    """The proposed round-9 window under the steady-state cadence:
+    never-witnessed round-8 registrations (``_R9_DEFER``) at the head
     — new operators get their first driver row the round after they
     land — then the stalest greens assuming this round's window lands
-    green (its names move to round 7). Any r07 RED row outranks all of
-    this and goes to the very front instead (red rows beat rotation)."""
-    never = [n for n in _R8_DEFER if n in QUERY_REGISTRY]
-    after_r7 = dict(_DRIVER_GREEN)
-    after_r7.update(dict.fromkeys(_R7_WINDOW, 7))
-    order = {n: i for i, n in enumerate(after_r7)}
-    stale = sorted(after_r7, key=lambda n: (after_r7[n], order[n]))
+    green (its 41 re-witnesses move to round 8 and its 9 first-witness
+    names enter the ledger at round 8). Any r08 RED row outranks all
+    of this and goes to the very front instead (red beats rotation)."""
+    never = [n for n in _R9_DEFER if n in QUERY_REGISTRY]
+    after_r8 = dict(_DRIVER_GREEN)
+    # update() keeps existing positions for the 41 re-witnesses and
+    # appends the 9 first-witness names at the end in window order —
+    # the same shape next round's literal ledger edit will produce
+    after_r8.update(dict.fromkeys(_R8_WINDOW, 8))
+    order = {n: i for i, n in enumerate(after_r8)}
+    stale = sorted(after_r8, key=lambda n: (after_r8[n], order[n]))
     return (never + stale)[:window]

@@ -1,14 +1,12 @@
-"""Round-8 staged queries — implemented, oracle-paired, NOT registered.
-
-Round 7 spent its full steady-state addition budget (≤3 registrations,
-VERDICT round-6 item 5), so these land the way the round-7 batch did in
-round 6: implementations, DuckDB value-hash oracles, and pytest parity
-gates final now (tests/test_r8_staging.py), registration deferred to
-round 8 by moving the ``@stage`` rows onto ``@register`` and appending
-the names to the round-9 deferral list.
+"""Round-8 registrations — staged and triple-gated in round 7
+(implementations, DuckDB value-hash oracles, and pytest semantic pins
+landed then; registration deferred so the round-7 addition budget
+stayed at ≤3), registered here per VERDICT round-7 item 2. The names
+sit on ``_R9_DEFER`` (queries/__init__.py), so their first driver
+witness lands in round 9 without displacing a verified window slot.
 
 All extend the LLM-training-data surface with famous pipeline steps
-the registry does not yet cover:
+the registry did not yet cover:
 
 - ``ccnet_perplexity_buckets`` — CCNet's quality partitioning (Wenzek
   et al., LREC 2020): score every document with a language-model
@@ -42,31 +40,15 @@ the registry does not yet cover:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    keeps the round-7 addition budget intact while the implementations,
-    oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -103,7 +85,7 @@ _CCNET_SCORE_SQL = f"""
     )"""
 
 
-@stage(
+@register(
     "ccnet_perplexity_buckets",
     _CCNET_SCORE_SQL
     + """
@@ -186,7 +168,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctly rounded everywhere and could diverge in the last ulp)
 
 
-@stage(
+@register(
     "mixture_temperature_weights",
     f"""
     WITH counts AS (
@@ -234,6 +216,9 @@ def mixture_temperature_weights(
 ) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # the unpartitioned window runs over the |langs|-bounded counts
+    # table (a handful of rows by construction), not the corpus — the
+    # WindowExec single-partition warning is expected and scale-safe
     tot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -307,7 +292,7 @@ def _winnow_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "winnowing_fingerprint_pairs",
     _winnow_oracle(),
     doc="winnowing document fingerprints (Schleimer, Wilkerson & Aiken, "

@@ -26,12 +26,13 @@ R7_NAMES = [
 ]
 
 
-def test_r7_rows_are_registered_and_deferred():
-    from market_pulse_data_pipeline_spark.queries import _R8_DEFER
+def test_r7_rows_are_registered_and_take_first_witness():
+    from market_pulse_data_pipeline_spark.queries import _R8_FIRST_WITNESS
 
     assert set(R7_NAMES) <= set(QUERY_REGISTRY)
-    # the six head the deferral list; later round-7 additions append
-    assert _R8_DEFER[: len(R7_NAMES)] == R7_NAMES
+    # the six head the round-8 window's first-witness block; the three
+    # later round-7 additions follow
+    assert _R8_FIRST_WITNESS[: len(R7_NAMES)] == R7_NAMES
 
 
 @pytest.mark.parametrize("table,offset", [

@@ -1,59 +1,33 @@
-"""Round-8 staged queries (queries/r8_staging.py) — oracle parity plus
-semantic pins. These rows are NOT in QUERY_REGISTRY (round 7 spent its
-full ≤3 addition budget); round 8 moves them onto @register, appends
-the names to the round-9 deferral list, and retires this file's parity
-gate in favor of the registry-wide tools/check_oracle.py sweep."""
-
-import pathlib
-import sys
+"""Semantic pins for the round-8 LLM-pipeline operators
+(queries/r8_staging.py — registered in round 8; oracle parity is now
+covered by the registry-wide tools/check_oracle.py gate and the
+sf0.001 pytest sweep, so this file keeps only the invariants the
+value-hash compare can't express: tercile structure, temperature
+redistribution, the winnowing guarantee, and plan anti-patterns)."""
 
 import duckdb
 import pytest
 
-from market_pulse_data_pipeline_spark.queries.r8_staging import STAGED
-from market_pulse_data_pipeline_spark.schemas import TESTDATA_TABLES
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
-from tools.check_oracle import frame_fingerprint  # noqa: E402
-
-
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
-    for name in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{name}.parquet')"
-        )
-    return con
+R8_NAMES = [
+    "ccnet_perplexity_buckets",
+    "mixture_temperature_weights",
+    "winnowing_fingerprint_pairs",
+]
 
 
-def test_staged_rows_are_not_registered():
-    from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
+def test_r8_rows_are_registered_and_deferred():
+    from market_pulse_data_pipeline_spark.queries import _R9_DEFER
 
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) == {
-        "ccnet_perplexity_buckets",
-        "mixture_temperature_weights",
-        "winnowing_fingerprint_pairs",
-    }
+    assert set(R8_NAMES) <= set(QUERY_REGISTRY)
+    # they await their first driver witness in the round-9 window
+    assert _R9_DEFER[: len(R8_NAMES)] == R8_NAMES
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
-    q = STAGED[name]
-    sdf = q.spark(spark, sf_dir)
-    s_fp = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
-    cur = duck.execute(q.oracle)
-    cols = [d[0] for d in cur.description]
-    o_fp = frame_fingerprint(cols, cur.fetchall())
-    assert s_fp == o_fp, f"{name}: spark={s_fp} oracle={o_fp}"
-    assert s_fp[0] > 0
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_plan_antipatterns(spark, sf_dir, name):
-    df = STAGED[name].spark(spark, sf_dir)
+@pytest.mark.parametrize("name", sorted(R8_NAMES))
+def test_r8_plan_antipatterns(spark, sf_dir, name):
+    df = QUERY_REGISTRY[name].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
@@ -61,7 +35,9 @@ def test_staged_plan_antipatterns(spark, sf_dir, name):
 
 def test_ccnet_buckets_are_per_lang_terciles(spark, sf_dir):
     rows = (
-        STAGED["ccnet_perplexity_buckets"].spark(spark, sf_dir).collect()
+        QUERY_REGISTRY["ccnet_perplexity_buckets"]
+        .spark(spark, sf_dir)
+        .collect()
     )
     assert rows
     by_lang: dict[str, list] = {}
@@ -92,7 +68,9 @@ def test_ccnet_buckets_are_per_lang_terciles(spark, sf_dir):
 
 def test_temperature_weights_redistribute_toward_rare(spark, sf_dir):
     rows = (
-        STAGED["mixture_temperature_weights"].spark(spark, sf_dir).collect()
+        QUERY_REGISTRY["mixture_temperature_weights"]
+        .spark(spark, sf_dir)
+        .collect()
     )
     assert len(rows) >= 2
     s_p = sum(r["p_raw"] for r in rows)
@@ -120,7 +98,9 @@ def test_winnowing_guarantee_on_planted_tails(spark, sf_dir):
     )
 
     rows = (
-        STAGED["winnowing_fingerprint_pairs"].spark(spark, sf_dir).collect()
+        QUERY_REGISTRY["winnowing_fingerprint_pairs"]
+        .spark(spark, sf_dir)
+        .collect()
     )
     assert rows
     planted_hits = {

@@ -12,60 +12,60 @@ the same commit.
 
 from market_pulse_data_pipeline_spark.queries import (
     _DRIVER_GREEN,
-    _R7_WINDOW,
-    _R8_DEFER,
+    _R8_FIRST_WITNESS,
+    _R8_WINDOW,
+    _R9_DEFER,
     QUERY_REGISTRY,
     all_queries,
-    r8_rotation,
+    r9_rotation,
     stalest_green,
 )
 
-# Round-7 rotation (VERDICT round-6 item 1 — the first steady-state
-# round): CORRECTNESS_r06 landed 50/50 green, closing the ledger at
-# 241/241 driver-witnessed, so from here each round re-witnesses the
-# 50 STALEST rows. That is the 42 r2 survivors not re-witnessed in
-# round 6 (the SURVEY-§2 stg_alphavantage / get_stock.py:84-105 chain
-# at the head), then the first 8 r3 rows, in original window order —
-# exactly what round 6's pinned r7_rotation() computed.
+# Round-8 rotation (VERDICT round-7 item 1): byte-for-byte what
+# round 7's pinned r8_rotation() computed — the nine round-7
+# registrations taking their FIRST driver witness (the LLM-pipeline
+# surface), then the 41 remaining CORRECTNESS_r03 rows, stalest
+# witness first, original window order within the round.
 EXPECTED_WINDOW = [
-    "json_path_extract", "explode_words", "distinct_keys",
-    "dedup_keep_latest", "incremental_merge", "qc_unique_violations",
-    "map_explode_props", "variant_path_extract",
-    "qc_accepted_values_violations", "argmin_unit_price_supplier",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
-    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
-    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue", "text_token_count",
-    "text_quality_score", "text_lang_stats", "lang_id_heuristic",
-    "doc_fingerprint", "text_bpe_token_estimate", "multimodal_meta",
-    "text_repetition_stats", "text_pii_scan",
-    "contamination_ngram_overlap", "stratified_sample_per_lang",
-    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
-    "similarity_topk_cosine", "embedding_label_centroid_norm",
-    "embedding_quantization_error",
-    "event_hourly_windows", "event_sliding_windows",
-    "dedup_cluster_assignment", "market_pulse_end_to_end",
-    "minhash_lsh_portable", "asof_join_latest_anchor",
-    "range_join_price_bands", "rolling_avg_7rows",
+    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
+    "kcenter_diversity_sample", "colbert_maxsim_topk",
+    "incremental_near_dup_lsh", "bpe_encode_corpus",
+    "quality_threshold_sweep", "bpe_fertility_by_lang",
+    "weekly_ohlc", "embedding_int8_quantize", "streaming_ingest_upsert",
+    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
+    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
+    "set_ops_nations", "except_user_event_pairs", "lag_lead_weekly",
+    "regr_slope_by_event_type", "value_histogram_by_event_type",
+    "corr_quantity_price_by_flag", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_suppliers",
+    "exact_substring_spans", "label_centroid_pairwise_cosine",
+    "session_window_native", "retention_cohorts",
+    "event_funnel_signup_purchase", "media_frame_sample",
+    "numeric_functions_suite", "zscore_outliers", "bool_aggregates",
+    "variance_by_event_type", "regex_extract_props",
+    "percentiles_by_event_type", "approx_distinct_parts",
+    "collect_sorted_event_types", "string_functions_suite",
+    "date_functions_suite", "approx_percentiles_events",
+    "full_outer_reconciliation", "array_functions_suite",
 ]
 
 
 def test_window_is_the_verified_composition():
     assert list(all_queries())[:50] == EXPECTED_WINDOW
-    assert _R7_WINDOW == EXPECTED_WINDOW
+    assert _R8_WINDOW == EXPECTED_WINDOW
 
 
-def test_window_is_the_stalest_green():
+def test_window_head_is_first_witness_then_stalest_green():
     # the pinned window and the cadence computation stay in lockstep:
     # a ledger edit that would shift the driver's snapshot fails here
-    assert _R7_WINDOW == stalest_green()
-    # the re-witness cadence actually rotates: nothing in this window
-    # was witnessed later than round 3
-    assert all(_DRIVER_GREEN[n] <= 3 for n in _R7_WINDOW)
+    assert _R8_FIRST_WITNESS == _R8_WINDOW[:9]
+    assert _R8_WINDOW[9:] == stalest_green(41)
+    # the head takes its FIRST driver row this round — no prior witness
+    assert not set(_R8_FIRST_WITNESS) & set(_DRIVER_GREEN)
+    # the re-witness tail rotates: all of it was last witnessed round 3
+    assert all(_DRIVER_GREEN[n] == 3 for n in _R8_WINDOW[9:])
 
 
 def test_window_has_full_oracles():
@@ -77,28 +77,30 @@ def test_window_has_full_oracles():
 
 
 def test_ledger_is_closed_and_additions_defer():
-    # Steady-state invariant: every registered query is either
-    # driver-green or a deferred round-7 registration awaiting its
-    # first row. A registration missing from _R8_DEFER lands in
-    # tier 1 with rank len(_R8_DEFER) — caught here, not silently
-    # shuffled into the window.
-    assert set(QUERY_REGISTRY) == set(_DRIVER_GREEN) | set(_R8_DEFER)
-    assert not set(_R8_DEFER) & set(_DRIVER_GREEN)
-    # 241 green + 6 round-6-staged + 3 round-7 additions
-    assert len(QUERY_REGISTRY) == 250
+    # Steady-state invariant: every registered query is driver-green,
+    # in this round's first-witness head, or a deferred round-8
+    # registration awaiting its first row. A registration missing from
+    # _R9_DEFER lands in tier 1 with rank len(_R9_DEFER) — caught
+    # here, not silently shuffled into the window.
+    assert set(QUERY_REGISTRY) == (
+        set(_DRIVER_GREEN) | set(_R8_FIRST_WITNESS) | set(_R9_DEFER)
+    )
+    assert not set(_R9_DEFER) & set(_DRIVER_GREEN)
+    assert not set(_R9_DEFER) & set(_R8_WINDOW)
+    # 250 round-7 registry + 3 round-8 registrations
+    assert len(QUERY_REGISTRY) == 253
     # tier-1 names (positions 50..) are exactly the deferral list, in
     # order — new operators never displace a verified window slot
-    assert list(all_queries())[50:50 + len(_R8_DEFER)] == _R8_DEFER
+    assert list(all_queries())[50:50 + len(_R9_DEFER)] == _R9_DEFER
 
 
-def test_round7_ledger_arithmetic():
-    assert len(_R7_WINDOW) == 50
-    assert len(set(_R7_WINDOW)) == 50
-    # every window row is a re-witness of an existing green row
-    assert all(n in _DRIVER_GREEN for n in _R7_WINDOW)
-    r2_left = [n for n in _R7_WINDOW if _DRIVER_GREEN[n] == 2]
-    assert len(r2_left) == 42
-    assert len([n for n in _R7_WINDOW if _DRIVER_GREEN[n] == 3]) == 8
+def test_round8_ledger_arithmetic():
+    assert len(_R8_WINDOW) == 50
+    assert len(set(_R8_WINDOW)) == 50
+    # the 41 re-witnesses all have existing green rows
+    assert all(n in _DRIVER_GREEN for n in _R8_WINDOW[9:])
+    # the round-7 re-witness window landed in the ledger at round 7
+    assert sum(1 for v in _DRIVER_GREEN.values() if v == 7) == 50
 
 
 def test_rows_only_floor():
@@ -108,19 +110,19 @@ def test_rows_only_floor():
     assert rows_only == set()
 
 
-def test_r8_rotation_defers_then_rotates():
-    # the proposed round-8 window: never-witnessed round-7
+def test_r9_rotation_defers_then_rotates():
+    # the proposed round-9 window: never-witnessed round-8
     # registrations first, then the stalest greens assuming this
-    # round's window lands green (r3 survivors continue the rotation).
-    rot = r8_rotation()
+    # round's window lands green (r4 rows continue the rotation).
+    rot = r9_rotation()
     assert len(rot) == 50
-    assert rot[: len(_R8_DEFER)] == _R8_DEFER
-    rest = rot[len(_R8_DEFER):]
-    after_r7 = dict(_DRIVER_GREEN)
-    after_r7.update(dict.fromkeys(_R7_WINDOW, 7))
-    # stalest-first: the 41 remaining r3 rows, then the head of r4
-    rounds = [after_r7[n] for n in rest]
+    assert rot[: len(_R9_DEFER)] == _R9_DEFER
+    rest = rot[len(_R9_DEFER):]
+    after_r8 = dict(_DRIVER_GREEN)
+    after_r8.update(dict.fromkeys(_R8_WINDOW, 8))
+    # stalest-first: the r4 rows head the remainder
+    rounds = [after_r8[n] for n in rest]
     assert rounds == sorted(rounds)
-    assert rounds[0] == 3 and rounds.count(3) == 41
+    assert rounds[0] == 4
     # nothing in the proposal repeats this round's window
-    assert not set(rot) & set(_R7_WINDOW)
+    assert not set(rot) & set(_R8_WINDOW)

@@ -133,14 +133,14 @@ def main() -> int:
         "--staging",
         action="store_true",
         help="sweep the pre-registration staging dict "
-        "(queries/r8_staging.py::STAGED) with the identical machinery",
+        "(queries.staging_candidates()) with the identical machinery",
     )
     ap.add_argument(
         "--staged",
         action="store_true",
         help="check the newest registrations still awaiting their "
-        "first driver witness (queries/__init__.py::_R8_DEFER) "
-        "instead of the whole registry",
+        "first driver witness (queries/__init__.py::"
+        "PENDING_FIRST_WITNESS) instead of the whole registry",
     )
     args = ap.parse_args()
 
@@ -156,24 +156,25 @@ def main() -> int:
         )
 
     if args.staging:
-        from market_pulse_data_pipeline_spark.queries.r8_staging import (
-            STAGED,
+        from market_pulse_data_pipeline_spark.queries import (
+            staging_candidates,
         )
 
-        qs = {n: d.spark for n, d in STAGED.items()}
-        oracles = {n: d.oracle for n, d in STAGED.items() if d.oracle}
+        staged = staging_candidates()
+        qs = {n: d.spark for n, d in staged.items()}
+        oracles = {n: d.oracle for n, d in staged.items() if d.oracle}
     elif args.staged:
-        # "staged" now means the newest registrations still awaiting
-        # their first driver witness (the round-8 deferral list)
+        # "staged" means the newest registrations still awaiting
+        # their first driver witness (the current deferral list)
         from market_pulse_data_pipeline_spark.queries import (
-            _R8_DEFER,
+            PENDING_FIRST_WITNESS,
             QUERY_REGISTRY,
         )
 
-        qs = {n: QUERY_REGISTRY[n].spark for n in _R8_DEFER}
+        qs = {n: QUERY_REGISTRY[n].spark for n in PENDING_FIRST_WITNESS}
         oracles = {
             n: QUERY_REGISTRY[n].oracle
-            for n in _R8_DEFER
+            for n in PENDING_FIRST_WITNESS
             if QUERY_REGISTRY[n].oracle
         }
     else:

@@ -1058,7 +1058,7 @@ def main() -> int:
             ),
         )
 
-    # CCNet perplexity buckets (queries/r8_staging.py, staged for
+    # CCNet perplexity buckets (queries/r8_staging.py, registered in
     # round 8): the corpus-touching work is the driver-green bigram
     # fluency shape (token-keyed count aggregates + co-partitioned
     # joins); the tercile NTILE is one window partitioned by lang.
@@ -1100,8 +1100,8 @@ def main() -> int:
             ),
         )
 
-    # Winnowing fingerprint pairs (queries/r8_staging.py, staged for
-    # round 8): fingerprint selection is map-only higher-order
+    # Winnowing fingerprint pairs (queries/r8_staging.py, registered
+    # in round 8): fingerprint selection is map-only higher-order
     # transforms; the pair join is keyed on the selected fingerprint
     # (~2/(w+1) the density of a full shingle join). Candidate pairs
     # grow with true duplication, never quadratically in corpus size.
