@@ -100,6 +100,11 @@ _R9_DEFER: list[str] = [
     "ccnet_perplexity_buckets",
     "mixture_temperature_weights",
     "winnowing_fingerprint_pairs",
+    # round-8 additions (the <=3 budget, VERDICT r7 item 6): the
+    # production eval-set decontamination drop and the winnowing
+    # fingerprints composed into dedup clusters
+    "eval_decontaminate_exact_ngrams",
+    "winnowing_cluster_dedup",
 ]
 
 # stable alias for tools (check_oracle --staged, hostile_check): the

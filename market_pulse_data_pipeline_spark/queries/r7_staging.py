@@ -689,6 +689,8 @@ def _inc_neardup_oracle() -> str:
 @register(
     "incremental_near_dup_lsh",
     _inc_neardup_oracle(),
+    bench=True,  # headline: the production daily-crawl dedup shape
+    # (VERDICT r7 item 6b — first-round baseline lands in BENCH_r08)
     doc="incremental (batch-vs-corpus) NEAR-duplicate detection — the "
     "production daily-crawl shape the registry's self-join LSH rows "
     "don't witness: even-id docs stand in for the accumulated corpus, "

@@ -249,7 +249,10 @@ _WN_T = 3  # candidate gate: docs sharing >= T selected fingerprints
 _WN_PLANT_OFFSET = 1_000_000_000
 
 
-def _winnow_oracle() -> str:
+def _winnow_ctes() -> str:
+    """The shared fingerprint CTE chain (planted corpus → k-gram
+    hashes → min-of-window selection → candidate pairs) — the pair
+    query and the cluster composition both build on it."""
     from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
         _MERSENNE,
     )
@@ -259,8 +262,7 @@ def _winnow_oracle() -> str:
         f"list_slice(ws, i, i + {_WN_K - 1}), ' ')), 1, 15))::BIGINT"
         f" % {_MERSENNE})"
     )
-    return f"""
-    WITH src AS (
+    return f"""src AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + {_WN_PLANT_OFFSET}, text || ' winnow planted tail'
@@ -282,12 +284,20 @@ def _winnow_oracle() -> str:
                        j -> list_min(list_slice(hs, j, j + {_WN_W - 1})))
       ) AS fp
       FROM kg
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id > b.doc_id
-    GROUP BY 1, 2
-    HAVING COUNT(*) >= {_WN_T}
+    ),
+    wpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id > b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_WN_T}
+    )"""
+
+
+def _winnow_oracle() -> str:
+    return f"""
+    WITH {_winnow_ctes()}
+    SELECT doc_a, doc_b, n_shared FROM wpairs
     ORDER BY doc_a, doc_b
     """
 
@@ -314,6 +324,13 @@ def _winnow_oracle() -> str:
 def winnowing_fingerprint_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _winnow_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared) winnowing candidate pairs over the
+    planted corpus — shared by the pair query and the cluster
+    composition below."""
     from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
         _MERSENNE,
         portable_hash60,
@@ -359,5 +376,208 @@ def winnowing_fingerprint_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WN_T)
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------
+# winnowing_cluster_dedup (round-8 addition, VERDICT r7 item 6c)
+# --------------------------------------------------------------------
+
+
+def _winnow_cluster_oracle() -> str:
+    """Winnowing pairs composed into connected components — the same
+    WITH RECURSIVE transitive-closure pattern proven by
+    dedup_cluster_assignment (queries/scale_paths.py)."""
+    return f"""
+    WITH RECURSIVE {_winnow_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM wpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM wpairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    ),
+    comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ),
+    csizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT comp.id AS doc_id, comp.component AS cluster_id,
+           csizes.cluster_size, comp.id = comp.component AS is_kept
+    FROM comp JOIN csizes USING (component)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "winnowing_cluster_dedup",
+    _winnow_cluster_oracle(),
+    doc="winnowing-based cluster dedup (VERDICT r7 item 6c): the MOSS "
+    "fingerprint candidate pairs composed into connected components "
+    "with min-id representatives — (doc, cluster, size, kept), the "
+    "cluster-and-keep step of a fingerprint-guaranteed dedup pipeline. "
+    "Reuses winnowing_fingerprint_pairs' pair machinery verbatim and "
+    "the driver-green min-label-propagation operator "
+    "(functions/graph.py::dedup_clusters, per-round lineage "
+    "truncation); oracle is the DuckDB WITH RECURSIVE transitive "
+    "closure proven by dedup_cluster_assignment. 100 TB shape: the "
+    "edge set is candidate-bounded by the winnowing gate (never "
+    "all-pairs), propagation shuffles only the frontier per round, "
+    "and rounds are logarithmic in cluster diameter — near-dup "
+    "clusters are shallow (planted tails give diameter 1).",
+)
+def winnowing_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.graph import (  # noqa: PLC0415
+        dedup_clusters,
+    )
+
+    pairs = _winnow_pairs(spark, sf_dir)
+    return dedup_clusters(pairs.select("doc_a", "doc_b")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# eval_decontaminate_exact_ngrams (round-8 addition, VERDICT r7 item 6a)
+# --------------------------------------------------------------------
+
+_DC_N = 13  # the GPT-3/PaLM decontamination n-gram order
+_DC_EVAL_MOD = 53  # doc_id % 53 == 0 plays the held-out eval set
+_DC_LEAK_MOD = 2 * _DC_EVAL_MOD  # every 2nd eval doc leaks verbatim
+_DC_PLANT_OFFSET = 1_000_000_000  # same fixture-guard regime as LSH
+
+
+def _decontam_oracle() -> str:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+    )
+
+    h60 = (
+        "(('0x' || substring(md5(array_to_string("
+        f"list_slice(ws, i, i + {_DC_N - 1}), ' ')), 1, 15))::BIGINT"
+        f" % {_MERSENNE})"
+    )
+    return f"""
+    WITH train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_DC_EVAL_MOD} <> 0
+      UNION ALL
+      SELECT doc_id + {_DC_PLANT_OFFSET}, text FROM documents
+      WHERE doc_id % {_DC_LEAK_MOD} = 0
+    ),
+    eg AS (
+      SELECT DISTINCT UNNEST(
+        list_transform(range(1, len(ws) - {_DC_N - 1} + 1), i -> {h60})
+      ) AS g
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents
+            WHERE doc_id % {_DC_EVAL_MOD} = 0)
+      WHERE len(ws) >= {_DC_N}
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, UNNEST(
+        list_transform(range(1, len(ws) - {_DC_N - 1} + 1), i -> {h60})
+      ) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train)
+      WHERE len(ws) >= {_DC_N}
+    ),
+    hits AS (
+      SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tg JOIN eg USING (g) GROUP BY 1
+    )
+    SELECT train.doc_id,
+           COALESCE(hits.n, 0) AS n_eval_ngrams,
+           COALESCE(hits.n, 0) > 0 AS contaminated
+    FROM train LEFT JOIN hits USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "eval_decontaminate_exact_ngrams",
+    _decontam_oracle(),
+    doc="eval-set decontamination as an asymmetric broadcast join "
+    "(VERDICT r7 item 6a — the GPT-3 appendix-C / PaLM production "
+    "shape): drop every training document sharing ANY 13-gram with "
+    "the held-out eval set (doc_id % 53 == 0 plays the eval role). "
+    "Emits the full per-document decision — distinct-13-gram hit "
+    "count and the contaminated flag — for every training doc, "
+    "including the <13-token ones that can't collide (n=0, kept: "
+    "faithful to the real algorithm). Planted verbatim leaks (every "
+    "2nd eval doc re-keyed past 1e9 into the training side) witness "
+    "the contract: a >=13-token leak MUST flag. Shingles are the "
+    "proven portable 60-bit md5 hashes, so the eval side collapses "
+    "to a DISTINCT int64 set. 100 TB shape: eval sets are tiny "
+    "relative to the corpus (~1e7 grams = tens of MB hashed), so the "
+    "gram set broadcasts and the corpus-side scan is map-only with "
+    "one doc-keyed count — no corpus shuffle on text; swap in "
+    "bloom_filter_prejoin's sketch if the eval set ever outgrows the "
+    "broadcast threshold. Differs from contamination_ngram_overlap "
+    "(the per-PAIR diagnostic): this is the per-doc KEEP/DROP "
+    "decision a pipeline actually executes.",
+)
+def eval_decontaminate_exact_ngrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+        portable_hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _DC_EVAL_MOD != 0).select(
+        "doc_id", "text"
+    ).unionByName(
+        # planted verbatim leaks: the eval texts the decontaminator
+        # MUST catch (tests pin leaked >=13-token docs all flag)
+        docs.filter(F.col("doc_id") % _DC_LEAK_MOD == 0).select(
+            (F.col("doc_id") + _DC_PLANT_OFFSET).alias("doc_id"), "text"
+        )
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split("text", " ").alias("ws")).filter(
+            F.size("ws") >= _DC_N
+        )
+        h = lambda i: F.pmod(  # noqa: E731
+            portable_hash60(
+                F.concat_ws(" ", F.slice(F.col("ws"), i, _DC_N))
+            ),
+            F.lit(_MERSENNE),
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (_DC_N - 1)), h
+                )
+            ).alias("g"),
+        )
+
+    eval_grams = (
+        grams(docs.filter(F.col("doc_id") % _DC_EVAL_MOD == 0))
+        .select("g")
+        .distinct()
+    )
+    # join FIRST, dedup AFTER: the broadcast join filters corpus grams
+    # map-side down to the (tiny) hit set, so the per-doc distinct
+    # count shuffles only survivors — a pre-join distinct() would
+    # shuffle the FULL corpus gram set, the one cost this shape exists
+    # to avoid at 100 TB
+    hits = (
+        grams(train)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                "n_eval_ngrams"
+            ),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
     )

@@ -11,9 +11,13 @@ import pytest
 from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 
 R8_NAMES = [
+    # the round-7-staged batch, registered first
     "ccnet_perplexity_buckets",
     "mixture_temperature_weights",
     "winnowing_fingerprint_pairs",
+    # the round-8 additions (VERDICT r7 item 6a/6c)
+    "eval_decontaminate_exact_ngrams",
+    "winnowing_cluster_dedup",
 ]
 
 
@@ -22,7 +26,7 @@ def test_r8_rows_are_registered_and_deferred():
 
     assert set(R8_NAMES) <= set(QUERY_REGISTRY)
     # they await their first driver witness in the round-9 window
-    assert _R9_DEFER[: len(R8_NAMES)] == R8_NAMES
+    assert _R9_DEFER == R8_NAMES
 
 
 @pytest.mark.parametrize("name", sorted(R8_NAMES))
@@ -119,3 +123,70 @@ def test_winnowing_guarantee_on_planted_tails(spark, sf_dir):
     ).fetchone()[0]
     self_pairs = {(o, b) for o, b in planted_hits if o == b}
     assert len(self_pairs) == n_eligible
+
+
+def test_decontamination_catches_exactly_the_planted_leaks(spark, sf_dir):
+    from market_pulse_data_pipeline_spark.queries.r8_staging import (
+        _DC_EVAL_MOD,
+        _DC_LEAK_MOD,
+        _DC_N,
+        _DC_PLANT_OFFSET,
+    )
+
+    rows = (
+        QUERY_REGISTRY["eval_decontaminate_exact_ngrams"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    # no eval doc leaks into the training side under its own id
+    assert all(
+        i % _DC_EVAL_MOD != 0 for i in by_id if i < _DC_PLANT_OFFSET
+    )
+    # the planted verbatim leaks: every >=N-token one MUST flag (the
+    # decontamination contract); <N-token ones CANNOT collide
+    planted_expect = duckdb.connect().execute(
+        f"SELECT doc_id, len(string_split(text, ' ')) >= {_DC_N} "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % {_DC_LEAK_MOD} = 0"
+    ).fetchall()
+    assert planted_expect
+    for doc_id, eligible in planted_expect:
+        r = by_id[doc_id + _DC_PLANT_OFFSET]
+        assert r["contaminated"] == bool(eligible), r
+        if eligible:
+            assert r["n_eval_ngrams"] > 0
+    # flag and count always agree
+    for r in rows:
+        assert r["contaminated"] == (r["n_eval_ngrams"] > 0)
+
+
+def test_winnowing_clusters_join_planted_tails(spark, sf_dir):
+    from market_pulse_data_pipeline_spark.queries.r8_staging import (
+        _WN_PLANT_OFFSET,
+    )
+
+    rows = (
+        QUERY_REGISTRY["winnowing_cluster_dedup"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # every planted tail-extension clusters with its original (the
+    # winnowing guarantee survives the component composition)
+    for doc_id, cid in cluster_of.items():
+        if doc_id >= _WN_PLANT_OFFSET:
+            orig = doc_id - _WN_PLANT_OFFSET
+            assert orig in cluster_of
+            assert cluster_of[orig] == cid
+    # exactly one kept representative per cluster: the min id
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rs in by_cluster.items():
+        kept = [r for r in rs if r["is_kept"]]
+        assert len(kept) == 1
+        assert kept[0]["doc_id"] == min(r["doc_id"] for r in rs) == cid
+        assert all(r["cluster_size"] == len(rs) for r in rs)
