@@ -101,10 +101,12 @@ _R9_DEFER: list[str] = [
     "mixture_temperature_weights",
     "winnowing_fingerprint_pairs",
     # round-8 additions (the <=3 budget, VERDICT r7 item 6): the
-    # production eval-set decontamination drop and the winnowing
-    # fingerprints composed into dedup clusters
+    # production eval-set decontamination drop, the winnowing
+    # fingerprints composed into dedup clusters, and the boilerplate
+    # cleanup action sentence_dedup_profile only diagnoses
     "eval_decontaminate_exact_ngrams",
     "winnowing_cluster_dedup",
+    "boilerplate_sentence_removal",
 ]
 
 # stable alias for tools (check_oracle --staged, hostile_check): the

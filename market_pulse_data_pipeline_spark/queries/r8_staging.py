@@ -581,3 +581,150 @@ def eval_decontaminate_exact_ngrams(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# boilerplate_sentence_removal (round-8 addition #3)
+# --------------------------------------------------------------------
+
+_BP_W = 10  # tokens per pseudo-sentence (sentence_dedup_profile's unit)
+_BP_DF = 5  # boilerplate gate: sentence in > 5 DISTINCT documents
+_BP_MOD = 7  # doc_id % 7 == 0 carries the planted site banner
+# exactly 10 tokens, so the planted banner IS pseudo-sentence 0 of
+# every planted doc and the original text's window grid shifts intact
+_BP_BANNER = (
+    "subscribe now terms of service privacy policy applies all rights"
+)
+
+
+@register(
+    "boilerplate_sentence_removal",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_BP_MOD} = 0
+                  THEN '{_BP_BANNER} ' || text ELSE text END AS text
+      FROM documents
+    ),
+    sents AS (
+      SELECT doc_id,
+             CAST((g.start - 1) / {_BP_W} AS INTEGER) AS sent_id,
+             array_to_string(list_slice(ws, g.start,
+                                        g.start + {_BP_W} - 1), ' ')
+               AS sent_text
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+           UNNEST(generate_series(1, len(ws), {_BP_W})) AS g(start)
+    ),
+    dfc AS (
+      SELECT md5(sent_text) AS h, COUNT(DISTINCT doc_id) AS df
+      FROM sents GROUP BY 1
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.sent_id, s.sent_text,
+             d.df > {_BP_DF} AS is_bp,
+             len(string_split(s.sent_text, ' ')) AS n_toks
+      FROM sents s JOIN dfc d ON md5(s.sent_text) = d.h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sents,
+           CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN is_bp THEN 0 ELSE n_toks END) AS BIGINT)
+             AS n_tokens_clean,
+           md5(COALESCE(string_agg(CASE WHEN is_bp THEN NULL
+                                        ELSE sent_text END,
+                                   ' ' ORDER BY sent_id), ''))
+             AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="boilerplate sentence removal — the cleanup ACTION "
+    "sentence_dedup_profile only diagnoses (CCNet/C4 strip repeated "
+    "site furniture before dedup and quality scoring): any 10-token "
+    "pseudo-sentence appearing in > 5 DISTINCT documents is "
+    "boilerplate; strip it everywhere and reassemble each document "
+    "from its surviving sentences in order. A planted 10-token site "
+    "banner prefixed onto every doc_id % 7 == 0 doc witnesses the "
+    "contract (banner df >> gate, so every planted doc MUST lose "
+    "sentence 0 and unplanted text passes through byte-identical — "
+    "both pinned in tests). Emits per doc: sentence count, removed "
+    "count, surviving token count, and md5 of the reassembled text "
+    "(hash-comparable without shipping full text through the "
+    "harness). 100 TB shape: one aggregate keyed on the 16-byte "
+    "sentence digest (uniformly distributed, no skew) finds the "
+    "boilerplate set, which is TINY by construction (df > 5 means "
+    "|set| <= corpus_sentences / 5) and broadcasts; the flag join is "
+    "then map-only and the reassembly is ONE doc-keyed aggregate — "
+    "two shuffles total, text shuffled once.",
+)
+def boilerplate_sentence_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _BP_MOD == 0,
+            F.concat(F.lit(_BP_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split("text", " ")
+    sents = src.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(_BP_W))
+        ).alias("start"),
+        toks.alias("tk"),
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / _BP_W).cast("int").alias("sent_id"),
+        F.array_join(
+            F.slice(F.col("tk"), F.col("start"), _BP_W), " "
+        ).alias("sent_text"),
+    ).withColumn("h", F.md5(F.col("sent_text").cast("binary")))
+    # the boilerplate set is small by construction (each member needs
+    # > _BP_DF distinct docs), so it broadcasts and the flag join on
+    # the full sentence stream stays map-only
+    bp = (
+        sents.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > _BP_DF)
+        .select("h", F.lit(True).alias("is_bp"))
+    )
+    flagged = sents.join(F.broadcast(bp), "h", "left").select(
+        "doc_id",
+        "sent_id",
+        "sent_text",
+        F.coalesce(F.col("is_bp"), F.lit(False)).alias("is_bp"),
+        F.size(F.split("sent_text", " ")).alias("n_toks"),
+    )
+    # collect_list skips the NULLs when() leaves on boilerplate rows,
+    # so the sort+join reassembles exactly the surviving sentences
+    kept_sent = F.when(
+        ~F.col("is_bp"), F.struct("sent_id", "sent_text")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sents"),
+            F.sum(F.when(F.col("is_bp"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("is_bp"), 0).otherwise(F.col("n_toks")))
+            .cast("long")
+            .alias("n_tokens_clean"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_sent)),
+                        lambda s: s["sent_text"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -15,9 +15,10 @@ R8_NAMES = [
     "ccnet_perplexity_buckets",
     "mixture_temperature_weights",
     "winnowing_fingerprint_pairs",
-    # the round-8 additions (VERDICT r7 item 6a/6c)
+    # the round-8 additions (VERDICT r7 item 6a/6c + boilerplate)
     "eval_decontaminate_exact_ngrams",
     "winnowing_cluster_dedup",
+    "boilerplate_sentence_removal",
 ]
 
 
@@ -190,3 +191,46 @@ def test_winnowing_clusters_join_planted_tails(spark, sf_dir):
         assert len(kept) == 1
         assert kept[0]["doc_id"] == min(r["doc_id"] for r in rs) == cid
         assert all(r["cluster_size"] == len(rs) for r in rs)
+
+
+def test_boilerplate_removal_strips_banner_and_nothing_else(spark, sf_dir):
+    from market_pulse_data_pipeline_spark.queries.r8_staging import (
+        _BP_MOD,
+        _BP_W,
+    )
+
+    rows = (
+        QUERY_REGISTRY["boilerplate_sentence_removal"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    originals = duckdb.connect().execute(
+        f"SELECT doc_id, text, md5(text),"
+        f" len(string_split(text, ' ')),"
+        f" CAST(CEIL(len(string_split(text, ' ')) / {_BP_W}.0) AS INT)"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    assert len(by_id) == len(originals)
+    for doc_id, _text, orig_md5, n_toks, n_windows in originals:
+        r = by_id[doc_id]
+        if doc_id % _BP_MOD == 0:
+            # the planted banner is exactly pseudo-sentence 0 and MUST
+            # strip (its df is the planted-doc count >> the gate)
+            assert r["n_removed"] >= 1, r
+            assert r["n_sents"] == n_windows + 1, r
+            if r["n_removed"] == 1:
+                # banner-only removal: the 10-token prefix shifts the
+                # window grid by one whole window, so the reassembled
+                # text is byte-identical to the original document
+                assert r["clean_md5"] == orig_md5, r
+                assert r["n_tokens_clean"] == n_toks, r
+        else:
+            assert r["n_sents"] == n_windows, r
+            if r["n_removed"] == 0:
+                # no boilerplate -> byte-identical passthrough
+                assert r["clean_md5"] == orig_md5, r
+                assert r["n_tokens_clean"] == n_toks, r
+        assert r["n_removed"] <= r["n_sents"]
+        assert r["n_tokens_clean"] <= n_toks + _BP_W

@@ -88,8 +88,8 @@ def test_ledger_is_closed_and_additions_defer():
     assert not set(_R9_DEFER) & set(_DRIVER_GREEN)
     assert not set(_R9_DEFER) & set(_R8_WINDOW)
     # 250 round-7 registry + 3 round-8 registrations of the staged
-    # batch + 2 round-8 additions
-    assert len(QUERY_REGISTRY) == 255
+    # batch + 3 round-8 additions
+    assert len(QUERY_REGISTRY) == 256
     # tier-1 names (positions 50..) are exactly the deferral list, in
     # order — new operators never displace a verified window slot
     assert list(all_queries())[50:50 + len(_R9_DEFER)] == _R9_DEFER
