@@ -47,73 +47,63 @@ from market_pulse_data_pipeline_spark.queries import r8_staging  # noqa: F401, E
 # list) go to the very head, so new operators get their first witness
 # exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R9_DEFER` — new operators land
+# never-witnessed registrations (`_R10_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
 #
-# Round-8 window (VERDICT.md round 7 "Next round" #1): exactly what
-# round 7's pinned r8_rotation() computed — the 9 round-7
-# registrations taking their FIRST driver witness, then the 41
-# remaining r3 rows, in original witness-window order. Pinned
-# literally so any registry or ledger edit that would shift the
-# driver's snapshot fails tests/test_window_composition.py loudly.
-_R8_WINDOW = [
-    # first driver witness for the nine round-7 registrations (the
-    # LLM-pipeline surface lands its CORRECTNESS rows here)
-    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
-    "kcenter_diversity_sample", "colbert_maxsim_topk",
-    "incremental_near_dup_lsh", "bpe_encode_corpus",
-    "quality_threshold_sweep", "bpe_fertility_by_lang",
-    # then the 41 remaining CORRECTNESS_r03 rows (original order)
-    "weekly_ohlc", "embedding_int8_quantize", "streaming_ingest_upsert",
-    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
-    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
-    "set_ops_nations", "except_user_event_pairs", "lag_lead_weekly",
-    "regr_slope_by_event_type", "value_histogram_by_event_type",
-    "corr_quantity_price_by_flag", "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit", "tpch_q11_important_stock",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_suppliers",
-    "exact_substring_spans", "label_centroid_pairwise_cosine",
-    "session_window_native", "retention_cohorts",
-    "event_funnel_signup_purchase", "media_frame_sample",
-    "numeric_functions_suite", "zscore_outliers", "bool_aggregates",
-    "variance_by_event_type", "regex_extract_props",
-    "percentiles_by_event_type", "approx_distinct_parts",
-    "collect_sorted_event_types", "string_functions_suite",
-    "date_functions_suite", "approx_percentiles_events",
-    "full_outer_reconciliation", "array_functions_suite",
+# Round-9 window (VERDICT.md round 8 "Next round" #1): exactly what
+# round 8's pinned r9_rotation() computed — the 6 round-8
+# registrations taking their FIRST driver witness (CORRECTNESS_r08
+# was 50/50 green, so no red row outranks the rotation), then the 44
+# stalest green rows (the CORRECTNESS_r04 ledger head, original
+# witness-window order). Pinned literally so any registry or ledger
+# edit that would shift the driver's snapshot fails
+# tests/test_window_composition.py loudly.
+_R9_WINDOW = [
+    # first driver witness for the six round-8 registrations
+    "ccnet_perplexity_buckets", "mixture_temperature_weights",
+    "winnowing_fingerprint_pairs", "eval_decontaminate_exact_ngrams",
+    "winnowing_cluster_dedup", "boilerplate_sentence_removal",
+    # then the 44 stalest greens (CORRECTNESS_r04 head, original order)
+    "sessionization", "running_distinct_event_types",
+    "hourly_activity_bitmask", "source_mixture_weights",
+    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
+    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
+    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
+    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
+    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
+    "rsi_14_daily_revenue", "max_drawdown_summary",
+    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
+    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
+    "quantile_normalize_value", "kwic_concordance",
+    "dedup_survivor_policy", "dedup_prefix_filter_join",
+    "matryoshka_truncation_quality", "contrastive_negative_sampling",
+    "event_type_transition_matrix", "funnel_multi_step",
+    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
+    "rank_functions_suite", "grouping_sets_flags",
+    "profile_columns_lineitem", "skew_heavy_hitters",
+    "streaming_dedup_watermark", "streaming_interval_join_attribution",
+    "streaming_stateful_user_stats", "streaming_static_enrich",
+    "vocab_top_tokens",
 ]
 
 # the window head: names taking their FIRST driver row this round —
-# they join _DRIVER_GREEN (round 8) at the next rotation
-_R8_FIRST_WITNESS = _R8_WINDOW[:9]
+# they join _DRIVER_GREEN (round 9) at the next rotation
+_R9_FIRST_WITNESS = _R9_WINDOW[:6]
 
-# Round-8 registrations, deferred to the round-9 window per the
-# round-4 displacement rule (additions never displace a verified
-# window). These names order tier 1 (driver positions 51+) and head
-# r9_rotation() so their first driver row lands next round. The three
-# staged operators were implemented + triple-gated in round 7
-# (queries/r8_staging.py) and registered here per VERDICT r7 item 2.
-_R9_DEFER: list[str] = [
-    "ccnet_perplexity_buckets",
-    "mixture_temperature_weights",
-    "winnowing_fingerprint_pairs",
-    # round-8 additions (the <=3 budget, VERDICT r7 item 6): the
-    # production eval-set decontamination drop, the winnowing
-    # fingerprints composed into dedup clusters, and the boilerplate
-    # cleanup action sentence_dedup_profile only diagnoses
-    "eval_decontaminate_exact_ngrams",
-    "winnowing_cluster_dedup",
-    "boilerplate_sentence_removal",
-]
+# Round-9 registrations awaiting deferral to the round-10 window per
+# the round-4 displacement rule (additions never displace a verified
+# window). Round 9 stages its candidates in queries/r9_staging.py
+# WITHOUT registering them (VERDICT r8 item 6: registration is a
+# round-10 flip), so this list is empty until that flip.
+_R10_DEFER: list[str] = []
 
 # stable alias for tools (check_oracle --staged, hostile_check): the
 # newest registrations still awaiting their first driver witness —
 # points at the current round's deferral list so the tools never need
 # a per-round rename again
-PENDING_FIRST_WITNESS = _R9_DEFER
+PENDING_FIRST_WITNESS = _R10_DEFER
 
 
 def staging_candidates():
@@ -291,19 +281,49 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "minhash_lsh_portable", "asof_join_latest_anchor",
     "range_join_price_bands", "rolling_avg_7rows",
 ], 7))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r08.json — 50/50 green (the round-8 window, verbatim
+    # order: the 9 round-7 registrations taking their first driver
+    # witness, then the 41 remaining r3 re-witnesses). dict.update
+    # keeps the 41 re-witnesses at their original insertion positions
+    # and appends the 9 first-witness names at the end — exactly the
+    # shape round 8's r9_rotation() pre-computed.
+    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
+    "kcenter_diversity_sample", "colbert_maxsim_topk",
+    "incremental_near_dup_lsh", "bpe_encode_corpus",
+    "quality_threshold_sweep", "bpe_fertility_by_lang",
+    "weekly_ohlc", "embedding_int8_quantize", "streaming_ingest_upsert",
+    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
+    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
+    "set_ops_nations", "except_user_event_pairs", "lag_lead_weekly",
+    "regr_slope_by_event_type", "value_histogram_by_event_type",
+    "corr_quantity_price_by_flag", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_suppliers",
+    "exact_substring_spans", "label_centroid_pairwise_cosine",
+    "session_window_native", "retention_cohorts",
+    "event_funnel_signup_purchase", "media_frame_sample",
+    "numeric_functions_suite", "zscore_outliers", "bool_aggregates",
+    "variance_by_event_type", "regex_extract_props",
+    "percentiles_by_event_type", "approx_distinct_parts",
+    "collect_sorted_event_types", "string_functions_suite",
+    "date_functions_suite", "approx_percentiles_events",
+    "full_outer_reconciliation", "array_functions_suite",
+], 8))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R9_DEFER`` order — after the window, so new
+    registrations (``_R10_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R8_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R9_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R9_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R10_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -319,29 +339,29 @@ def all_queries():
 
 def stalest_green(window: int = 50) -> list[str]:
     """The stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R8_WINDOW``'s tail is
-    this round's pinned snapshot of exactly ``stalest_green(41)`` (a
-    regression test keeps them in lockstep; the window head is the 9
+    ledger-insertion order within a round. ``_R9_WINDOW``'s tail is
+    this round's pinned snapshot of exactly ``stalest_green(44)`` (a
+    regression test keeps them in lockstep; the window head is the 6
     first-witness names, which have no green row yet)."""
     order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
     stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
     return stale[:window]
 
 
-def r9_rotation(window: int = 50) -> list[str]:
-    """The proposed round-9 window under the steady-state cadence:
-    never-witnessed round-8 registrations (``_R9_DEFER``) at the head
-    — new operators get their first driver row the round after they
-    land — then the stalest greens assuming this round's window lands
-    green (its 41 re-witnesses move to round 8 and its 9 first-witness
-    names enter the ledger at round 8). Any r08 RED row outranks all
+def r10_rotation(window: int = 50) -> list[str]:
+    """The proposed round-10 window under the steady-state cadence:
+    never-witnessed round-9 registrations (``_R10_DEFER`` — empty
+    until the r9_staging batch flips to @register in round 10) at the
+    head, then the stalest greens assuming this round's window lands
+    green (its 44 re-witnesses move to round 9 and its 6 first-witness
+    names enter the ledger at round 9). Any r09 RED row outranks all
     of this and goes to the very front instead (red beats rotation)."""
-    never = [n for n in _R9_DEFER if n in QUERY_REGISTRY]
-    after_r8 = dict(_DRIVER_GREEN)
-    # update() keeps existing positions for the 41 re-witnesses and
-    # appends the 9 first-witness names at the end in window order —
+    never = [n for n in _R10_DEFER if n in QUERY_REGISTRY]
+    after_r9 = dict(_DRIVER_GREEN)
+    # update() keeps existing positions for the 44 re-witnesses and
+    # appends the 6 first-witness names at the end in window order —
     # the same shape next round's literal ledger edit will produce
-    after_r8.update(dict.fromkeys(_R8_WINDOW, 8))
-    order = {n: i for i, n in enumerate(after_r8)}
-    stale = sorted(after_r8, key=lambda n: (after_r8[n], order[n]))
+    after_r9.update(dict.fromkeys(_R9_WINDOW, 9))
+    order = {n: i for i, n in enumerate(after_r9)}
+    stale = sorted(after_r9, key=lambda n: (after_r9[n], order[n]))
     return (never + stale)[:window]

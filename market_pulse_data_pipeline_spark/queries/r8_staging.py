@@ -2,8 +2,9 @@
 (implementations, DuckDB value-hash oracles, and pytest semantic pins
 landed then; registration deferred so the round-7 addition budget
 stayed at ≤3), registered here per VERDICT round-7 item 2. The names
-sit on ``_R9_DEFER`` (queries/__init__.py), so their first driver
-witness lands in round 9 without displacing a verified window slot.
+head the round-9 window (``_R9_FIRST_WITNESS``, queries/__init__.py),
+taking their first driver witness without having displaced a verified
+window slot in round 8.
 
 All extend the LLM-training-data surface with famous pipeline steps
 the registry did not yet cover:

@@ -26,13 +26,13 @@ R7_NAMES = [
 ]
 
 
-def test_r7_rows_are_registered_and_take_first_witness():
-    from market_pulse_data_pipeline_spark.queries import _R8_FIRST_WITNESS
+def test_r7_rows_are_registered_and_driver_green():
+    from market_pulse_data_pipeline_spark.queries import _DRIVER_GREEN
 
     assert set(R7_NAMES) <= set(QUERY_REGISTRY)
-    # the six head the round-8 window's first-witness block; the three
-    # later round-7 additions follow
-    assert _R8_FIRST_WITNESS[: len(R7_NAMES)] == R7_NAMES
+    # the round-7 batch took its first driver witness in round 8
+    # (CORRECTNESS_r08 head, all green) and now lives in the ledger
+    assert all(_DRIVER_GREEN.get(n) == 8 for n in R7_NAMES)
 
 
 @pytest.mark.parametrize("table,offset", [

@@ -22,12 +22,12 @@ R8_NAMES = [
 ]
 
 
-def test_r8_rows_are_registered_and_deferred():
-    from market_pulse_data_pipeline_spark.queries import _R9_DEFER
+def test_r8_rows_are_registered_and_take_first_witness():
+    from market_pulse_data_pipeline_spark.queries import _R9_FIRST_WITNESS
 
     assert set(R8_NAMES) <= set(QUERY_REGISTRY)
-    # they await their first driver witness in the round-9 window
-    assert _R9_DEFER == R8_NAMES
+    # they take their first driver witness at the round-9 window head
+    assert _R9_FIRST_WITNESS == R8_NAMES
 
 
 @pytest.mark.parametrize("name", sorted(R8_NAMES))

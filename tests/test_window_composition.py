@@ -12,60 +12,61 @@ the same commit.
 
 from market_pulse_data_pipeline_spark.queries import (
     _DRIVER_GREEN,
-    _R8_FIRST_WITNESS,
-    _R8_WINDOW,
-    _R9_DEFER,
+    _R9_FIRST_WITNESS,
+    _R9_WINDOW,
+    _R10_DEFER,
     QUERY_REGISTRY,
     all_queries,
-    r9_rotation,
+    r10_rotation,
     stalest_green,
 )
 
-# Round-8 rotation (VERDICT round-7 item 1): byte-for-byte what
-# round 7's pinned r8_rotation() computed — the nine round-7
-# registrations taking their FIRST driver witness (the LLM-pipeline
-# surface), then the 41 remaining CORRECTNESS_r03 rows, stalest
-# witness first, original window order within the round.
+# Round-9 rotation (VERDICT round-8 item 1): byte-for-byte what
+# round 8's pinned r9_rotation() computed — the six round-8
+# registrations taking their FIRST driver witness, then the 44
+# stalest greens (the CORRECTNESS_r04 ledger head), stalest witness
+# first, original window order within the round.
 EXPECTED_WINDOW = [
-    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
-    "kcenter_diversity_sample", "colbert_maxsim_topk",
-    "incremental_near_dup_lsh", "bpe_encode_corpus",
-    "quality_threshold_sweep", "bpe_fertility_by_lang",
-    "weekly_ohlc", "embedding_int8_quantize", "streaming_ingest_upsert",
-    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
-    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
-    "set_ops_nations", "except_user_event_pairs", "lag_lead_weekly",
-    "regr_slope_by_event_type", "value_histogram_by_event_type",
-    "corr_quantity_price_by_flag", "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit", "tpch_q11_important_stock",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_suppliers",
-    "exact_substring_spans", "label_centroid_pairwise_cosine",
-    "session_window_native", "retention_cohorts",
-    "event_funnel_signup_purchase", "media_frame_sample",
-    "numeric_functions_suite", "zscore_outliers", "bool_aggregates",
-    "variance_by_event_type", "regex_extract_props",
-    "percentiles_by_event_type", "approx_distinct_parts",
-    "collect_sorted_event_types", "string_functions_suite",
-    "date_functions_suite", "approx_percentiles_events",
-    "full_outer_reconciliation", "array_functions_suite",
+    "ccnet_perplexity_buckets", "mixture_temperature_weights",
+    "winnowing_fingerprint_pairs", "eval_decontaminate_exact_ngrams",
+    "winnowing_cluster_dedup", "boilerplate_sentence_removal",
+    "sessionization", "running_distinct_event_types",
+    "hourly_activity_bitmask", "source_mixture_weights",
+    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
+    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
+    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
+    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
+    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
+    "rsi_14_daily_revenue", "max_drawdown_summary",
+    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
+    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
+    "quantile_normalize_value", "kwic_concordance",
+    "dedup_survivor_policy", "dedup_prefix_filter_join",
+    "matryoshka_truncation_quality", "contrastive_negative_sampling",
+    "event_type_transition_matrix", "funnel_multi_step",
+    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
+    "rank_functions_suite", "grouping_sets_flags",
+    "profile_columns_lineitem", "skew_heavy_hitters",
+    "streaming_dedup_watermark", "streaming_interval_join_attribution",
+    "streaming_stateful_user_stats", "streaming_static_enrich",
+    "vocab_top_tokens",
 ]
 
 
 def test_window_is_the_verified_composition():
     assert list(all_queries())[:50] == EXPECTED_WINDOW
-    assert _R8_WINDOW == EXPECTED_WINDOW
+    assert _R9_WINDOW == EXPECTED_WINDOW
 
 
 def test_window_head_is_first_witness_then_stalest_green():
     # the pinned window and the cadence computation stay in lockstep:
     # a ledger edit that would shift the driver's snapshot fails here
-    assert _R8_FIRST_WITNESS == _R8_WINDOW[:9]
-    assert _R8_WINDOW[9:] == stalest_green(41)
+    assert _R9_FIRST_WITNESS == _R9_WINDOW[:6]
+    assert _R9_WINDOW[6:] == stalest_green(44)
     # the head takes its FIRST driver row this round — no prior witness
-    assert not set(_R8_FIRST_WITNESS) & set(_DRIVER_GREEN)
-    # the re-witness tail rotates: all of it was last witnessed round 3
-    assert all(_DRIVER_GREEN[n] == 3 for n in _R8_WINDOW[9:])
+    assert not set(_R9_FIRST_WITNESS) & set(_DRIVER_GREEN)
+    # the re-witness tail rotates: all of it was last witnessed round 4
+    assert all(_DRIVER_GREEN[n] == 4 for n in _R9_WINDOW[6:])
 
 
 def test_window_has_full_oracles():
@@ -78,30 +79,31 @@ def test_window_has_full_oracles():
 
 def test_ledger_is_closed_and_additions_defer():
     # Steady-state invariant: every registered query is driver-green,
-    # in this round's first-witness head, or a deferred round-8
-    # registration awaiting its first row. A registration missing from
-    # _R9_DEFER lands in tier 1 with rank len(_R9_DEFER) — caught
-    # here, not silently shuffled into the window.
+    # in this round's first-witness head, or a deferred registration
+    # awaiting its first row. A registration missing from _R10_DEFER
+    # lands in tier 1 with rank len(_R10_DEFER) — caught here, not
+    # silently shuffled into the window.
     assert set(QUERY_REGISTRY) == (
-        set(_DRIVER_GREEN) | set(_R8_FIRST_WITNESS) | set(_R9_DEFER)
+        set(_DRIVER_GREEN) | set(_R9_FIRST_WITNESS) | set(_R10_DEFER)
     )
-    assert not set(_R9_DEFER) & set(_DRIVER_GREEN)
-    assert not set(_R9_DEFER) & set(_R8_WINDOW)
-    # 250 round-7 registry + 3 round-8 registrations of the staged
-    # batch + 3 round-8 additions
+    assert not set(_R10_DEFER) & set(_DRIVER_GREEN)
+    assert not set(_R10_DEFER) & set(_R9_WINDOW)
+    # steady-state registry: 256 round-8 names; round 9 stages its
+    # candidates unregistered (r9_staging), so the count holds
     assert len(QUERY_REGISTRY) == 256
     # tier-1 names (positions 50..) are exactly the deferral list, in
     # order — new operators never displace a verified window slot
-    assert list(all_queries())[50:50 + len(_R9_DEFER)] == _R9_DEFER
+    assert list(all_queries())[50:50 + len(_R10_DEFER)] == _R10_DEFER
 
 
-def test_round8_ledger_arithmetic():
-    assert len(_R8_WINDOW) == 50
-    assert len(set(_R8_WINDOW)) == 50
-    # the 41 re-witnesses all have existing green rows
-    assert all(n in _DRIVER_GREEN for n in _R8_WINDOW[9:])
-    # the round-7 re-witness window landed in the ledger at round 7
-    assert sum(1 for v in _DRIVER_GREEN.values() if v == 7) == 50
+def test_round9_ledger_arithmetic():
+    assert len(_R9_WINDOW) == 50
+    assert len(set(_R9_WINDOW)) == 50
+    # the 44 re-witnesses all have existing green rows
+    assert all(n in _DRIVER_GREEN for n in _R9_WINDOW[6:])
+    # the round-8 window landed in the ledger at round 8: 41
+    # re-witnesses refreshed + 9 first-witness names entered
+    assert sum(1 for v in _DRIVER_GREEN.values() if v == 8) == 50
 
 
 def test_rows_only_floor():
@@ -111,19 +113,20 @@ def test_rows_only_floor():
     assert rows_only == set()
 
 
-def test_r9_rotation_defers_then_rotates():
-    # the proposed round-9 window: never-witnessed round-8
-    # registrations first, then the stalest greens assuming this
-    # round's window lands green (r4 rows continue the rotation).
-    rot = r9_rotation()
+def test_r10_rotation_defers_then_rotates():
+    # the proposed round-10 window: never-witnessed round-9
+    # registrations first (empty until the r9_staging batch flips to
+    # @register), then the stalest greens assuming this round's window
+    # lands green (r4 survivors + the head of r5 continue the rotation).
+    rot = r10_rotation()
     assert len(rot) == 50
-    assert rot[: len(_R9_DEFER)] == _R9_DEFER
-    rest = rot[len(_R9_DEFER):]
-    after_r8 = dict(_DRIVER_GREEN)
-    after_r8.update(dict.fromkeys(_R8_WINDOW, 8))
-    # stalest-first: the r4 rows head the remainder
-    rounds = [after_r8[n] for n in rest]
+    assert rot[: len(_R10_DEFER)] == _R10_DEFER
+    rest = rot[len(_R10_DEFER):]
+    after_r9 = dict(_DRIVER_GREEN)
+    after_r9.update(dict.fromkeys(_R9_WINDOW, 9))
+    # stalest-first: the remaining r4 rows head the remainder
+    rounds = [after_r9[n] for n in rest]
     assert rounds == sorted(rounds)
     assert rounds[0] == 4
     # nothing in the proposal repeats this round's window
-    assert not set(rot) & set(_R8_WINDOW)
+    assert not set(rot) & set(_R9_WINDOW)
