@@ -119,8 +119,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -
     of a fuzzy-dedup pipeline."""
     comp = connected_components(pairs, id_a, id_b)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # Plain shuffle join, NOT a broadcast: `sizes` has one row per
+    # connected component, which is unbounded in corpus size (a 100 TB
+    # corpus of mostly-small clusters has ~N/2 components — tens of GB
+    # broadcast). Both sides are already keyed on `component`, so the
+    # sort-merge/shuffle-hash join reuses the groupBy's hash
+    # partitioning on the build side; AQE picks broadcast at runtime
+    # anyway when the component count is actually small.
     return (
-        comp.join(F.broadcast(sizes), "component")
+        comp.join(sizes, "component")
         .select(
             F.col("id").alias("doc_id"),
             F.col("component").alias("cluster_id"),

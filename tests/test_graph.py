@@ -39,6 +39,20 @@ def test_dedup_clusters_keep_one(spark):
     assert all(r.cluster_size == 3 for r in by_cluster[5])
 
 
+def test_dedup_clusters_sizes_join_is_not_hint_broadcast(spark):
+    # VERDICT r8 item 5: `sizes` has one row per connected component —
+    # unbounded in corpus size — so the size join must NOT carry an
+    # explicit broadcast hint (AQE may still pick broadcast at runtime
+    # when the component count is actually small; that's fine). Pin
+    # the analyzed plan hint-free so the unbounded broadcast can't
+    # silently come back.
+    edges = _edges(spark, [(5, 6), (6, 7), (30, 31)])
+    df = dedup_clusters(edges, "src", "dst")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed
+    assert "ResolvedHint" not in analyzed
+
+
 def test_dedup_clusters_on_planted_dups(spark, sf_dir):
     from market_pulse_data_pipeline_spark.queries import all_queries
 
