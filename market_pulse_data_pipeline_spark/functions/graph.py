@@ -3,10 +3,18 @@ clustering.
 
 Near-dup detection yields PAIRS; deduplication needs CLUSTERS (keep one
 representative per component of the similarity graph). Min-label
-propagation converges in O(graph diameter) iterations — each iteration
-is one join + groupBy, lineage truncated per round with localCheckpoint
-so plans don't grow unboundedly (the standard Spark iterative-algorithm
-hazard).
+propagation alone converges in O(graph diameter) rounds — fine for the
+shallow star/tail clusters near-dup graphs usually produce, but a
+copy-of-copy CHAIN has diameter ∝ length, and a fixed iteration cap
+would then mislabel silently. Each round therefore also applies one
+path-halving step (label ← label's label, the pointer-jumping half of
+the classic Shiloach-Vishkin / hash-to-min family), which makes label
+depth shrink geometrically: convergence in O(log diameter) rounds,
+measured in tools/stress_check.py (winnow_cluster_chain stage: a
+planted 1,600-hop chain converges inside the default cap). Each
+iteration is one neighbor join + groupBy + one self-join, lineage
+truncated per round with localCheckpoint so plans don't grow
+unboundedly (the standard Spark iterative-algorithm hazard).
 """
 
 from __future__ import annotations
@@ -22,7 +30,15 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(id, component) for every vertex; component = min vertex id in the
-    connected component. Converges when no label changes."""
+    connected component. Converges when no label changes.
+
+    Per round: (1) min over neighbor labels, (2) path halving — jump
+    every label to its label's own label. Labels only ever point to
+    smaller ids inside the same component, so halving is safe, and it
+    cuts label-chain depth geometrically: a diameter-D chain converges
+    in O(log D) rounds instead of D (with the default ``max_iter=20``
+    that covers diameters the pure propagation form would silently
+    mislabel)."""
     bidir = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
@@ -38,14 +54,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = verts.join(nbr, verts.id == nbr.src, "left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_component", F.col("component")),
+            ).alias("component"),
+        )
+        # path halving: component <- component's component. Every label
+        # IS a vertex id of the same component with a <= id, so the
+        # lookup always lands and never leaves the component.
+        lbl = stepped.select(
+            F.col("id").alias("l_id"), F.col("component").alias("l_comp")
+        )
         updated = (
-            verts.join(nbr, verts.id == nbr.src, "left")
+            stepped.join(lbl, stepped.component == lbl.l_id, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
+                F.coalesce("l_comp", "component").alias("component"),
             )
             .localCheckpoint()  # truncate lineage every round
         )

@@ -26,6 +26,17 @@ def test_connected_components_long_chain(spark):
     assert set(comp.values()) == {0}
 
 
+def test_connected_components_deep_chain_beyond_linear_cap(spark):
+    # a 200-hop chain has diameter 200 > max_iter=20: pure min-label
+    # propagation would silently stop early and mislabel the tail.
+    # The path-halving step makes rounds O(log D), so the default cap
+    # must label the WHOLE chain with component 0.
+    edges = _edges(spark, [(i, i + 1) for i in range(200)])
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 201
+
+
 def test_dedup_clusters_keep_one(spark):
     edges = _edges(spark, [(5, 6), (6, 7), (30, 31)])
     rows = dedup_clusters(edges, "src", "dst").collect()
