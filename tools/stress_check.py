@@ -1181,6 +1181,174 @@ def main() -> int:
             .filter(F.col("n_shared") >= _WN_T),
         )
 
+    # Eval-set decontamination (queries/r8_staging.py, round-8
+    # addition): the eval 13-gram set must collapse to a DISTINCT
+    # int64 set small enough to broadcast; the corpus side is a
+    # map-only gram scan + broadcast semijoin + one doc-keyed count.
+    # The eval set here grows WITH the corpus (doc_id % 53 of the
+    # multiplied docs), so the recorded gramset size charts the
+    # approach to the broadcast threshold: ~8 B/gram against the
+    # default 10 MB autoBroadcastJoinThreshold crosses at ~1.3M
+    # distinct grams, where bloom_filter_prejoin's sketch is the
+    # documented fallback (queries/r8_staging.py doc).
+    if only is None or "eval_decontam" in only:
+        from market_pulse_data_pipeline_spark.functions.dedup import (
+            _MERSENNE,
+            portable_hash60,
+        )
+        from market_pulse_data_pipeline_spark.queries.r8_staging import (
+            _DC_EVAL_MOD,
+            _DC_N,
+        )
+
+        docs_dc = mat(multiplied(
+            load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+        ), "docs_decontam")
+
+        def _grams_dc(df: DataFrame) -> DataFrame:
+            tk = df.select(
+                "doc_id", F.split("text", " ").alias("ws")
+            ).filter(F.size("ws") >= _DC_N)
+            h = lambda i: F.pmod(  # noqa: E731
+                portable_hash60(
+                    F.concat_ws(" ", F.slice(F.col("ws"), i, _DC_N))
+                ),
+                F.lit(_MERSENNE),
+            )
+            return tk.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (_DC_N - 1)), h
+                    )
+                ).alias("g"),
+            )
+
+        eval_grams_dc = (
+            _grams_dc(docs_dc.filter(F.col("doc_id") % _DC_EVAL_MOD == 0))
+            .select("g")
+            .distinct()
+        )
+        run("eval_decontam_gramset", eval_grams_dc)
+        train_dc = docs_dc.filter(F.col("doc_id") % _DC_EVAL_MOD != 0)
+        hits_dc = (
+            _grams_dc(train_dc)
+            .join(F.broadcast(eval_grams_dc), "g")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("n"))
+        )
+        run(
+            "eval_decontam",
+            train_dc.join(hits_dc, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n_eval_ngrams"),
+            ),
+        )
+
+    # Winnowing cluster dedup / connected components (round-8
+    # addition): propagation rounds vs cluster DIAMETER. Near-dup
+    # clusters are usually shallow stars, but copy-of-copy CHAINS have
+    # diameter ∝ length — a planted 16×mult-hop chain measures the
+    # path-halving guarantee (rounds O(log D), functions/graph.py).
+    # Recorded rows = MISLABELED vertices, which must be 0 at every
+    # multiplier; wall-clock grows ~log D + per-round job overhead.
+    if only is None or "cluster_chain" in only:
+        from market_pulse_data_pipeline_spark.functions.graph import (
+            dedup_clusters,
+        )
+
+        depth = 16 * args.mult
+        chain = spark.range(depth).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        # the propagation loop executes EAGERLY inside dedup_clusters
+        # (per-round localCheckpoint + convergence count), so time the
+        # construction too, not just the final filter job
+        t0_ch = time.time()
+        comp_ch = dedup_clusters(chain)
+        run("cluster_chain", comp_ch.filter(F.col("cluster_id") != 0))
+        timings["cluster_chain"] = round(time.time() - t0_ch, 2)
+
+    # Boilerplate sentence removal (round-8 addition) under a SKEWED
+    # boilerplate corpus: every 3rd doc carries the same global banner
+    # (banner df ∝ corpus size — the hot-key case), bodies are
+    # per-copy token-tagged so cross-copy identical text never
+    # inflates the df-gate artificially (same harness caveat as
+    # winnow_pairs). Watches: the df-gated boilerplate set stays
+    # bounded by true furniture (per-copy base-corpus repeats + the
+    # banner), and the flag-join + doc-keyed reassembly stay linear.
+    if only is None or "boilerplate_skew" in only:
+        from market_pulse_data_pipeline_spark.queries.r8_staging import (
+            _BP_BANNER,
+            _BP_DF,
+            _BP_W,
+        )
+
+        base_bp = load_table(spark, args.sf, "documents").select(
+            "doc_id", "text"
+        )
+        docs_bp = None
+        for i in range(args.mult):
+            c = base_bp.select(
+                (F.col("doc_id") + F.lit(i * _KEY_SPAN)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda tk: F.concat(tk, F.lit(f"_{i}")),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            docs_bp = c if docs_bp is None else docs_bp.unionByName(c)
+        docs_bp = mat(docs_bp, "docs_boilerplate_tagged")
+        src_bp = docs_bp.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(_BP_BANNER + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        toks_bp = F.split("text", " ")
+        sents_bp = src_bp.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks_bp), F.lit(_BP_W))
+            ).alias("start"),
+            toks_bp.alias("tk"),
+        ).select(
+            "doc_id",
+            ((F.col("start") - 1) / _BP_W).cast("int").alias("sent_id"),
+            F.array_join(
+                F.slice(F.col("tk"), F.col("start"), _BP_W), " "
+            ).alias("sent_text"),
+        ).withColumn("h", F.md5(F.col("sent_text").cast("binary")))
+        bp_set = (
+            sents_bp.groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") > _BP_DF)
+            .select("h", F.lit(True).alias("is_bp"))
+        )
+        run("boilerplate_bpset", bp_set)
+        flagged_bp = sents_bp.join(F.broadcast(bp_set), "h", "left").select(
+            "doc_id",
+            F.coalesce(F.col("is_bp"), F.lit(False)).alias("is_bp"),
+            F.size(F.split("sent_text", " ")).alias("n_toks"),
+        )
+        run(
+            "boilerplate_skew",
+            flagged_bp.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_sents"),
+                F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).alias(
+                    "n_removed"
+                ),
+                F.sum(
+                    F.when(F.col("is_bp"), 0).otherwise(F.col("n_toks"))
+                ).alias("n_tokens_clean"),
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
