@@ -26,6 +26,46 @@ def test_connected_components_long_chain(spark):
     assert set(comp.values()) == {0}
 
 
+def _union_find_components(pairs):
+    """Pure-Python reference: min vertex id per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    # property check for the path-halving rewrite: on seeded random
+    # graphs (mixed stars, chains, cliques, isolated pairs), the
+    # distributed min-label + halving loop must agree exactly with a
+    # sequential union-find
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        n = 120
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        expected = _union_find_components(pairs)
+        edges = _edges(spark, pairs)
+        got = {
+            r.id: r.component for r in connected_components(edges).collect()
+        }
+        assert got == expected, f"trial {trial} diverged from union-find"
+
+
 def test_connected_components_deep_chain_beyond_linear_cap(spark):
     # a 200-hop chain has diameter 200 > max_iter=20: pure min-label
     # propagation would silently stop early and mislabel the tail.
