@@ -107,15 +107,27 @@ PENDING_FIRST_WITNESS = _R10_DEFER
 
 
 def staging_candidates():
-    """The NEXT round's pre-registration staging dict (name ->
-    QueryDef) — empty between registering one staging module and
-    landing the next. Stable entry point for check_oracle --staging /
-    hostile_check --staging, so the tools survive per-round renames."""
-    try:
-        from market_pulse_data_pipeline_spark.queries import r9_staging
-        return dict(r9_staging.STAGED)
-    except ImportError:
-        return {}
+    """Every staged-but-unregistered query (name -> QueryDef), merged
+    across staging modules — round 9 pre-staged BOTH the round-10
+    batch (r9_staging) and the round-11 batch (r10_staging), so the
+    tools sweep both until each registers. Filtering on
+    QUERY_REGISTRY makes the per-round @stage -> @register flip drop
+    a batch out of this view automatically. Stable entry point for
+    check_oracle --staging / hostile_check --staging."""
+    import importlib
+
+    out = {}
+    for modname in ("r9_staging", "r10_staging", "r11_staging"):
+        try:
+            mod = importlib.import_module(
+                f"market_pulse_data_pipeline_spark.queries.{modname}"
+            )
+        except ImportError:
+            continue
+        out.update(
+            {n: d for n, d in mod.STAGED.items() if n not in QUERY_REGISTRY}
+        )
+    return out
 
 # name -> latest CORRECTNESS_r{N}.json round with a green driver row.
 # Insertion order within a round is the original witness-window order;
