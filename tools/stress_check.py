@@ -1349,6 +1349,261 @@ def main() -> int:
             ),
         )
 
+    # helper for the staged text operators: per-copy token-tagged
+    # multiplication (cross-copy identical text would otherwise read
+    # as true duplication to any EXACT-match stage — same caveat as
+    # winnow_pairs / boilerplate_skew)
+    def tagged_docs(cache_name: str) -> DataFrame:
+        base = load_table(spark, args.sf, "documents").select(
+            "doc_id", "lang", "source", "text", "n_chars"
+        )
+        out = None
+        for i in range(args.mult):
+            c = base.select(
+                (F.col("doc_id") + F.lit(i * _KEY_SPAN)).alias("doc_id"),
+                "lang",
+                "source",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda tk: F.concat(tk, F.lit(f"_{i}")),
+                    ),
+                    " ",
+                ).alias("text"),
+                "n_chars",
+            )
+            out = c if out is None else out.unionByName(c)
+        return mat(out, cache_name)
+
+    # Gopher repetition filters (staged round 9): line/paragraph dup
+    # fractions are pure map-side array expressions; the ONLY shuffle
+    # is the (doc, n, gram) mode aggregate with map-side combine.
+    # Within-doc semantics — plain key-remapped multiplication is
+    # honest here (no cross-doc matching at all). Must scale linearly
+    # in token count.
+    if only is None or "gopher_filters" in only:
+        from market_pulse_data_pipeline_spark.queries.r9_staging import (
+            STAGED as _R9_STAGED,
+        )
+
+        docs_gr = mat(multiplied(
+            load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+        ), "docs_gopher")
+        # rebuild the staged query's plan over the multiplied corpus
+        # by monkey-swapping its table load is brittle; inline the
+        # same shape instead (line stats map-only + tagged gram mode)
+        toks_gr = docs_gr.select("doc_id", F.split("text", " ").alias("ws"))
+        lines_gr = F.expr(
+            "transform(sequence(0, (size(ws) + 9) div 10 - 1),"
+            " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))"
+        )
+        struct_gr = toks_gr.select(
+            "doc_id",
+            F.size("ws").alias("n_tokens"),
+            F.size(lines_gr).alias("n_lines"),
+            F.size(F.array_distinct(lines_gr)).alias("d_lines"),
+        )
+        grams_gr = None
+        for gl in (2, 3, 4):
+            part = toks_gr.filter(F.size("ws") >= gl).select(
+                "doc_id",
+                F.lit(gl).alias("gl"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(ws) - {gl}),"
+                        f" i -> concat_ws(' ', slice(ws, i + 1, {gl})))"
+                    )
+                ).alias("gm"),
+            )
+            grams_gr = part if grams_gr is None else grams_gr.unionByName(part)
+        top_gr = (
+            grams_gr.groupBy("doc_id", "gl", "gm")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id", "gl")
+            .agg(F.max("c").alias("topc"))
+            .groupBy("doc_id")
+            .agg(F.max("topc").alias("topmax"))
+        )
+        run("gopher_filters", struct_gr.join(top_gr, "doc_id"))
+        _ = _R9_STAGED  # imported to assert the staged module loads
+
+    # Fuzzy eval decontamination (staged round 9): eval side tiny and
+    # broadcast (band entries + shingle arrays); corpus side one
+    # map-only signature pass + band-keyed broadcast join; exact
+    # verification on candidates only. Token-tagged corpus so
+    # cross-copy identical text never fabricates candidates.
+    if only is None or "fuzzy_decontam" in only:
+        from market_pulse_data_pipeline_spark.functions.dedup import (
+            hashed_shingle_arrays,
+            minhash_signatures_from_hashes,
+        )
+        from market_pulse_data_pipeline_spark.queries.r9_staging import (
+            _FZ_BANDS,
+            _FZ_EVAL_MOD,
+            _FZ_N,
+            _FZ_PERM,
+            _FZ_ROWS,
+        )
+
+        docs_fz = tagged_docs("docs_fuzzy_tagged")
+        evald_fz = docs_fz.filter(F.col("doc_id") % _FZ_EVAL_MOD == 0)
+        train_fz = docs_fz.filter(F.col("doc_id") % _FZ_EVAL_MOD != 0)
+        th_fz = hashed_shingle_arrays(train_fz, "text", _FZ_N)
+        eh_fz = hashed_shingle_arrays(evald_fz, "text", _FZ_N)
+        tsig_fz = minhash_signatures_from_hashes(th_fz, "hs", _FZ_PERM)
+        esig_fz = minhash_signatures_from_hashes(eh_fz, "hs", _FZ_PERM)
+
+        def _bands_fz(sig):
+            entries = F.transform(
+                F.sequence(F.lit(0), F.lit(_FZ_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * _FZ_ROWS + 1, _FZ_ROWS)
+                    ).alias("bucket"),
+                ),
+            )
+            return sig.select(
+                "doc_id", F.explode(entries).alias("e")
+            ).select("doc_id", "e.band", "e.bucket")
+
+        cand_fz = (
+            _bands_fz(tsig_fz)
+            .join(
+                F.broadcast(
+                    _bands_fz(esig_fz).withColumnRenamed(
+                        "doc_id", "eval_doc_id"
+                    )
+                ),
+                ["band", "bucket"],
+            )
+            .select("doc_id", "eval_doc_id")
+            .distinct()
+        )
+        run("fuzzy_decontam", cand_fz)
+
+    # Exact-substring trim (staged round 9 for round 11): duplicated
+    # windows via ONE digest aggregate, cut positions fan out ONLY
+    # from duplicated shingles (bounded by true duplication), doc-
+    # keyed reassembly. Token-tagged corpus: the only duplication is
+    # each copy's own fixture near-dup structure, so removals scale
+    # linearly with the multiplier.
+    if only is None or "substr_trim" in only:
+        from market_pulse_data_pipeline_spark.queries.r10_staging import (
+            _TR_W,
+        )
+
+        docs_tr = tagged_docs("docs_trim_tagged")
+        tokd_tr = docs_tr.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("toks")
+        )
+        sh_tr = tokd_tr.filter(F.size("toks") >= _TR_W).select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - _TR_W),
+                    lambda i: F.md5(
+                        F.encode(
+                            F.concat_ws(
+                                " ", F.slice("toks", i + 1, _TR_W)
+                            ),
+                            "utf-8",
+                        )
+                    ),
+                )
+            ).alias("i", "h"),
+        )
+        own_tr = sh_tr.groupBy("h").agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        cuts_tr = (
+            sh_tr.join(own_tr.filter(F.col("nd") >= 2), "h")
+            .filter(F.col("doc_id") != F.col("owner"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("i"), F.col("i") + (_TR_W - 1))
+                ).alias("p"),
+            )
+            .distinct()
+        )
+        run(
+            "substr_trim",
+            cuts_tr.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_removed")
+            ),
+        )
+
+    # Rank-profile lang-ID (staged round 9): per-lang profiles are
+    # bounded (|langs| x K) and broadcast; doc side is one gram-count
+    # shuffle + a doc-keyed top-K window + a bounded x|langs|
+    # multiplier. Plain multiplication is honest (per-lang counts just
+    # scale). Must be linear in characters.
+    if only is None or "langid_profile" in only:
+        from pyspark.sql import Window as _W
+
+        docs_li = mat(multiplied(
+            load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
+        ), "docs_langid")
+        grams_li = F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g")
+        doc_rank_li = (
+            docs_li.filter(F.length("text") >= 3)
+            .select("doc_id", grams_li)
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "dr",
+                F.row_number().over(
+                    _W.partitionBy("doc_id").orderBy(
+                        F.col("c").desc(), F.col("g")
+                    )
+                ),
+            )
+            .filter(F.col("dr") <= 20)
+        )
+        lang_rank_li = (
+            docs_li.filter(
+                (F.col("doc_id") % 10 < 3) & (F.length("text") >= 3)
+            )
+            .select("lang", grams_li)
+            .groupBy("lang", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "lr",
+                F.row_number().over(
+                    _W.partitionBy("lang").orderBy(
+                        F.col("c").desc(), F.col("g")
+                    )
+                ),
+            )
+            .filter(F.col("lr") <= 20)
+            .select("lang", "g", "lr")
+        )
+        langs_li = lang_rank_li.select("lang").distinct()
+        scored_li = (
+            doc_rank_li.crossJoin(F.broadcast(langs_li))
+            .join(F.broadcast(lang_rank_li), ["lang", "g"], "left")
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.sum(
+                    F.coalesce(F.abs(F.col("dr") - F.col("lr")), F.lit(20))
+                ).alias("dist")
+            )
+        )
+        best_li = scored_li.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("doc_id").orderBy("dist", "lang")
+            ),
+        ).filter(F.col("rn") == 1)
+        run("langid_profile", best_li.select("doc_id", "lang", "dist"))
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
