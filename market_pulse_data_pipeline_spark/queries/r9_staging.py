@@ -172,11 +172,15 @@ def _gopher_oracle() -> str:
     "and MUST come out keep=false. "
     "Complements text_repetition_stats (token frequency) and "
     "exact_substring_spans (cross-doc): this is the within-doc "
-    "STRUCTURAL family. 100 TB shape: the line/paragraph stats are "
-    "pure map-side array expressions (zero shuffle); the n-gram mode "
-    "needs ONE shuffle keyed (doc_id, n, gram) with map-side combine, "
-    "then a doc-keyed reduce — no window, no sort, doc-parallel "
-    "throughout.",
+    "STRUCTURAL family. 100 TB shape: ZERO shuffle — the "
+    "line/paragraph stats are map-side array expressions, and the "
+    "n-gram mode is a per-doc array_sort + one aggregate() fold "
+    "(longest equal run), because n-grams are per-document by "
+    "definition; the only exchange in the plan is the final doc-keyed "
+    "join of the two map-side branches, which AQE turns into a "
+    "broadcast at small sizes. Per-doc arrays bound memory at the "
+    "longest document, the same contract every per-doc array op in "
+    "the repo carries.",
 )
 def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -199,29 +203,37 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(paras).alias("n_paras"),
         F.size(F.array_distinct(paras)).alias("d_paras"),
     )
-    grams = None
-    for gl in (2, 3, 4):
-        part = toks.filter(F.size("ws") >= gl).select(
-            "doc_id",
-            F.lit(gl).alias("gl"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(ws) - {gl}),"
-                    f" i -> concat_ws(' ', slice(ws, i + 1, {gl})))"
-                )
-            ).alias("gm"),
+    # the top-n-gram MODE is computed map-side too: per doc, build the
+    # n-gram array, array_sort it, and take the longest equal run with
+    # one aggregate() fold — n-grams are per-document by definition,
+    # so there is nothing to shuffle. (The DuckDB oracle keeps the
+    # equivalent groupBy/max form — same mode count, different engine
+    # idiom.) The whole operator is therefore a SINGLE map-only
+    # projection + the final doc-keyed join of two map-side branches.
+    def top_run(gl: int):
+        return F.expr(
+            f"""
+            CASE WHEN size(ws) >= {gl} THEN
+              aggregate(
+                array_sort(transform(sequence(0, size(ws) - {gl}),
+                           i -> concat_ws(' ', slice(ws, i + 1, {gl})))),
+                named_struct('prev', CAST(NULL AS STRING),
+                             'run', 0, 'best', 0),
+                (acc, x) -> named_struct(
+                  'prev', x,
+                  'run', IF(x <=> acc.prev, acc.run + 1, 1),
+                  'best', GREATEST(acc.best,
+                                   IF(x <=> acc.prev, acc.run + 1, 1))),
+                acc -> acc.best)
+            END
+            """
         )
-        grams = part if grams is None else grams.unionByName(part)
-    top = (
-        grams.groupBy("doc_id", "gl", "gm")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "gl")
-        .agg(F.max("c").alias("topc"))
-    )
-    wide = top.groupBy("doc_id").agg(
-        F.max(F.when(F.col("gl") == 2, F.col("topc"))).alias("c2"),
-        F.max(F.when(F.col("gl") == 3, F.col("topc"))).alias("c3"),
-        F.max(F.when(F.col("gl") == 4, F.col("topc"))).alias("c4"),
+
+    wide = toks.select(
+        "doc_id",
+        top_run(2).alias("c2"),
+        top_run(3).alias("c3"),
+        top_run(4).alias("c4"),
     )
     filtered = (
         ((F.col("n_lines") - F.col("d_lines")) * 100

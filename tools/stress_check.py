@@ -1389,42 +1389,46 @@ def main() -> int:
         docs_gr = mat(multiplied(
             load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
         ), "docs_gopher")
-        # rebuild the staged query's plan over the multiplied corpus
-        # by monkey-swapping its table load is brittle; inline the
-        # same shape instead (line stats map-only + tagged gram mode)
+        # the shipping shape is FULLY map-only (line stats are array
+        # expressions; each n-gram mode is a per-doc array_sort + one
+        # aggregate() fold — nothing to shuffle): inline it verbatim
         toks_gr = docs_gr.select("doc_id", F.split("text", " ").alias("ws"))
         lines_gr = F.expr(
             "transform(sequence(0, (size(ws) + 9) div 10 - 1),"
             " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))"
         )
-        struct_gr = toks_gr.select(
-            "doc_id",
-            F.size("ws").alias("n_tokens"),
-            F.size(lines_gr).alias("n_lines"),
-            F.size(F.array_distinct(lines_gr)).alias("d_lines"),
-        )
-        grams_gr = None
-        for gl in (2, 3, 4):
-            part = toks_gr.filter(F.size("ws") >= gl).select(
-                "doc_id",
-                F.lit(gl).alias("gl"),
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(0, size(ws) - {gl}),"
-                        f" i -> concat_ws(' ', slice(ws, i + 1, {gl})))"
-                    )
-                ).alias("gm"),
+
+        def _top_run_gr(gl: int):
+            return F.expr(
+                f"""
+                CASE WHEN size(ws) >= {gl} THEN
+                  aggregate(
+                    array_sort(transform(sequence(0, size(ws) - {gl}),
+                               i -> concat_ws(' ', slice(ws, i + 1, {gl})))),
+                    named_struct('prev', CAST(NULL AS STRING),
+                                 'run', 0, 'best', 0),
+                    (acc, x) -> named_struct(
+                      'prev', x,
+                      'run', IF(x <=> acc.prev, acc.run + 1, 1),
+                      'best', GREATEST(acc.best,
+                                       IF(x <=> acc.prev, acc.run + 1, 1))),
+                    acc -> acc.best)
+                END
+                """
             )
-            grams_gr = part if grams_gr is None else grams_gr.unionByName(part)
-        top_gr = (
-            grams_gr.groupBy("doc_id", "gl", "gm")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("doc_id", "gl")
-            .agg(F.max("c").alias("topc"))
-            .groupBy("doc_id")
-            .agg(F.max("topc").alias("topmax"))
+
+        run(
+            "gopher_filters",
+            toks_gr.select(
+                "doc_id",
+                F.size("ws").alias("n_tokens"),
+                F.size(lines_gr).alias("n_lines"),
+                F.size(F.array_distinct(lines_gr)).alias("d_lines"),
+                _top_run_gr(2).alias("c2"),
+                _top_run_gr(3).alias("c3"),
+                _top_run_gr(4).alias("c4"),
+            ),
         )
-        run("gopher_filters", struct_gr.join(top_gr, "doc_id"))
         _ = _R9_STAGED  # imported to assert the staged module loads
 
     # Fuzzy eval decontamination (staged round 9): eval side tiny and
