@@ -40,3 +40,26 @@ def week_start(date_col: Column) -> Column:
     """A3 — DATE_TRUNC('week', d) with Snowflake-default Monday start,
     returned as DATE (Spark's date_trunc returns TIMESTAMP; SURVEY §2.7-e)."""
     return F.date_trunc("week", date_col).cast("date")
+
+
+def longest_run_count(array_sql: str) -> Column:
+    """Mode COUNT of an array, computed map-side: array_sort then one
+    aggregate() fold tracking the longest equal run. Per-row arrays are
+    per-document by definition for every consumer (token mode, n-gram
+    mode), so this replaces an explode + groupBy(doc, value) shuffle
+    with zero exchanges; memory is bounded by the longest row's array.
+    ``array_sql`` is a Spark-SQL expression string yielding
+    array<string>; returns NULL on an empty/NULL array (callers guard
+    with CASE where that can occur)."""
+    return F.expr(
+        f"""
+        aggregate(
+          array_sort({array_sql}),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> acc.prev, acc.run + 1, 1),
+            'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),
+          acc -> acc.best)
+        """
+    )

@@ -210,23 +210,17 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalent groupBy/max form — same mode count, different engine
     # idiom.) The whole operator is therefore a SINGLE map-only
     # projection + the final doc-keyed join of two map-side branches.
+    from market_pulse_data_pipeline_spark.functions.scalars import (  # noqa: PLC0415
+        longest_run_count,
+    )
+
     def top_run(gl: int):
-        return F.expr(
-            f"""
-            CASE WHEN size(ws) >= {gl} THEN
-              aggregate(
-                array_sort(transform(sequence(0, size(ws) - {gl}),
-                           i -> concat_ws(' ', slice(ws, i + 1, {gl})))),
-                named_struct('prev', CAST(NULL AS STRING),
-                             'run', 0, 'best', 0),
-                (acc, x) -> named_struct(
-                  'prev', x,
-                  'run', IF(x <=> acc.prev, acc.run + 1, 1),
-                  'best', GREATEST(acc.best,
-                                   IF(x <=> acc.prev, acc.run + 1, 1))),
-                acc -> acc.best)
-            END
-            """
+        grams = (
+            f"transform(sequence(0, size(ws) - {gl}),"
+            f" i -> concat_ws(' ', slice(ws, i + 1, {gl})))"
+        )
+        return F.when(
+            F.size("ws") >= gl, longest_run_count(grams)
         )
 
     wide = toks.select(

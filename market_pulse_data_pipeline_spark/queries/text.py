@@ -128,18 +128,26 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents) u
     GROUP BY doc_id
     """,
-    doc="position-weighted document fingerprint (rolling-hash flavor) via "
-    "posexplode — order-sensitive, exact integer arithmetic",
+    doc="position-weighted document fingerprint (rolling-hash flavor) — "
+    "order-sensitive, exact integer arithmetic; map-only since the "
+    "round-9 rewrite (a 2-arg transform (element, index) + one "
+    "aggregate() fold replaces the posexplode + doc-keyed sum).",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    # per-document position-weighted sum — map-side fold over the
+    # 2-arg transform (element, index), no explode/groupBy exchange
+    # (round-9 rewrite; oracle hashes unchanged). The raw sum is
+    # bounded by n_tokens^2 * max_word_len, far inside int64 even for
+    # million-token documents.
+    weighted = (
+        "aggregate(transform(split(text, ' '),"
+        " (w, i) -> (CAST(i AS BIGINT) + 1) * length(w)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return toks.groupBy("doc_id").agg(
-        (F.sum((F.col("pos") + 1) * F.length("word")) % _FP_MOD)
-        .cast("long")
-        .alias("fingerprint")
+    return docs.select(
+        "doc_id",
+        (F.expr(weighted) % _FP_MOD).cast("long").alias("fingerprint"),
     )
 
 
@@ -221,21 +229,31 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="repetition-based quality scoring (the Gopher-rule family): "
     "most-frequent-token ratio and distinct-token ratio per document, "
-    "with a keep/filter label. One explode + two hash aggregations, all "
-    "JVM-side; at scale the (doc, word) partial aggregation combines "
-    "map-side so the shuffle carries per-doc distinct words only.",
+    "with a keep/filter label. ZERO shuffle since the round-9 rewrite: "
+    "every stat is per-document, so the mode count is a per-doc "
+    "array_sort + longest-equal-run aggregate() fold and the distinct "
+    "count is array_distinct — one map-side projection end to end "
+    "(previously an explode + two doc-keyed hash aggregates).",
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    freq = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    from market_pulse_data_pipeline_spark.functions.scalars import (  # noqa: PLC0415
+        longest_run_count,
     )
-    agg = freq.groupBy("doc_id").agg(
-        F.max("c").alias("top_freq"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum("c").alias("n_tokens"),
+
+    docs = t(spark, sf_dir, "documents")
+    # all three stats are per-document, so the whole operator is ONE
+    # map-side projection (round-9 rewrite; previously an explode +
+    # two doc-keyed hash aggregates): token count and distinct count
+    # are array expressions, and the mode count is the sorted-run fold
+    # — zero exchanges, same bytes (oracle hashes unchanged)
+    agg = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        longest_run_count("ws").alias("top_freq"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        F.size("ws").alias("n_tokens"),
     )
     rep = (F.col("top_freq") * 1.0 / F.col("n_tokens") > 0.2) | (
         F.col("n_distinct") * 1.0 / F.col("n_tokens") < 0.3
