@@ -1,0 +1,175 @@
+"""Semantic pins for the round-12 staged operators
+(queries/r11_staging.py — third pre-staged batch; registration is
+round 12's flip). Oracle parity is covered by check_oracle --staging
+at sf0.001/0.01/0.1 and hostile_check --chaos --staging; this file
+keeps the invariants the value-hash compare can't express: the
+promo-plant Hamming contract, the DoReMi monotone-reweight algebra,
+the curriculum pack replay, and plan anti-patterns."""
+
+import pytest
+
+from market_pulse_data_pipeline_spark.queries.r11_staging import (
+    _CP_BUDGET,
+    _DM_CAP_MILLI,
+    _PH_P1_OFFSET,
+    _PH_P2_OFFSET,
+    _PH_PLANT_MOD,
+    STAGED,
+)
+
+R11_NAMES = [
+    "paragraph_simhash_near_dups",
+    "doremi_excess_loss_reweight",
+    "curriculum_pack_easy_first",
+]
+
+
+def test_r11_staging_composition():
+    from market_pulse_data_pipeline_spark.queries import (
+        QUERY_REGISTRY,
+        staging_candidates,
+    )
+
+    assert list(STAGED) == R11_NAMES
+    assert not set(STAGED) & set(QUERY_REGISTRY)
+    assert set(STAGED) <= staging_candidates().keys()
+    assert all(d.oracle is not None for d in STAGED.values())
+
+
+@pytest.mark.parametrize("name", R11_NAMES)
+def test_r11_plan_antipatterns(spark, sf_dir, name):
+    df = STAGED[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+
+
+# --------------------------------------------------------------------
+# paragraph_simhash_near_dups
+# --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ph_rows(spark, sf_dir):
+    return (
+        STAGED["paragraph_simhash_near_dups"].spark(spark, sf_dir).collect()
+    )
+
+
+def _plant_ids(sf_dir, offset):
+    import duckdb
+
+    seeds = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % {_PH_PLANT_MOD} = 0"
+    ).fetchall()
+    return sorted(d + offset for (d,) in seeds)
+
+
+def test_ph_identical_promo_docs_all_pair_at_hamming_zero(ph_rows, sf_dir):
+    p1 = _plant_ids(sf_dir, _PH_P1_OFFSET)
+    assert len(p1) >= 2
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ph_rows
+        if _PH_P1_OFFSET <= r.doc_a < _PH_P2_OFFSET
+        and _PH_P1_OFFSET <= r.doc_b < _PH_P2_OFFSET
+    }
+    for i, a in enumerate(p1):
+        for b in p1[i + 1:]:
+            assert got.get((a, b)) == 0, f"identical promos {a},{b} missed"
+
+
+def test_ph_mutated_promos_pair_among_themselves(ph_rows, sf_dir):
+    p2 = _plant_ids(sf_dir, _PH_P2_OFFSET)
+    if len(p2) < 2:
+        pytest.skip("fixture too small for two mutated plants")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ph_rows
+        if r.doc_a >= _PH_P2_OFFSET and r.doc_b >= _PH_P2_OFFSET
+    }
+    for i, a in enumerate(p2):
+        for b in p2[i + 1:]:
+            assert got.get((a, b)) == 0
+
+
+def test_ph_all_pairs_within_threshold_and_ordered(ph_rows):
+    assert ph_rows
+    for r in ph_rows:
+        assert 0 <= r.hamming <= 3
+        assert (r.doc_a, r.para_a) < (r.doc_b, r.para_b)
+
+
+# --------------------------------------------------------------------
+# doremi_excess_loss_reweight
+# --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dm_rows(spark, sf_dir):
+    return (
+        STAGED["doremi_excess_loss_reweight"].spark(spark, sf_dir).collect()
+    )
+
+
+def test_doremi_weights_normalize_and_factor_bounded(dm_rows):
+    assert len(dm_rows) == 20  # one row per fixture domain
+    assert sum(r.weight for r in dm_rows) == pytest.approx(1.0, abs=1e-4)
+    for r in dm_rows:
+        assert 1000 <= r.factor_milli <= 1000 + _DM_CAP_MILLI
+        # the linearized exponentiated-gradient step: factor is
+        # exactly 1 + clip(excess, 0, cap) in millis
+        assert r.factor_milli == 1000 + min(
+            _DM_CAP_MILLI, max(0, r.excess_milli)
+        )
+
+
+def test_doremi_upweights_high_excess_domains(dm_rows):
+    # reweighting is RELATIVE: weight_i = n_i·f_i / Σ n_j·f_j, so a
+    # domain gains or loses share against the corpus-average factor,
+    # and per-doc weight must be strictly monotone in the factor
+    assert {r.excess_milli for r in dm_rows} != {0}, "no excess spread"
+    per_doc = sorted(
+        (r.factor_milli, r.weight / r.n_docs) for r in dm_rows
+    )
+    for (fa, wa), (fb, wb) in zip(per_doc, per_doc[1:]):
+        if fb > fa:
+            assert wb > wa - 1e-9
+        else:
+            assert wb == pytest.approx(wa, abs=2e-6)
+    # vs the corpus-average factor: the max-factor domain gains share,
+    # the min-factor domain loses it
+    total_docs = sum(r.n_docs for r in dm_rows)
+    avg_f = sum(r.n_docs * r.factor_milli for r in dm_rows) / total_docs
+    hi = max(dm_rows, key=lambda r: r.factor_milli)
+    lo = min(dm_rows, key=lambda r: r.factor_milli)
+    assert hi.factor_milli > avg_f > lo.factor_milli
+    assert hi.weight > hi.n_docs / total_docs
+    assert lo.weight < lo.n_docs / total_docs
+
+
+# --------------------------------------------------------------------
+# curriculum_pack_easy_first
+# --------------------------------------------------------------------
+
+
+def test_curriculum_replay_and_easy_first_order(spark, sf_dir):
+    rows = (
+        STAGED["curriculum_pack_easy_first"].spark(spark, sf_dir).collect()
+    )
+    assert len(rows) == 500
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (r.difficulty_milli, r.doc_id))
+        # pure-Python replay of the running-sum pack assignment
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // _CP_BUDGET, (lang, r.doc_id)
+            cum += r.n_tokens
+        # easy-first: pack ids are non-decreasing along the
+        # difficulty order, so early packs hold the easiest docs
+        packs = [r.pack_id for r in rs]
+        assert packs == sorted(packs)
