@@ -1608,6 +1608,95 @@ def main() -> int:
         ).filter(F.col("rn") == 1)
         run("langid_profile", best_li.select("doc_id", "lang", "dist"))
 
+    # Paragraph SimHash near-dups (staged round 9 for round 12):
+    # signatures are per-paragraph map-side folds; the only shuffle is
+    # the (chunk, value) candidate join over 4 x 15-bit chunks. Token-
+    # tagged corpus so cross-copy identical paragraphs never fabricate
+    # O(copies^2) pairs; candidates then track each copy's own
+    # near-dup structure linearly.
+    if only is None or "para_simhash" in only:
+        from market_pulse_data_pipeline_spark.functions.dedup import (
+            portable_hash60,
+        )
+        from market_pulse_data_pipeline_spark.queries.r11_staging import (
+            _PH_BITS,
+            _PH_CHUNKS,
+            _PH_MAX_HAMMING,
+            _PH_W,
+        )
+
+        docs_ph = tagged_docs("docs_parasim_tagged")
+        tk_ph = F.split("text", " ")
+        paras_ph = docs_ph.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size(tk_ph), F.lit(_PH_W))
+            ).alias("start"),
+            tk_ph.alias("tk"),
+        ).select(
+            "doc_id",
+            ((F.col("start") - 1) / _PH_W).cast("long").alias("para_id"),
+            F.array_join(
+                F.slice(F.col("tk"), F.col("start"), _PH_W), " "
+            ).alias("ptext"),
+        )
+        hs_ph = F.transform(
+            F.split("ptext", " "),
+            lambda w: portable_hash60(F.concat(F.lit("pp:"), w)),
+        )
+        bits_ph = None
+        for k in range(_PH_BITS):
+            vote = F.aggregate(
+                F.col("hs"),
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (
+                    F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("long"),
+            )
+            term = F.when(vote > 0, F.lit(1 << k).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bits_ph = term if bits_ph is None else bits_ph + term
+        sig_ph = paras_ph.select(
+            "doc_id", "para_id", hs_ph.alias("hs")
+        ).select(
+            "doc_id",
+            "para_id",
+            (F.col("doc_id") * 1000 + F.col("para_id")).alias("pkey"),
+            bits_ph.alias("sim"),
+        )
+        cw_ph = _PH_BITS // _PH_CHUNKS
+        chunks_ph = sig_ph.select(
+            "pkey",
+            "sim",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_PH_CHUNKS - 1))
+            ).alias("c"),
+        ).withColumn(
+            "cv",
+            F.expr(f"shiftright(sim, c * {cw_ph}) & {(1 << cw_ph) - 1}"),
+        )
+        pa = chunks_ph.alias("a")
+        pb = chunks_ph.alias("b")
+        ham_ph = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+        run(
+            "para_simhash",
+            pa.join(
+                pb,
+                (F.col("a.c") == F.col("b.c"))
+                & (F.col("a.cv") == F.col("b.cv"))
+                & (F.col("a.pkey") < F.col("b.pkey")),
+            )
+            .select(
+                F.col("a.pkey").alias("pa"),
+                F.col("b.pkey").alias("pb"),
+                ham_ph.alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= _PH_MAX_HAMMING),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
