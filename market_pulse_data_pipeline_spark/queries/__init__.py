@@ -36,6 +36,7 @@ from market_pulse_data_pipeline_spark.queries import shuffle_ops  # noqa: F401, 
 from market_pulse_data_pipeline_spark.queries import mining  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r7_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r8_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r9_staging  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -47,78 +48,83 @@ from market_pulse_data_pipeline_spark.queries import r8_staging  # noqa: F401, E
 # list) go to the very head, so new operators get their first witness
 # exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R10_DEFER` — new operators land
+# never-witnessed registrations (`_R11_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
 #
-# Round-9 window (VERDICT.md round 8 "Next round" #1): exactly what
-# round 8's pinned r9_rotation() computed — the 6 round-8
-# registrations taking their FIRST driver witness (CORRECTNESS_r08
-# was 50/50 green, so no red row outranks the rotation), then the 44
-# stalest green rows (the CORRECTNESS_r04 ledger head, original
+# Round-10 window (VERDICT.md round 9 "Next round" #1): exactly what
+# round 9's pinned r10_rotation() computed once the r9_staging batch
+# flipped to @register — the 3 round-10 registrations taking their
+# FIRST driver witness at the head (they landed BEFORE the window pin,
+# so never-witnessed beats stale per the round-9 handoff;
+# CORRECTNESS_r09 was 50/50 green, so no red row outranks the
+# rotation), then the 47 stalest green rows: the 6 remaining
+# CORRECTNESS_r04 rows, then the r05 ledger head (original
 # witness-window order). Pinned literally so any registry or ledger
 # edit that would shift the driver's snapshot fails
 # tests/test_window_composition.py loudly.
-_R9_WINDOW = [
-    # first driver witness for the six round-8 registrations
-    "ccnet_perplexity_buckets", "mixture_temperature_weights",
-    "winnowing_fingerprint_pairs", "eval_decontaminate_exact_ngrams",
-    "winnowing_cluster_dedup", "boilerplate_sentence_removal",
-    # then the 44 stalest greens (CORRECTNESS_r04 head, original order)
-    "sessionization", "running_distinct_event_types",
-    "hourly_activity_bitmask", "source_mixture_weights",
-    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
-    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
-    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
-    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
-    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
-    "rsi_14_daily_revenue", "max_drawdown_summary",
-    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
-    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
-    "quantile_normalize_value", "kwic_concordance",
-    "dedup_survivor_policy", "dedup_prefix_filter_join",
-    "matryoshka_truncation_quality", "contrastive_negative_sampling",
-    "event_type_transition_matrix", "funnel_multi_step",
-    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
-    "rank_functions_suite", "grouping_sets_flags",
-    "profile_columns_lineitem", "skew_heavy_hitters",
-    "streaming_dedup_watermark", "streaming_interval_join_attribution",
-    "streaming_stateful_user_stats", "streaming_static_enrich",
-    "vocab_top_tokens",
+_R10_WINDOW = [
+    # first driver witness for the three round-10 registrations
+    "gopher_repetition_filters", "eval_decontaminate_fuzzy_minhash",
+    "lang_id_rank_profile",
+    # then the 6 remaining r4 greens (CORRECTNESS_r04 tail)
+    "cross_corpus_dedup_exact", "doc_chunking",
+    "mixture_rebalanced_sample", "bernoulli_sample_hash",
+    "corpus_pipeline_end_to_end", "corpus_quality_filter",
+    # then the 41 stalest r5 greens (CORRECTNESS_r05 head, original order)
+    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
+    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
+    "k_anonymity_check", "benford_first_digit_audit",
+    "chi2_independence_lang_source", "format_roundtrip_orc",
+    "format_roundtrip_csv", "format_roundtrip_jsonl",
+    "partitioned_write_readback", "schema_evolution_read",
+    "pagerank_user_event_graph", "centroid_classifier_confusion",
+    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
+    "sql_registered_udf", "sql_lateral_top2_orders",
+    "udtf_split_sentences", "incremental_agg_maintenance",
+    "calendar_gapfill_ffill", "pointer_swap_time_travel",
+    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
+    "zorder_locality_boxes", "bigram_fluency_score", "media_audio_windows",
+    "array_setops_user_events", "higher_order_array_suite",
+    "sql_scalar_udf_params", "sql_table_function_orders",
+    "salted_skew_aggregate", "bucketed_join_colocated",
+    "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
+    "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
 ]
 
 # the window head: names taking their FIRST driver row this round —
-# they join _DRIVER_GREEN (round 9) at the next rotation
-_R9_FIRST_WITNESS = _R9_WINDOW[:6]
+# they join _DRIVER_GREEN (round 10) at the next rotation
+_R10_FIRST_WITNESS = _R10_WINDOW[:3]
 
-# Round-9 registrations awaiting deferral to the round-10 window per
+# Round-10 registrations awaiting deferral to the round-11 window per
 # the round-4 displacement rule (additions never displace a verified
-# window). Round 9 stages its candidates in queries/r9_staging.py
-# WITHOUT registering them (VERDICT r8 item 6: registration is a
-# round-10 flip), so this list is empty until that flip.
-_R10_DEFER: list[str] = []
+# window). The round-10 batch (r9_staging) registered BEFORE the
+# window pin, so it heads the window instead of deferring; this list
+# is for any later round-10 addition.
+_R11_DEFER: list[str] = []
 
 # stable alias for tools (check_oracle --staged, hostile_check): the
 # newest registrations still awaiting their first driver witness —
 # points at the current round's deferral list so the tools never need
 # a per-round rename again
-PENDING_FIRST_WITNESS = _R10_DEFER
+PENDING_FIRST_WITNESS = _R11_DEFER
 
 
 def staging_candidates():
     """Every staged-but-unregistered query (name -> QueryDef), merged
-    across staging modules — round 9 pre-staged BOTH the round-10
-    batch (r9_staging) and the round-11 batch (r10_staging), so the
-    tools sweep both until each registers. Filtering on
-    QUERY_REGISTRY makes the per-round @stage -> @register flip drop
-    a batch out of this view automatically. Stable entry point for
+    across staging modules — round 9 pre-staged the round-11 batch
+    (r10_staging), the round-12 batch (r11_staging), and the round-13
+    seed (r12_staging), so the tools sweep all of them until each
+    registers. Filtering on QUERY_REGISTRY makes the per-round
+    @stage -> @register flip drop a batch out of this view
+    automatically (the round-10 batch flipped in queries/r9_staging.py,
+    now a pure @register module). Stable entry point for
     check_oracle --staging / hostile_check --staging."""
     import importlib
 
     out = {}
-    for modname in ("r9_staging", "r10_staging", "r11_staging",
-                    "r12_staging"):
+    for modname in ("r10_staging", "r11_staging", "r12_staging"):
         try:
             mod = importlib.import_module(
                 f"market_pulse_data_pipeline_spark.queries.{modname}"
@@ -324,19 +330,50 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "date_functions_suite", "approx_percentiles_events",
     "full_outer_reconciliation", "array_functions_suite",
 ], 8))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r09.json — 50/50 green (the round-9 window, verbatim
+    # order: the 6 round-8 registrations taking their first driver
+    # witness, then the 44 remaining r4 re-witnesses). dict.update
+    # keeps the 44 re-witnesses at their original insertion positions
+    # and appends the 6 first-witness names at the end — exactly the
+    # shape round 9's r10_rotation() pre-computed.
+    "ccnet_perplexity_buckets", "mixture_temperature_weights",
+    "winnowing_fingerprint_pairs", "eval_decontaminate_exact_ngrams",
+    "winnowing_cluster_dedup", "boilerplate_sentence_removal",
+    "sessionization", "running_distinct_event_types",
+    "hourly_activity_bitmask", "source_mixture_weights",
+    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
+    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
+    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
+    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
+    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
+    "rsi_14_daily_revenue", "max_drawdown_summary",
+    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
+    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
+    "quantile_normalize_value", "kwic_concordance",
+    "dedup_survivor_policy", "dedup_prefix_filter_join",
+    "matryoshka_truncation_quality", "contrastive_negative_sampling",
+    "event_type_transition_matrix", "funnel_multi_step",
+    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
+    "rank_functions_suite", "grouping_sets_flags",
+    "profile_columns_lineitem", "skew_heavy_hitters",
+    "streaming_dedup_watermark", "streaming_interval_join_attribution",
+    "streaming_stateful_user_stats", "streaming_static_enrich",
+    "vocab_top_tokens",
+], 9))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R10_DEFER`` order — after the window, so new
+    registrations (``_R11_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R9_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R10_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R10_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R11_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -352,29 +389,33 @@ def all_queries():
 
 def stalest_green(window: int = 50) -> list[str]:
     """The stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R9_WINDOW``'s tail is
-    this round's pinned snapshot of exactly ``stalest_green(44)`` (a
-    regression test keeps them in lockstep; the window head is the 6
+    ledger-insertion order within a round. ``_R10_WINDOW``'s tail is
+    this round's pinned snapshot of exactly ``stalest_green(47)`` (a
+    regression test keeps them in lockstep; the window head is the 3
     first-witness names, which have no green row yet)."""
     order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
     stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
     return stale[:window]
 
 
-def r10_rotation(window: int = 50) -> list[str]:
-    """The proposed round-10 window under the steady-state cadence:
-    never-witnessed round-9 registrations (``_R10_DEFER`` — empty
-    until the r9_staging batch flips to @register in round 10) at the
-    head, then the stalest greens assuming this round's window lands
-    green (its 44 re-witnesses move to round 9 and its 6 first-witness
-    names enter the ledger at round 9). Any r09 RED row outranks all
-    of this and goes to the very front instead (red beats rotation)."""
-    never = [n for n in _R10_DEFER if n in QUERY_REGISTRY]
-    after_r9 = dict(_DRIVER_GREEN)
-    # update() keeps existing positions for the 44 re-witnesses and
-    # appends the 6 first-witness names at the end in window order —
+def r11_rotation(window: int = 50) -> list[str]:
+    """The proposed round-11 window under the steady-state cadence:
+    never-witnessed registrations at the head — the round-11 batch
+    (r10_staging: exact_substring_trim, perplexity_stratified_sample,
+    domain_dedup_quality_gate) once it flips to @register, via
+    ``_R11_DEFER`` or a pre-pin window head — then the stalest greens
+    assuming this round's window lands green (its 47 re-witnesses move
+    to round 10 and its 3 first-witness names enter the ledger at
+    round 10): the 9 remaining r5 rows (``sql_recursive_cte`` …
+    ``collation_case_insensitive_group``), then the r6 ledger head.
+    Any r10 RED row outranks all of this and goes to the very front
+    instead (red beats rotation)."""
+    never = [n for n in _R11_DEFER if n in QUERY_REGISTRY]
+    after_r10 = dict(_DRIVER_GREEN)
+    # update() keeps existing positions for the 47 re-witnesses and
+    # appends the 3 first-witness names at the end in window order —
     # the same shape next round's literal ledger edit will produce
-    after_r9.update(dict.fromkeys(_R9_WINDOW, 9))
-    order = {n: i for i, n in enumerate(after_r9)}
-    stale = sorted(after_r9, key=lambda n: (after_r9[n], order[n]))
+    after_r10.update(dict.fromkeys(_R10_WINDOW, 10))
+    order = {n: i for i, n in enumerate(after_r10)}
+    stale = sorted(after_r10, key=lambda n: (after_r10[n], order[n]))
     return (never + stale)[:window]

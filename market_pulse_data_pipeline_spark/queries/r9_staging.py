@@ -1,12 +1,10 @@
-"""Round-10 staged queries — implemented, oracle-paired, NOT registered.
-
-Round 9's addition budget went to landing the round-8 batch's first
-driver witnesses, so these three land the way every batch since round
-6 has: implementations, DuckDB value-hash oracles, and pytest semantic
-pins final now (tests/test_r9_staging.py), triple-gated this round
-(check_oracle --staging at sf0.001/0.01/0.1 + hostile_check --chaos
---staging), registration deferred to round 10 by moving the ``@stage``
-rows onto ``@register`` and appending the names to ``_R10_DEFER``.
+"""Round-10 registrations — staged and triple-gated in round 9
+(implementations, DuckDB value-hash oracles, and pytest semantic pins
+in tests/test_r9_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed),
+registered here in round 10 per VERDICT round-9 item 1. The names head
+the round-10 correctness window (never-witnessed beats stale), and the
+two corpus-scale shapes carry ``bench=True`` per VERDICT item 3.
 
 All three close gaps VERDICT round-8 item 6 named on the LLM-pipeline
 surface:
@@ -37,31 +35,15 @@ surface:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    keeps the round-9 addition budget intact while the implementations,
-    oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -155,9 +137,10 @@ def _gopher_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "gopher_repetition_filters",
     _gopher_oracle(),
+    bench=True,  # VERDICT r9 item 3: corpus-wide doc-level map-only shape
     doc="Gopher within-document repetition filters (Rae et al. 2021, "
     "table A1; VERDICT r8 item 6a): duplicate-line fraction, "
     "duplicate-paragraph fraction (pseudo-lines = fixed 10/30-token "
@@ -347,9 +330,10 @@ def _fuzzy_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "eval_decontaminate_fuzzy_minhash",
     _fuzzy_oracle(),
+    bench=True,  # VERDICT r9 item 3: banded-LSH asymmetric join shape
     doc="fuzzy eval-set decontamination (VERDICT r8 item 6b — the "
     "Llama-report / GPT-4-report shape): flag every (train doc, eval "
     "doc) pair whose 13-gram shingle sets reach Jaccard >= 0.8, via "
@@ -534,7 +518,7 @@ def _langid_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "lang_id_rank_profile",
     _langid_oracle(),
     doc="heuristic language identification by character-n-gram rank "

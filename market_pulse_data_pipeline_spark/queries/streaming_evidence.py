@@ -129,7 +129,9 @@ def streaming_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = F.col("data").getField("Time Series (Daily)")
     day = F.explode(F.map_keys(series)).alias("day")
     exploded = bronze.select("symbol", series.alias("series"), day)
-    close = F.col("series").getItem(F.col("day")).getItem("4. close")
+    # column-keyed map access via [] — getItem(Column) is deprecated
+    # since Spark 3.0 and warns on every evaluation in 4.x
+    close = F.col("series")[F.col("day")]["4. close"]
     return exploded.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.min(F.col("day").cast("date")).alias("first_date"),

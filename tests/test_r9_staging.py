@@ -1,17 +1,17 @@
-"""Semantic pins for the round-10 staged operators
-(queries/r9_staging.py — staged this round, registration deferred to
-round 10 per the steady-state addition budget). Oracle parity is
-covered by tools/check_oracle.py --staging at sf0.001/0.01/0.1 and
-hostile_check --chaos --staging; this file keeps the invariants the
-value-hash compare can't express: the Gopher planted-plant contract,
-the fuzzy-decontamination threshold witnesses, the rank-profile
-classifier's behavior on genuinely distinct languages, and plan
-anti-patterns."""
+"""Semantic pins for the round-10 registrations (queries/r9_staging.py
+— staged and triple-gated in round 9, flipped to @register in round
+10 per VERDICT round-9 item 1). Oracle parity is covered by the
+registry-wide tools/check_oracle.py sweep; this file keeps the
+invariants the value-hash compare can't express: the Gopher
+planted-plant contract, the fuzzy-decontamination threshold witnesses,
+the rank-profile classifier's behavior on genuinely distinct
+languages, and plan anti-patterns."""
 
 import os
 
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r9_staging import (
     _FZ_EVAL_MOD,
     _FZ_N,
@@ -21,7 +21,6 @@ from market_pulse_data_pipeline_spark.queries.r9_staging import (
     _FZ_VERBATIM_MOD,
     _GR_PLANT_MOD,
     _GR_PLANT_OFFSET,
-    STAGED,
 )
 
 R9_NAMES = [
@@ -30,21 +29,26 @@ R9_NAMES = [
     "lang_id_rank_profile",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R9_NAMES if n in QUERY_REGISTRY}
 
-def test_r9_staging_composition():
+
+def test_r10_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R10_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R9_NAMES
-    # staged, NOT registered: the addition budget is round 10's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    # the stable tools entry point sweeps this batch (merged with any
-    # later staged batch, e.g. the round-11 one in r10_staging)
-    assert set(STAGED) <= staging_candidates().keys()
-    # no rows-only drift: every candidate ships a value-hash oracle
-    assert all(d.oracle is not None for d in STAGED.values())
+    # registered in round 10, heading the correctness window for their
+    # first driver witness
+    assert set(R9_NAMES) <= set(QUERY_REGISTRY)
+    assert list(_R10_FIRST_WITNESS) == R9_NAMES
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(R9_NAMES) & staging_candidates().keys()
+    # no rows-only drift: every registration ships a value-hash oracle
+    assert all(QUERY_REGISTRY[n].oracle is not None for n in R9_NAMES)
+    # VERDICT r9 item 3: the two corpus-scale shapes enter the bench set
+    assert QUERY_REGISTRY["gopher_repetition_filters"].bench is True
+    assert QUERY_REGISTRY["eval_decontaminate_fuzzy_minhash"].bench is True
 
 
 @pytest.mark.parametrize("name", R9_NAMES)

@@ -12,61 +12,64 @@ the same commit.
 
 from market_pulse_data_pipeline_spark.queries import (
     _DRIVER_GREEN,
-    _R9_FIRST_WITNESS,
-    _R9_WINDOW,
-    _R10_DEFER,
+    _R10_FIRST_WITNESS,
+    _R10_WINDOW,
+    _R11_DEFER,
     QUERY_REGISTRY,
     all_queries,
-    r10_rotation,
+    r11_rotation,
     stalest_green,
 )
 
-# Round-9 rotation (VERDICT round-8 item 1): byte-for-byte what
-# round 8's pinned r9_rotation() computed — the six round-8
-# registrations taking their FIRST driver witness, then the 44
-# stalest greens (the CORRECTNESS_r04 ledger head), stalest witness
-# first, original window order within the round.
+# Round-10 rotation (VERDICT round-9 item 1): the three round-10
+# registrations (the r9_staging batch, flipped to @register this
+# round) taking their FIRST driver witness at the head — they landed
+# BEFORE the window pin, so never-witnessed beats stale — then the 47
+# stalest greens: the 6 remaining CORRECTNESS_r04 rows, then the r05
+# ledger head, stalest witness first, original window order within a
+# round.
 EXPECTED_WINDOW = [
-    "ccnet_perplexity_buckets", "mixture_temperature_weights",
-    "winnowing_fingerprint_pairs", "eval_decontaminate_exact_ngrams",
-    "winnowing_cluster_dedup", "boilerplate_sentence_removal",
-    "sessionization", "running_distinct_event_types",
-    "hourly_activity_bitmask", "source_mixture_weights",
-    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
-    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
-    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
-    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
-    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
-    "rsi_14_daily_revenue", "max_drawdown_summary",
-    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
-    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
-    "quantile_normalize_value", "kwic_concordance",
-    "dedup_survivor_policy", "dedup_prefix_filter_join",
-    "matryoshka_truncation_quality", "contrastive_negative_sampling",
-    "event_type_transition_matrix", "funnel_multi_step",
-    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
-    "rank_functions_suite", "grouping_sets_flags",
-    "profile_columns_lineitem", "skew_heavy_hitters",
-    "streaming_dedup_watermark", "streaming_interval_join_attribution",
-    "streaming_stateful_user_stats", "streaming_static_enrich",
-    "vocab_top_tokens",
+    "gopher_repetition_filters", "eval_decontaminate_fuzzy_minhash",
+    "lang_id_rank_profile",
+    "cross_corpus_dedup_exact", "doc_chunking",
+    "mixture_rebalanced_sample", "bernoulli_sample_hash",
+    "corpus_pipeline_end_to_end", "corpus_quality_filter",
+    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
+    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
+    "k_anonymity_check", "benford_first_digit_audit",
+    "chi2_independence_lang_source", "format_roundtrip_orc",
+    "format_roundtrip_csv", "format_roundtrip_jsonl",
+    "partitioned_write_readback", "schema_evolution_read",
+    "pagerank_user_event_graph", "centroid_classifier_confusion",
+    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
+    "sql_registered_udf", "sql_lateral_top2_orders",
+    "udtf_split_sentences", "incremental_agg_maintenance",
+    "calendar_gapfill_ffill", "pointer_swap_time_travel",
+    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
+    "zorder_locality_boxes", "bigram_fluency_score", "media_audio_windows",
+    "array_setops_user_events", "higher_order_array_suite",
+    "sql_scalar_udf_params", "sql_table_function_orders",
+    "salted_skew_aggregate", "bucketed_join_colocated",
+    "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
+    "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
 ]
 
 
 def test_window_is_the_verified_composition():
     assert list(all_queries())[:50] == EXPECTED_WINDOW
-    assert _R9_WINDOW == EXPECTED_WINDOW
+    assert _R10_WINDOW == EXPECTED_WINDOW
 
 
 def test_window_head_is_first_witness_then_stalest_green():
     # the pinned window and the cadence computation stay in lockstep:
     # a ledger edit that would shift the driver's snapshot fails here
-    assert _R9_FIRST_WITNESS == _R9_WINDOW[:6]
-    assert _R9_WINDOW[6:] == stalest_green(44)
+    assert _R10_FIRST_WITNESS == _R10_WINDOW[:3]
+    assert _R10_WINDOW[3:] == stalest_green(47)
     # the head takes its FIRST driver row this round — no prior witness
-    assert not set(_R9_FIRST_WITNESS) & set(_DRIVER_GREEN)
-    # the re-witness tail rotates: all of it was last witnessed round 4
-    assert all(_DRIVER_GREEN[n] == 4 for n in _R9_WINDOW[6:])
+    assert not set(_R10_FIRST_WITNESS) & set(_DRIVER_GREEN)
+    # the re-witness tail rotates stalest-first: 6 r4 rows then 41 r5
+    assert all(_DRIVER_GREEN[n] == 4 for n in _R10_WINDOW[3:9])
+    assert all(_DRIVER_GREEN[n] == 5 for n in _R10_WINDOW[9:])
 
 
 def test_window_has_full_oracles():
@@ -80,30 +83,30 @@ def test_window_has_full_oracles():
 def test_ledger_is_closed_and_additions_defer():
     # Steady-state invariant: every registered query is driver-green,
     # in this round's first-witness head, or a deferred registration
-    # awaiting its first row. A registration missing from _R10_DEFER
-    # lands in tier 1 with rank len(_R10_DEFER) — caught here, not
+    # awaiting its first row. A registration missing from _R11_DEFER
+    # lands in tier 1 with rank len(_R11_DEFER) — caught here, not
     # silently shuffled into the window.
     assert set(QUERY_REGISTRY) == (
-        set(_DRIVER_GREEN) | set(_R9_FIRST_WITNESS) | set(_R10_DEFER)
+        set(_DRIVER_GREEN) | set(_R10_FIRST_WITNESS) | set(_R11_DEFER)
     )
-    assert not set(_R10_DEFER) & set(_DRIVER_GREEN)
-    assert not set(_R10_DEFER) & set(_R9_WINDOW)
-    # steady-state registry: 256 round-8 names; round 9 stages its
-    # candidates unregistered (r9_staging), so the count holds
-    assert len(QUERY_REGISTRY) == 256
+    assert not set(_R11_DEFER) & set(_DRIVER_GREEN)
+    assert not set(_R11_DEFER) & set(_R10_WINDOW)
+    # round-10 registry: the 256 round-8 names + the 3 round-10
+    # registrations (the r9_staging batch flip)
+    assert len(QUERY_REGISTRY) == 259
     # tier-1 names (positions 50..) are exactly the deferral list, in
     # order — new operators never displace a verified window slot
-    assert list(all_queries())[50:50 + len(_R10_DEFER)] == _R10_DEFER
+    assert list(all_queries())[50:50 + len(_R11_DEFER)] == _R11_DEFER
 
 
-def test_round9_ledger_arithmetic():
-    assert len(_R9_WINDOW) == 50
-    assert len(set(_R9_WINDOW)) == 50
-    # the 44 re-witnesses all have existing green rows
-    assert all(n in _DRIVER_GREEN for n in _R9_WINDOW[6:])
-    # the round-8 window landed in the ledger at round 8: 41
-    # re-witnesses refreshed + 9 first-witness names entered
-    assert sum(1 for v in _DRIVER_GREEN.values() if v == 8) == 50
+def test_round10_ledger_arithmetic():
+    assert len(_R10_WINDOW) == 50
+    assert len(set(_R10_WINDOW)) == 50
+    # the 47 re-witnesses all have existing green rows
+    assert all(n in _DRIVER_GREEN for n in _R10_WINDOW[3:])
+    # the round-9 window landed in the ledger at round 9: 44
+    # re-witnesses refreshed + 6 first-witness names entered
+    assert sum(1 for v in _DRIVER_GREEN.values() if v == 9) == 50
 
 
 def test_rows_only_floor():
@@ -113,20 +116,22 @@ def test_rows_only_floor():
     assert rows_only == set()
 
 
-def test_r10_rotation_defers_then_rotates():
-    # the proposed round-10 window: never-witnessed round-9
-    # registrations first (empty until the r9_staging batch flips to
+def test_r11_rotation_defers_then_rotates():
+    # the proposed round-11 window: never-witnessed round-10
+    # registrations first (empty until the r10_staging batch flips to
     # @register), then the stalest greens assuming this round's window
-    # lands green (r4 survivors + the head of r5 continue the rotation).
-    rot = r10_rotation()
+    # lands green (the 9 remaining r5 rows + the head of r6 continue
+    # the rotation).
+    rot = r11_rotation()
     assert len(rot) == 50
-    assert rot[: len(_R10_DEFER)] == _R10_DEFER
-    rest = rot[len(_R10_DEFER):]
-    after_r9 = dict(_DRIVER_GREEN)
-    after_r9.update(dict.fromkeys(_R9_WINDOW, 9))
-    # stalest-first: the remaining r4 rows head the remainder
-    rounds = [after_r9[n] for n in rest]
+    assert rot[: len(_R11_DEFER)] == _R11_DEFER
+    rest = rot[len(_R11_DEFER):]
+    after_r10 = dict(_DRIVER_GREEN)
+    after_r10.update(dict.fromkeys(_R10_WINDOW, 10))
+    # stalest-first: the remaining r5 rows head the remainder
+    rounds = [after_r10[n] for n in rest]
     assert rounds == sorted(rounds)
-    assert rounds[0] == 4
+    assert rounds[0] == 5
+    assert rest[0] == "sql_recursive_cte"
     # nothing in the proposal repeats this round's window
-    assert not set(rot) & set(_R9_WINDOW)
+    assert not set(rot) & set(_R10_WINDOW)

@@ -1382,9 +1382,7 @@ def main() -> int:
     # honest here (no cross-doc matching at all). Must scale linearly
     # in token count.
     if only is None or "gopher_filters" in only:
-        from market_pulse_data_pipeline_spark.queries.r9_staging import (
-            STAGED as _R9_STAGED,
-        )
+        import market_pulse_data_pipeline_spark.queries.r9_staging as _r9_mod
 
         docs_gr = mat(multiplied(
             load_table(spark, args.sf, "documents"), args.mult, ["doc_id"]
@@ -1429,7 +1427,7 @@ def main() -> int:
                 _top_run_gr(4).alias("c4"),
             ),
         )
-        _ = _R9_STAGED  # imported to assert the staged module loads
+        _ = _r9_mod  # imported to assert the registered module loads
 
     # Fuzzy eval decontamination (staged round 9): eval side tiny and
     # broadcast (band entries + shingle arrays); corpus side one
