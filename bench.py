@@ -31,11 +31,12 @@ def main() -> None:
     warm = bench_queries["weekly_rollup"].spark(spark, sf_dir)
     warm.write.mode("overwrite").format("noop").save()
 
+    import pandas as pd  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
-    from pyspark.sql.functions import PandasUDFType, pandas_udf  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
-    @pandas_udf("double", PandasUDFType.SCALAR)
-    def _warm_py(s):
+    @pandas_udf("double")
+    def _warm_py(s: pd.Series) -> pd.Series:
         return s * 1.0
 
     (

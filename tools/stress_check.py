@@ -1695,6 +1695,122 @@ def main() -> int:
             .filter(F.col("hamming") <= _PH_MAX_HAMMING),
         )
 
+    # C4 line filters (staged round 10, queries/r12_staging.py):
+    # within-doc map-only array expressions — plain key-remapped
+    # multiplication is honest (no cross-doc matching). Must scale
+    # linearly in token count with ZERO exchanges.
+    if only is None or "c4_lines" in only:
+        from market_pulse_data_pipeline_spark.queries.r12_staging import (
+            _C4_BAD_TOKEN,
+            _C4_LINE_W,
+            _C4_MIN_KEPT_LINES,
+            _C4_MIN_LINE_WORDS,
+            _C4_PHRASE,
+        )
+
+        docs_c4 = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_c4",
+        )
+        wc4 = _C4_LINE_W
+        lined_c4 = docs_c4.select(
+            "doc_id",
+            "text",
+            F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) + {wc4 - 1})"
+                f" div {wc4} - 1),"
+                f" i -> slice(split(text, ' '), i * {wc4} + 1, {wc4}))"
+            ).alias("lines"),
+        )
+        short_c4 = f"size(l) < {_C4_MIN_LINE_WORDS}"
+        js_c4 = f"exists(l, t -> t = '{_C4_BAD_TOKEN}')"
+        classed_c4 = lined_c4.select(
+            "doc_id",
+            "text",
+            "lines",
+            F.expr(
+                f"filter(lines, l -> NOT ({short_c4}) AND NOT ({js_c4}))"
+            ).alias("kept"),
+        )
+        keep_c4 = (
+            ~F.col("text").contains("{")
+            & ~F.col("text").contains(_C4_PHRASE)
+            & (F.size("kept") >= _C4_MIN_KEPT_LINES)
+        )
+        run(
+            "c4_lines",
+            classed_c4.select(
+                "doc_id",
+                F.size("lines").alias("n_lines"),
+                F.size("kept").alias("kept_lines"),
+                keep_c4.alias("doc_keep"),
+                F.when(
+                    keep_c4,
+                    F.md5(
+                        F.encode(F.concat_ws(" ", F.flatten("kept")), "utf-8")
+                    ),
+                ).alias("clean_md5"),
+            ),
+        )
+
+    # Hot-n-gram blocklist coverage (staged round 10): the count is
+    # one gram-keyed shuffle with map-side combine, the blocklist a
+    # K-bounded TakeOrdered, the coverage a broadcast join + doc-keyed
+    # aggregate. Per-copy token tags make the gram vocabulary grow N×
+    # (the honest shuffle volume a real N× corpus would have).
+    if only is None or "hot_ngrams" in only:
+        from market_pulse_data_pipeline_spark.queries.r12_staging import (
+            _HB_FLAG_PCT,
+            _HB_K,
+            _HB_N,
+        )
+
+        docs_hb = tagged_docs("docs_hotngram")
+        nhb = _HB_N
+        grams_hb = (
+            docs_hb.select("doc_id", F.split("text", " ").alias("ws"))
+            .filter(F.size("ws") >= nhb)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(ws) - {nhb - 1}),"
+                        f" i -> concat_ws(' ', slice(ws, i, {nhb})))"
+                    )
+                ).alias("gram"),
+            )
+        )
+        top_hb = (
+            grams_hb.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("gram"))
+            .limit(_HB_K)
+            .select("gram", F.lit(True).alias("hot"))
+        )
+        run(
+            "hot_ngrams",
+            grams_hb.join(F.broadcast(top_hb), "gram", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("hot"), 1).otherwise(0)).alias("n_hits"),
+            )
+            .select(
+                "doc_id",
+                "n_grams",
+                "n_hits",
+                (
+                    F.col("n_hits") * 100 >= F.col("n_grams") * _HB_FLAG_PCT
+                ).alias("flagged"),
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
