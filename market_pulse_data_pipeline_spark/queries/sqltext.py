@@ -354,7 +354,17 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_value=("value", "max"),
         min_value=("value", "min"),
     )
-    out = agg.to_spark()
+    # dropping the synthetic index is exactly what this query wants:
+    # silence the pandas-on-Spark advice warning without switching to
+    # index_col=, which would force a distributed-sequence index into
+    # the plan just to drop it again
+    import warnings  # noqa: PLC0415
+
+    from pyspark.pandas.utils import PandasAPIOnSparkAdviceWarning  # noqa: PLC0415
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", PandasAPIOnSparkAdviceWarning)
+        out = agg.to_spark()
     return out.select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),

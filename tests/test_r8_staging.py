@@ -22,12 +22,13 @@ R8_NAMES = [
 ]
 
 
-def test_r8_rows_are_registered_and_take_first_witness():
-    from market_pulse_data_pipeline_spark.queries import _R9_FIRST_WITNESS
+def test_r8_rows_are_registered_and_witnessed():
+    from market_pulse_data_pipeline_spark.queries import _DRIVER_GREEN
 
     assert set(R8_NAMES) <= set(QUERY_REGISTRY)
-    # they take their first driver witness at the round-9 window head
-    assert _R9_FIRST_WITNESS == R8_NAMES
+    # they took their first driver witness at the round-9 window head
+    # (CORRECTNESS_r09: 50/50 green) and now live in the ledger
+    assert all(_DRIVER_GREEN.get(n) == 9 for n in R8_NAMES)
 
 
 @pytest.mark.parametrize("name", sorted(R8_NAMES))
