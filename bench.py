@@ -13,6 +13,10 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: the warm-up pandas_udf's string
+# annotations (PEP 563 via `from __future__ import annotations`) are
+# resolved against module globals by pyspark's type-hint inference
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from market_pulse_data_pipeline_spark.queries import all_queries
@@ -31,7 +35,6 @@ def main() -> None:
     warm = bench_queries["weekly_rollup"].spark(spark, sf_dir)
     warm.write.mode("overwrite").format("noop").save()
 
-    import pandas as pd  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 

@@ -352,6 +352,10 @@ def _c4_oracle() -> str:
     "memory at the longest document.",
 )
 def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out,
+    )
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     l1 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, _C4_LINE_W))
     seeds = docs.filter(F.col("doc_id") % _C4_PLANT_MOD == 0)
@@ -375,7 +379,9 @@ def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    corpus = docs.unionByName(plants)
+    # one small parquet split would serialize the per-doc array folds
+    # on a single core; no-op on a real many-split corpus
+    corpus = fan_out(docs.unionByName(plants))
 
     w = _C4_LINE_W
     lined = corpus.select(
@@ -486,10 +492,16 @@ def _hot_ngram_oracle() -> str:
 def hot_ngram_blocklist_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out,
+    )
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     n = _HB_N
+    # fan_out: the gram build + explode otherwise runs on the single
+    # scan split of the small fixture file; no-op on a real corpus
     grams = (
-        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        fan_out(docs).select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= n)
         .select(
             "doc_id",

@@ -159,9 +159,9 @@ def _gopher_oracle() -> str:
     "line/paragraph stats are map-side array expressions, and the "
     "n-gram mode is a per-doc array_sort + one aggregate() fold "
     "(longest equal run), because n-grams are per-document by "
-    "definition; the only exchange in the plan is the final doc-keyed "
-    "join of the two map-side branches, which AQE turns into a "
-    "broadcast at small sizes. Per-doc arrays bound memory at the "
+    "definition; since round 10 everything comes out of ONE map-only "
+    "projection (no doc-keyed branch join in the plan at all). "
+    "Per-doc arrays bound memory at the "
     "longest document, the same contract every per-doc array op in "
     "the repo carries.",
 )
@@ -174,25 +174,29 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _GR_PLANT_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.array_repeat(line, _GR_PLANT_REPS)).alias("text"),
     )
-    alldocs = docs.unionByName(plants)
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    # the fixture corpus arrives as one small parquet split: without
+    # fan_out the whole per-doc fold pipeline runs on a single core
+    # (measured 3.3 s -> sub-second at sf0.1). No-op on a real
+    # many-split corpus.
+    alldocs = fan_out(docs.unionByName(plants))
     toks = alldocs.select("doc_id", F.split("text", " ").alias("ws"))
     lines = F.expr(_GR_LINES_SPARK.format(w=_GR_LINE_W))
     paras = F.expr(_GR_LINES_SPARK.format(w=_GR_PARA_W))
-    struct_stats = toks.select(
-        "doc_id",
-        F.size("ws").alias("n_tokens"),
-        F.size(lines).alias("n_lines"),
-        F.size(F.array_distinct(lines)).alias("d_lines"),
-        F.size(paras).alias("n_paras"),
-        F.size(F.array_distinct(paras)).alias("d_paras"),
-    )
     # the top-n-gram MODE is computed map-side too: per doc, build the
     # n-gram array, array_sort it, and take the longest equal run with
     # one aggregate() fold — n-grams are per-document by definition,
     # so there is nothing to shuffle. (The DuckDB oracle keeps the
     # equivalent groupBy/max form — same mode count, different engine
-    # idiom.) The whole operator is therefore a SINGLE map-only
-    # projection + the final doc-keyed join of two map-side branches.
+    # idiom.) The whole operator is therefore ONE map-only projection:
+    # the line/paragraph stats and the three gram modes come out of
+    # the same select (round-10 rewrite — the earlier two-branch form
+    # joined them back on doc_id, paying a broadcast exchange and a
+    # second corpus scan for columns that were map-side all along;
+    # hashes unchanged, re-verified against the oracle).
     from market_pulse_data_pipeline_spark.functions.scalars import (  # noqa: PLC0415
         longest_run_count,
     )
@@ -206,8 +210,13 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("ws") >= gl, longest_run_count(grams)
         )
 
-    wide = toks.select(
+    stats = toks.select(
         "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("d_lines"),
+        F.size(paras).alias("n_paras"),
+        F.size(F.array_distinct(paras)).alias("d_paras"),
         top_run(2).alias("c2"),
         top_run(3).alias("c3"),
         top_run(4).alias("c4"),
@@ -222,7 +231,7 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("c4") * 400 > F.col("n_tokens") * _GR_TOPK_PCT[4])
     )
     return (
-        struct_stats.join(wide, "doc_id")
+        stats
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
