@@ -267,12 +267,23 @@ def kmeans_snapped_fit(
     int64 centroid matrix (k × dim) — the coarse codebook IVF-ANN
     probes against. Returns (assignments under the final centroids
     with the quantized vector column ``v`` retained, centroids)."""
-    src = emb.select(
-        id_col,
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * scale).cast("long"),
-        ).alias("v"),
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    # fan_out: the fixture embeddings arrive as ONE parquet split, so
+    # every Lloyd iteration's Arrow-batched assignment would otherwise
+    # run on a single core; no-op on a real many-split corpus (the
+    # per-row assignment is order-independent, so results are
+    # partitioning-invariant — chaos-gated)
+    src = fan_out(
+        emb.select(
+            id_col,
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("v"),
+        )
     )
     init = src.orderBy(id_col).limit(k).collect()  # bounded: k vectors
     centroids = np.array([r["v"] for r in init], dtype=np.int64)
