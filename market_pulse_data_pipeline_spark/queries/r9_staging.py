@@ -397,8 +397,12 @@ def eval_decontaminate_fuzzy_minhash(
 
     # one shingle pass per side feeds signatures AND exact verification
     # (the minhash_lsh_near_dups cache discipline); the eval side is
-    # tiny, so everything eval-derived broadcasts
-    th = fan_out(hashed_shingle_arrays(train, "text", _FZ_N)).cache()
+    # tiny, so everything eval-derived broadcasts. fan_out BEFORE the
+    # shingle hashing: spreading after it would leave the expensive
+    # 13-gram hash projection on the handful of pre-exchange tasks the
+    # single-split fixture scan provides (round-10 fix; no-op on a
+    # real many-split corpus).
+    th = hashed_shingle_arrays(fan_out(train), "text", _FZ_N).cache()
     eh = hashed_shingle_arrays(evald, "text", _FZ_N).cache()
     tsig = minhash_signatures_from_hashes(th, "hs", _FZ_PERM)
     esig = minhash_signatures_from_hashes(eh, "hs", _FZ_PERM)

@@ -130,7 +130,9 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification unless xxhash64 collides WITHIN a pair's shingle
     # sets (P ≈ k²/2⁶², negligible; the oracle gate witnesses the
     # fixed corpus at every SF, so equality is deterministic here).
-    hsh = fan_out(hashed_shingle_arrays(docs, "text", 3)).cache()
+    # fan_out BEFORE the shingle hashing so the expensive 3-gram hash
+    # projection runs on all cores, not the single-split scan's tasks
+    hsh = hashed_shingle_arrays(fan_out(docs), "text", 3).cache()
     # sig cached too: the banded self-join consumes it on both sides,
     # and the 64-permutation projection is the expensive stage
     sig = minhash_signatures_from_hashes(hsh, "hs", 64, 42).cache()
