@@ -124,7 +124,8 @@ def staging_candidates():
     import importlib
 
     out = {}
-    for modname in ("r10_staging", "r11_staging", "r12_staging"):
+    for modname in ("r10_staging", "r11_staging", "r12_staging",
+                    "r13_staging"):
         try:
             mod = importlib.import_module(
                 f"market_pulse_data_pipeline_spark.queries.{modname}"

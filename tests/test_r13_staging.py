@@ -1,0 +1,255 @@
+"""Semantic pins for the round-14 staged operators
+(queries/r13_staging.py — staged in round 10). Oracle parity is
+covered by check_oracle --staging at sf0.001/0.01/0.1 and
+hostile_check --chaos --staging; this file keeps the invariants the
+value-hash can't express: the semantic-decontamination plant
+contracts (scale-free flags, sign-flip non-flags), the rendezvous
+monotonicity property (removing a shard moves only its own docs), and
+the LSH recall curve's s-shape and planted-tail guarantees."""
+
+import pytest
+
+from market_pulse_data_pipeline_spark.queries.r13_staging import (
+    _ES_EVAL_MOD,
+    _ES_H_OFFSET,
+    _ES_N_OFFSET,
+    _ES_V_OFFSET,
+    _RC_PLANT_MOD,
+    _RC_V_OFFSET,
+    _RV_SHARDS,
+    STAGED,
+)
+
+R13_NAMES = [
+    "eval_decontaminate_semantic",
+    "rendezvous_shard_assignment",
+    "lsh_recall_curve",
+]
+
+
+def test_r13_staging_composition():
+    from market_pulse_data_pipeline_spark.queries import (
+        QUERY_REGISTRY,
+        staging_candidates,
+    )
+
+    assert list(STAGED) == R13_NAMES
+    assert not set(STAGED) & set(QUERY_REGISTRY)
+    assert set(STAGED) <= staging_candidates().keys()
+    assert all(d.oracle is not None for d in STAGED.values())
+
+
+@pytest.mark.parametrize("name", R13_NAMES)
+def test_r13_plan_antipatterns(spark, sf_dir, name):
+    df = STAGED[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+
+
+# --------------------------------------------------------------------
+# eval_decontaminate_semantic
+# --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def esem_rows(spark, sf_dir):
+    return (
+        STAGED["eval_decontaminate_semantic"].spark(spark, sf_dir).collect()
+    )
+
+
+def _eval_ids(sf_dir):
+    import duckdb
+
+    return {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT vec_id FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet') "
+            f"WHERE vec_id % {_ES_EVAL_MOD} = 0"
+        ).fetchall()
+    }
+
+
+def test_esem_verbatim_plants_flag_their_own_eval_vector(esem_rows, sf_dir):
+    evals = _eval_ids(sf_dir)
+    got = {
+        (r.vec_id - _ES_V_OFFSET, r.eval_vec_id)
+        for r in esem_rows
+        if _ES_V_OFFSET <= r.vec_id < _ES_H_OFFSET
+    }
+    for e in evals:
+        assert (e, e) in got, f"verbatim copy of eval vector {e} missed"
+
+
+def test_esem_half_scale_plants_flag_scale_free(esem_rows, sf_dir):
+    # cosine is scale-invariant: the 0.5x copies MUST still flag — a
+    # dot-product threshold would miss every one of them
+    evals = _eval_ids(sf_dir)
+    got = {
+        (r.vec_id - _ES_H_OFFSET, r.eval_vec_id)
+        for r in esem_rows
+        if _ES_H_OFFSET <= r.vec_id < _ES_N_OFFSET
+    }
+    for e in evals:
+        assert (e, e) in got, f"half-scale copy of eval vector {e} missed"
+
+
+def test_esem_negated_plants_never_flag(esem_rows):
+    # dot(x, -x) < 0: the sign guard must drop every negated copy
+    assert all(r.vec_id < _ES_N_OFFSET for r in esem_rows)
+
+
+def test_esem_flags_satisfy_the_integer_threshold(esem_rows, sf_dir):
+    # engine-free replay of the quantized cosine for every flagged
+    # pair: recompute dot and norms in pure python and re-check
+    # 400*dot^2 >= 361*|a|^2*|b|^2 (and dot >= 0)
+    import duckdb
+
+    vecs = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    }
+
+    def q(v, scale=1.0):
+        import struct as _s
+
+        out = []
+        for x in v:
+            y = x * scale
+            # replicate CAST(... AS FLOAT) then round(double * 1e6)
+            y = _s.unpack("f", _s.pack("f", y))[0]
+            out.append(round(y * 1_000_000))
+        return out
+
+    assert esem_rows, "no flagged pairs at all"
+    for r in esem_rows:
+        if r.vec_id >= _ES_H_OFFSET:
+            a = q(vecs[r.vec_id - _ES_H_OFFSET], 0.5)
+        elif r.vec_id >= _ES_V_OFFSET:
+            a = q(vecs[r.vec_id - _ES_V_OFFSET])
+        else:
+            a = q(vecs[r.vec_id])
+        b = q(vecs[r.eval_vec_id])
+        dot = sum(x * y for x, y in zip(a, b))
+        n2a = sum(x * x for x in a)
+        n2b = sum(y * y for y in b)
+        assert dot == r.dot
+        assert dot >= 0
+        assert 400 * dot * dot >= 361 * n2a * n2b
+
+
+# --------------------------------------------------------------------
+# rendezvous_shard_assignment
+# --------------------------------------------------------------------
+
+
+def _hrw_score(doc_id: int, shard: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{doc_id}:{shard}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def rv_rows(spark, sf_dir):
+    return (
+        STAGED["rendezvous_shard_assignment"].spark(spark, sf_dir).collect()
+    )
+
+
+def test_rendezvous_matches_pure_python_replay(rv_rows):
+    # engine-free replay of the full HRW argmax for every document
+    assert len(rv_rows) == 500
+    for r in rv_rows:
+        best = max(
+            range(_RV_SHARDS), key=lambda s: (_hrw_score(r.doc_id, s), -s)
+        )
+        assert r.shard == best, r.doc_id
+
+
+def test_rendezvous_monotonicity_on_shard_removal(rv_rows):
+    # THE rendezvous property: deleting shard 7 remaps ONLY the
+    # documents that lived on shard 7 — every other document's argmax
+    # over the remaining shards is unchanged
+    removed = 7
+    moved = 0
+    for r in rv_rows:
+        remaining = [s for s in range(_RV_SHARDS) if s != removed]
+        best = max(remaining, key=lambda s: (_hrw_score(r.doc_id, s), -s))
+        if r.shard == removed:
+            moved += 1
+            assert best != removed
+        else:
+            assert best == r.shard, (
+                f"doc {r.doc_id} moved off shard {r.shard} when an "
+                f"unrelated shard was removed"
+            )
+    assert moved > 0, "fixture never used the removed shard"
+
+
+def test_rendezvous_balance_is_reasonable(rv_rows):
+    # 500 docs over 16 shards: a uniform hash keeps every shard
+    # populated and no shard grossly hot (loose 4x bound — this is a
+    # sanity pin, not a statistical test)
+    from collections import Counter
+
+    counts = Counter(r.shard for r in rv_rows)
+    assert set(counts) <= set(range(_RV_SHARDS))
+    assert len(counts) == _RV_SHARDS
+    assert max(counts.values()) <= 4 * min(counts.values())
+
+
+# --------------------------------------------------------------------
+# lsh_recall_curve
+# --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rc_rows(spark, sf_dir):
+    return {
+        r.j_bucket: r
+        for r in STAGED["lsh_recall_curve"].spark(spark, sf_dir).collect()
+    }
+
+
+def test_recall_curve_shape(rc_rows):
+    # counts are coherent and the top decile exists (verbatim plants
+    # guarantee J = 1 pairs)
+    assert 9 in rc_rows, "no J >= 0.9 pairs despite verbatim plants"
+    for r in rc_rows.values():
+        assert 0 <= r.j_bucket <= 9
+        assert 0 <= r.n_candidates <= r.n_pairs
+        assert abs(r.recall - round(r.n_candidates / r.n_pairs, 4)) < 1e-9
+
+
+def test_recall_curve_endpoints(rc_rows, sf_dir):
+    # the banded scheme (16 perms x 4 bands, midpoint ~0.71) must
+    # capture essentially everything at J >= 0.9 and essentially
+    # nothing at J < 0.1 — the s-curve's defining endpoints
+    assert rc_rows[9].recall == 1.0, "J >= 0.9 pairs escaped the bands"
+    if 0 in rc_rows:
+        assert rc_rows[0].recall <= 0.05
+    # verbatim plants: every 17th doc (with >= 3 tokens) contributes
+    # at least one J = 1 pair
+    import duckdb
+
+    n_seeds = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % {_RC_PLANT_MOD} = 0 "
+        f"AND len(string_split(text, ' ')) >= 3"
+    ).fetchone()[0]
+    assert rc_rows[9].n_pairs >= n_seeds
+
+
+def test_rc_plant_ids_clear_fixture_ids(sf_dir):
+    import duckdb
+
+    hi = duckdb.sql(
+        f"SELECT max(doc_id) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert hi + _RC_PLANT_MOD < _RC_V_OFFSET

@@ -1811,6 +1811,191 @@ def main() -> int:
             ),
         )
 
+    # Semantic eval decontamination (staged round 10,
+    # queries/r13_staging.py): the eval side is bounded and ships as a
+    # literal; the corpus side is one map-only explode + zip_with fold.
+    # Must scale linearly in corpus size with ZERO shuffle.
+    if only is None or "esem_screen" in only:
+        from market_pulse_data_pipeline_spark.queries.r13_staging import (
+            _ES_DEN,
+            _ES_EVAL_MOD,
+            _ES_NUM,
+            _ES_SCALE,
+        )
+
+        emb_es = load_table(spark, args.sf, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        evs_es = emb_es.filter(F.col("vec_id") % _ES_EVAL_MOD == 0)
+        train_es = mat(
+            multiplied(
+                emb_es.filter(F.col("vec_id") % _ES_EVAL_MOD != 0),
+                args.mult,
+                ["vec_id"],
+            ),
+            "emb_esem",
+        )
+        quant_es = lambda col: F.transform(  # noqa: E731
+            col,
+            lambda x: F.round(x.cast("double") * _ES_SCALE).cast("long"),
+        )
+        ev_rows_es = sorted(
+            evs_es.select(
+                "vec_id", quant_es(F.col("embedding")).alias("q")
+            ).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        ev_lit_es = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["vec_id"])).alias("eid"),
+                    F.array(*[F.lit(int(c)) for c in r["q"]]).alias("ev"),
+                    F.lit(int(sum(c * c for c in r["q"]))).alias("en2"),
+                )
+                for r in ev_rows_es
+            ]
+        )
+        tq_es = train_es.select(
+            "vec_id", quant_es(F.col("embedding")).alias("tv")
+        ).withColumn(
+            "tn2",
+            F.aggregate(
+                F.transform("tv", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        dec_es = "decimal(38,0)"
+        pairs_es = tq_es.select(
+            "vec_id", "tv", "tn2", F.explode(ev_lit_es).alias("e")
+        ).select(
+            "vec_id",
+            F.col("e.eid").alias("eval_vec_id"),
+            F.aggregate(
+                F.zip_with("tv", F.col("e.ev"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+            "tn2",
+            F.col("e.en2").alias("en2"),
+        )
+        run(
+            "esem_screen",
+            pairs_es.filter(
+                (F.col("dot") >= 0)
+                & (
+                    F.col("dot").cast(dec_es)
+                    * F.col("dot").cast(dec_es)
+                    * _ES_DEN
+                    >= F.col("tn2").cast(dec_es)
+                    * F.col("en2").cast(dec_es)
+                    * _ES_NUM
+                )
+            ).select("vec_id", "eval_vec_id", "dot"),
+        )
+
+    # LSH recall curve (staged round 10): truth = inverted-index pair
+    # join, candidates = banded join. Token-tagged multiplication so
+    # cross-copy text never pairs — both pair sets must scale ∝ mult.
+    if only is None or "recall_curve" in only:
+        from market_pulse_data_pipeline_spark.functions.dedup import (
+            _MERSENNE as _RC_M,
+            _perm_params as _rc_perms,
+            portable_hash60 as _rc_h60,
+        )
+        from market_pulse_data_pipeline_spark.queries.r13_staging import (
+            _RC_BANDS,
+            _RC_PERM,
+            _RC_ROWS,
+        )
+
+        docs_rc = tagged_docs("docs_recall")
+        toks_rc = docs_rc.select(
+            "doc_id", F.split("text", " ").alias("ws")
+        ).filter(F.size("ws") >= 3)
+        sh_rc = F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 3),
+            lambda i: F.concat_ws(
+                " ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]
+            ),
+        )
+        hsets_rc = toks_rc.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    sh_rc, lambda s: F.pmod(_rc_h60(s), F.lit(_RC_M))
+                )
+            ).alias("hs"),
+        ).cache()
+        inv_rc = hsets_rc.select("doc_id", F.explode("hs").alias("h"))
+        ta, tb = inv_rc.alias("a"), inv_rc.alias("b")
+        truth_rc = (
+            ta.join(
+                tb,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sig_rc = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "hs",
+                        lambda h: F.pmod(
+                            F.lit(a) * h + F.lit(b), F.lit(_RC_M)
+                        ),
+                    )
+                )
+                for (a, b) in _rc_perms(_RC_PERM)
+            ]
+        )
+        be_rc = (
+            hsets_rc.select("doc_id", sig_rc.alias("sig"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(_RC_BANDS - 1)),
+                        lambda b: F.struct(
+                            b.alias("band"),
+                            F.slice(
+                                F.col("sig"), b * _RC_ROWS + 1, _RC_ROWS
+                            ).alias("bh"),
+                        ),
+                    )
+                ).alias("e"),
+            )
+            .select("doc_id", "e.band", "e.bh")
+        )
+        ca, cb = be_rc.alias("a"), be_rc.alias("b")
+        cand_rc = (
+            ca.join(
+                cb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.lit(True).alias("is_cand"),
+            )
+            .distinct()
+        )
+        run(
+            "recall_curve",
+            truth_rc.join(cand_rc, ["doc_a", "doc_b"], "left").select(
+                "doc_a",
+                "doc_b",
+                F.coalesce(F.col("is_cand"), F.lit(False)).alias("hit"),
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
