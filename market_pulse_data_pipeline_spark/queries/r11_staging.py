@@ -390,19 +390,28 @@ def doremi_excess_loss_reweight(
         F.lit(_DM_CAP_MILLI), F.greatest(F.lit(0), F.col("excess_milli"))
     )
     factored = stepped.withColumn("factor_milli", factor.cast("long"))
-    total = F.sum(F.col("n_docs") * F.col("factor_milli")).over(
-        Window.partitionBy()
+    # normalization total via the scalar-join idiom (broadcast of a
+    # 1-row aggregate) instead of an unpartitioned window — same 20-row
+    # input, but no single-partition WindowExec in the plan
+    total_df = factored.agg(
+        F.sum(F.col("n_docs") * F.col("factor_milli")).alias("_total")
     )
-    return factored.select(
-        "source",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        "domain_loss",
-        "excess_milli",
-        "factor_milli",
-        round_div(
-            F.col("n_docs") * F.col("factor_milli") * 1.0, total, 6
-        ).alias("weight"),
-    ).orderBy("source")
+    return (
+        factored.crossJoin(F.broadcast(total_df))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "domain_loss",
+            "excess_milli",
+            "factor_milli",
+            round_div(
+                F.col("n_docs") * F.col("factor_milli") * 1.0,
+                F.col("_total"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
 
 
 # --------------------------------------------------------------------
