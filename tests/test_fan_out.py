@@ -1,0 +1,39 @@
+"""Behavior pins for functions.dedup.fan_out — the round-10 scan
+finding made it load-bearing across the doc-filter, MinHash, k-means,
+and staged families, and VERDICT r9 flagged its private-API partition
+probe as a watch item: these pins make any Spark-upgrade breakage of
+the probe (or an accidental change to the no-op contract) loud."""
+
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.functions.dedup import fan_out
+
+
+def test_fan_out_widens_a_narrow_input(spark):
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    wide = fan_out(narrow)
+    assert wide.rdd.getNumPartitions() == target
+    # same rows, nothing lost or duplicated
+    assert wide.count() == 1000
+    assert wide.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+def test_fan_out_is_a_noop_on_a_wide_input(spark):
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 4)
+    out = fan_out(wide)
+    # the contract the 100 TB story rests on: an already-wide input
+    # (a real many-split scan) gets NO extra exchange — fan_out must
+    # return the input untouched, not re-shuffle it
+    assert out is wide
+
+
+def test_fan_out_partition_probe_matches_public_api(spark):
+    # the fast JVM-side probe (df._jdf.rdd().getNumPartitions()) must
+    # agree with the public df.rdd path it falls back to — a Spark
+    # upgrade that changes the private surface fails here, loudly,
+    # instead of silently disabling the fan-out
+    df = spark.range(100).coalesce(2)
+    assert df._jdf.rdd().getNumPartitions() == df.rdd.getNumPartitions()
