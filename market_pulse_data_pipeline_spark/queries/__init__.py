@@ -37,6 +37,8 @@ from market_pulse_data_pipeline_spark.queries import mining  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r7_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r8_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r9_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r10_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r11_staging  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -48,84 +50,87 @@ from market_pulse_data_pipeline_spark.queries import r9_staging  # noqa: F401, E
 # list) go to the very head, so new operators get their first witness
 # exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R11_DEFER` — new operators land
+# never-witnessed registrations (`_R12_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
 #
-# Round-10 window (VERDICT.md round 9 "Next round" #1): exactly what
-# round 9's pinned r10_rotation() computed once the r9_staging batch
-# flipped to @register — the 3 round-10 registrations taking their
-# FIRST driver witness at the head (they landed BEFORE the window pin,
-# so never-witnessed beats stale per the round-9 handoff;
-# CORRECTNESS_r09 was 50/50 green, so no red row outranks the
-# rotation), then the 47 stalest green rows: the 6 remaining
-# CORRECTNESS_r04 rows, then the r05 ledger head (original
-# witness-window order). Pinned literally so any registry or ledger
-# edit that would shift the driver's snapshot fails
-# tests/test_window_composition.py loudly.
-_R10_WINDOW = [
-    # first driver witness for the three round-10 registrations
-    "gopher_repetition_filters", "eval_decontaminate_fuzzy_minhash",
-    "lang_id_rank_profile",
-    # then the 6 remaining r4 greens (CORRECTNESS_r04 tail)
-    "cross_corpus_dedup_exact", "doc_chunking",
-    "mixture_rebalanced_sample", "bernoulli_sample_hash",
-    "corpus_pipeline_end_to_end", "corpus_quality_filter",
-    # then the 41 stalest r5 greens (CORRECTNESS_r05 head, original order)
-    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
-    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
-    "k_anonymity_check", "benford_first_digit_audit",
-    "chi2_independence_lang_source", "format_roundtrip_orc",
-    "format_roundtrip_csv", "format_roundtrip_jsonl",
-    "partitioned_write_readback", "schema_evolution_read",
-    "pagerank_user_event_graph", "centroid_classifier_confusion",
-    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
-    "sql_registered_udf", "sql_lateral_top2_orders",
-    "udtf_split_sentences", "incremental_agg_maintenance",
-    "calendar_gapfill_ffill", "pointer_swap_time_travel",
-    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
-    "zorder_locality_boxes", "bigram_fluency_score", "media_audio_windows",
-    "array_setops_user_events", "higher_order_array_suite",
-    "sql_scalar_udf_params", "sql_table_function_orders",
-    "salted_skew_aggregate", "bucketed_join_colocated",
-    "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
-    "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
+# Round-11 window (VERDICT.md round 10 "Next round" #1+#2: the DOUBLE
+# flip): exactly what round 10's pinned r11_rotation() computes once
+# BOTH staged batches flip to @register — the 6 round-11 registrations
+# taking their FIRST driver witness at the head (they landed BEFORE
+# the window pin, so never-witnessed beats stale; CORRECTNESS_r10 was
+# 50/50 green, so no red row outranks the rotation), then the 44
+# stalest green rows: the 9 remaining CORRECTNESS_r05 rows, then the
+# r06 ledger head (ledger-insertion order within the round — the
+# SURVEY-§2 chain rows re-witnessed in r6 keep their original r2
+# positions, so they precede the r6-first-witness block). Pinned
+# literally so any registry or ledger edit that would shift the
+# driver's snapshot fails tests/test_window_composition.py loudly.
+_R11_WINDOW = [
+    # first driver witness for the six round-11 registrations —
+    # the r10_staging batch, then the r11_staging batch
+    "exact_substring_trim", "perplexity_stratified_sample",
+    "domain_dedup_quality_gate",
+    "paragraph_simhash_near_dups", "doremi_excess_loss_reweight",
+    "curriculum_pack_easy_first",
+    # then the 9 remaining r5 greens (CORRECTNESS_r05 tail)
+    "sql_recursive_cte", "xml_parse_roundtrip", "hll_sketch_mergeability",
+    "mad_robust_outliers", "cogroup_signup_purchase_counts",
+    "event_sequence_pattern_match", "peak_concurrency_sweep",
+    "streaming_session_window", "collation_case_insensitive_group",
+    # then the 35 stalest r6 greens (CORRECTNESS_r06 head in
+    # ledger-insertion order: the 7 SURVEY-chain re-witnesses keep
+    # their r2 insertion positions, then the r6 first-witness block)
+    "weekly_rollup", "dim_case_mapping", "left_join_enrich",
+    "derived_metrics", "keyed_upsert", "qc_not_null_violations",
+    "qc_anti_join_orphans",
+    "bpe_learned_merges", "embedding_pca_project",
+    "media_decode_features", "media_resize",
+    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
+    "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
+    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
+    "try_functions_suite", "salted_replicate_join",
+    "hashed_linear_quality_score", "mixture_epoch_expansion",
+    "watermark_delay_estimate", "prefix_sum_two_phase",
+    "simhash_portable", "ann_recall_at_10", "tick_rule_trade_signs",
+    "label_propagation_communities", "scd2_point_in_time_join",
+    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
+    "python_datasource_stream", "m4_downsample",
 ]
 
 # the window head: names taking their FIRST driver row this round —
-# they join _DRIVER_GREEN (round 10) at the next rotation
-_R10_FIRST_WITNESS = _R10_WINDOW[:3]
+# they join _DRIVER_GREEN (round 11) at the next rotation
+_R11_FIRST_WITNESS = _R11_WINDOW[:6]
 
-# Round-10 registrations awaiting deferral to the round-11 window per
+# Round-11 registrations awaiting deferral to the round-12 window per
 # the round-4 displacement rule (additions never displace a verified
-# window). The round-10 batch (r9_staging) registered BEFORE the
-# window pin, so it heads the window instead of deferring; this list
-# is for any later round-10 addition.
-_R11_DEFER: list[str] = []
+# window). The round-11 batches (r10_staging + r11_staging) registered
+# BEFORE the window pin, so they head the window instead of deferring;
+# this list is for any later round-11 addition.
+_R12_DEFER: list[str] = []
 
 # stable alias for tools (check_oracle --staged, hostile_check): the
 # newest registrations still awaiting their first driver witness —
 # points at the current round's deferral list so the tools never need
 # a per-round rename again
-PENDING_FIRST_WITNESS = _R11_DEFER
+PENDING_FIRST_WITNESS = _R12_DEFER
 
 
 def staging_candidates():
     """Every staged-but-unregistered query (name -> QueryDef), merged
-    across staging modules — round 9 pre-staged the round-11 batch
-    (r10_staging), the round-12 batch (r11_staging), and the round-13
-    seed (r12_staging), so the tools sweep all of them until each
-    registers. Filtering on QUERY_REGISTRY makes the per-round
-    @stage -> @register flip drop a batch out of this view
-    automatically (the round-10 batch flipped in queries/r9_staging.py,
-    now a pure @register module). Stable entry point for
-    check_oracle --staging / hostile_check --staging."""
+    across staging modules. Round 11 executed VERDICT r10's double
+    flip (r10_staging AND r11_staging are now pure @register modules
+    like r9_staging), so the remaining staged backlog is the round-12
+    batch (r12_staging) and the round-13 batch (r13_staging).
+    Filtering on QUERY_REGISTRY makes the per-round @stage ->
+    @register flip drop a batch out of this view automatically.
+    Stable entry point for check_oracle --staging /
+    hostile_check --staging."""
     import importlib
 
     out = {}
-    for modname in ("r10_staging", "r11_staging", "r12_staging",
-                    "r13_staging"):
+    for modname in ("r12_staging", "r13_staging"):
         try:
             mod = importlib.import_module(
                 f"market_pulse_data_pipeline_spark.queries.{modname}"
@@ -362,19 +367,51 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "streaming_stateful_user_stats", "streaming_static_enrich",
     "vocab_top_tokens",
 ], 9))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r10.json — 50/50 green (the round-10 window, verbatim
+    # order: the 3 round-10 registrations taking their first driver
+    # witness, then the 6 remaining r4 re-witnesses and the 41-row r5
+    # ledger head). dict.update keeps the 47 re-witnesses at their
+    # original insertion positions and appends the 3 first-witness
+    # names at the end — exactly the shape round 10's r11_rotation()
+    # pre-computed.
+    "gopher_repetition_filters", "eval_decontaminate_fuzzy_minhash",
+    "lang_id_rank_profile",
+    "cross_corpus_dedup_exact", "doc_chunking",
+    "mixture_rebalanced_sample", "bernoulli_sample_hash",
+    "corpus_pipeline_end_to_end", "corpus_quality_filter",
+    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
+    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
+    "k_anonymity_check", "benford_first_digit_audit",
+    "chi2_independence_lang_source", "format_roundtrip_orc",
+    "format_roundtrip_csv", "format_roundtrip_jsonl",
+    "partitioned_write_readback", "schema_evolution_read",
+    "pagerank_user_event_graph", "centroid_classifier_confusion",
+    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
+    "sql_registered_udf", "sql_lateral_top2_orders",
+    "udtf_split_sentences", "incremental_agg_maintenance",
+    "calendar_gapfill_ffill", "pointer_swap_time_travel",
+    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
+    "zorder_locality_boxes", "bigram_fluency_score", "media_audio_windows",
+    "array_setops_user_events", "higher_order_array_suite",
+    "sql_scalar_udf_params", "sql_table_function_orders",
+    "salted_skew_aggregate", "bucketed_join_colocated",
+    "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
+    "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
+], 10))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R11_DEFER`` order — after the window, so new
+    registrations (``_R12_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R10_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R11_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R11_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R12_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -383,6 +420,7 @@ def all_queries():
             return (2, _DRIVER_GREEN[n], green_rank[n])
         return (1, defer_rank.get(n, len(defer_rank)), 0)
 
+
     names = sorted(QUERY_REGISTRY, key=lambda n: (tier(n),))
     # sorted() is stable -> registration order preserved within tier 1
     return {n: QUERY_REGISTRY[n] for n in names}
@@ -390,33 +428,32 @@ def all_queries():
 
 def stalest_green(window: int = 50) -> list[str]:
     """The stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R10_WINDOW``'s tail is
-    this round's pinned snapshot of exactly ``stalest_green(47)`` (a
-    regression test keeps them in lockstep; the window head is the 3
+    ledger-insertion order within a round. ``_R11_WINDOW``'s tail is
+    this round's pinned snapshot of exactly ``stalest_green(44)`` (a
+    regression test keeps them in lockstep; the window head is the 6
     first-witness names, which have no green row yet)."""
     order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
     stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
     return stale[:window]
 
 
-def r11_rotation(window: int = 50) -> list[str]:
-    """The proposed round-11 window under the steady-state cadence:
-    never-witnessed registrations at the head — the round-11 batch
-    (r10_staging: exact_substring_trim, perplexity_stratified_sample,
-    domain_dedup_quality_gate) once it flips to @register, via
-    ``_R11_DEFER`` or a pre-pin window head — then the stalest greens
-    assuming this round's window lands green (its 47 re-witnesses move
-    to round 10 and its 3 first-witness names enter the ledger at
-    round 10): the 9 remaining r5 rows (``sql_recursive_cte`` …
-    ``collation_case_insensitive_group``), then the r6 ledger head.
-    Any r10 RED row outranks all of this and goes to the very front
-    instead (red beats rotation)."""
-    never = [n for n in _R11_DEFER if n in QUERY_REGISTRY]
-    after_r10 = dict(_DRIVER_GREEN)
-    # update() keeps existing positions for the 47 re-witnesses and
-    # appends the 3 first-witness names at the end in window order —
+def r12_rotation(window: int = 50) -> list[str]:
+    """The proposed round-12 window under the steady-state cadence:
+    never-witnessed registrations at the head — the round-12 batch
+    (r12_staging: corpus_yield_funnel, c4_line_filters,
+    hot_ngram_blocklist_coverage) once it flips to @register, via
+    ``_R12_DEFER`` or a pre-pin window head — then the stalest greens
+    assuming this round's window lands green (its 44 re-witnesses move
+    to round 11 and its 6 first-witness names enter the ledger at
+    round 11): the r6 ledger remainder (``calendar_interpolate_linear``
+    …), then the r7 ledger head. Any r11 RED row outranks all of this
+    and goes to the very front instead (red beats rotation)."""
+    never = [n for n in _R12_DEFER if n in QUERY_REGISTRY]
+    after_r11 = dict(_DRIVER_GREEN)
+    # update() keeps existing positions for the 44 re-witnesses and
+    # appends the 6 first-witness names at the end in window order —
     # the same shape next round's literal ledger edit will produce
-    after_r10.update(dict.fromkeys(_R10_WINDOW, 10))
-    order = {n: i for i, n in enumerate(after_r10)}
-    stale = sorted(after_r10, key=lambda n: (after_r10[n], order[n]))
+    after_r11.update(dict.fromkeys(_R11_WINDOW, 11))
+    order = {n: i for i, n in enumerate(after_r11)}
+    stale = sorted(after_r11, key=lambda n: (after_r11[n], order[n]))
     return (never + stale)[:window]

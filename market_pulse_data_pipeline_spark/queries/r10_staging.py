@@ -1,11 +1,9 @@
-"""Round-11 staged queries — implemented, oracle-paired, NOT registered.
-
-Staged a round EARLY (in round 9, alongside the round-10 batch in
-queries/r9_staging.py) so that round 10 stays turn-key: it registers
-the r9 batch, and this batch is already triple-gated for round 11.
-``staging_candidates()`` (queries/__init__.py) merges every staged
-module's pending entries, so check_oracle --staging / hostile_check
---staging sweep BOTH batches until each registers.
+"""Round-11 registrations — staged and triple-gated in round 9
+(implementations, DuckDB value-hash oracles, and pytest semantic pins
+in tests/test_r10_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed),
+registered here in round 11 per VERDICT round-10 item 1. The names
+head the round-11 correctness window (never-witnessed beats stale).
 
 All three are compositions of driver-green machinery into the
 pipeline ACTIONS the registry still lacked (VERDICT r8 item 6's
@@ -35,31 +33,15 @@ pipeline ACTIONS the registry still lacked (VERDICT r8 item 6's
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-11 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -127,9 +109,10 @@ def _trim_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "exact_substring_trim",
     _trim_oracle(),
+    bench=True,  # corpus-scale digest-keyed cut shape: first-round number
     doc="exact-substring dedup as the CUT it exists for (Lee et al. "
     "2022): every 16-token window occurring verbatim in >= 2 docs is "
     "removed from every doc except the first occurrence (min doc_id "
@@ -270,7 +253,7 @@ def _stratified_oracle() -> str:
     )
 
 
-@stage(
+@register(
     "perplexity_stratified_sample",
     _stratified_oracle(),
     doc="perplexity-stratified sampling — the sampling step CCNet "
@@ -359,7 +342,7 @@ def _domain_gate_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "domain_dedup_quality_gate",
     _domain_gate_oracle(),
     doc="domain-level dedup + quality gate — the C4/RefinedWeb 'kill "

@@ -1,11 +1,11 @@
-"""Round-12 staged queries — implemented, oracle-paired, NOT registered.
-
-Third pre-staged batch (rounds 10 and 11 already have theirs in
-queries/r9_staging.py and queries/r10_staging.py): staging this far
-ahead keeps every upcoming round turn-key — registration stays a
-two-line @stage → @register flip inside the ≤3-per-round budget, and
-``staging_candidates()`` already merges this module into the
-check_oracle --staging / hostile_check --staging sweeps.
+"""Round-11 registrations, second batch — staged and triple-gated in
+round 9 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r11_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed),
+registered in round 11 per VERDICT round-10 item 2's double flip
+(draining the staged backlog at 6/round instead of 3 — new
+registrations ride the deferral list and can never displace a
+verified window slot, so the only cost is six first-witness slots).
 
 The three close the next tier of LLM-pipeline gaps:
 
@@ -35,27 +35,15 @@ The three close the next tier of LLM-pipeline gaps:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -139,9 +127,10 @@ def _ph_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "paragraph_simhash_near_dups",
     _ph_oracle(),
+    bench=True,  # pigeonhole banded-join shape: first-round number
     doc="paragraph-granular SimHash near-dup detection (Manku et al., "
     "WWW 2007 — the fuzzy complement of the registry's EXACT "
     "pseudo-sentence digests): every 30-token pseudo-paragraph gets a "
@@ -321,7 +310,7 @@ def _doremi_oracle() -> str:
     )
 
 
-@stage(
+@register(
     "doremi_excess_loss_reweight",
     _doremi_oracle(),
     doc="DoReMi-style domain reweighting (Xie et al. 2023): up-weight "
@@ -443,7 +432,7 @@ def _curriculum_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "curriculum_pack_easy_first",
     _curriculum_oracle(),
     doc="curriculum-ordered sequence packing: token_budget_packing's "

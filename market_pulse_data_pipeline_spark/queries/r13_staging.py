@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
     QueryDef,
+    sql_round_div,
     t,
 )
 
@@ -420,8 +421,9 @@ def _recall_oracle() -> str:
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_candidates,
-           ROUND(CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-             AS DOUBLE) / COUNT(*), 4) AS recall
+           {sql_round_div(
+               'SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0',
+               'COUNT(*)')} AS recall
     FROM jacc j
     LEFT JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
     GROUP BY 1

@@ -6,7 +6,10 @@ the probe (or an accidental change to the no-op contract) loud."""
 
 from pyspark.sql import functions as F
 
-from market_pulse_data_pipeline_spark.functions.dedup import fan_out
+from market_pulse_data_pipeline_spark.functions.dedup import (
+    _probe_partitions,
+    fan_out,
+)
 
 
 def test_fan_out_widens_a_narrow_input(spark):
@@ -37,3 +40,17 @@ def test_fan_out_partition_probe_matches_public_api(spark):
     # instead of silently disabling the fan-out
     df = spark.range(100).coalesce(2)
     assert df._jdf.rdd().getNumPartitions() == df.rdd.getNumPartitions()
+    # the shim is the repo's ONLY _jdf partition probe (VERDICT r10
+    # item 5) and must agree with both
+    assert _probe_partitions(df) == 2
+
+
+def test_fan_out_degrades_to_noop_without_a_probe(spark, monkeypatch):
+    # Connect-style sessions have no RDD API: both probe paths raise.
+    # fan_out must then return the input UNTOUCHED — a missing probe
+    # can never add an exchange (ADVICE r10).
+    import market_pulse_data_pipeline_spark.functions.dedup as d
+
+    monkeypatch.setattr(d, "_probe_partitions", lambda df: None)
+    narrow = spark.range(100).coalesce(1)
+    assert d.fan_out(narrow) is narrow

@@ -1,16 +1,16 @@
-"""Semantic pins for the round-11 staged operators
-(queries/r10_staging.py — pre-staged in round 9 so round 10 stays
-turn-key; registration is round 11's two-line flip). Oracle parity is
-covered by tools/check_oracle.py --staging at sf0.001/0.01/0.1 and
-hostile_check --chaos --staging; this file keeps the invariants the
-value-hash compare can't express: the planted-quote cut contract, the
-nested-sample property, the domain-gate witnesses, and plan
-anti-patterns."""
+"""Semantic pins for the round-11 registrations, first batch
+(queries/r10_staging.py — staged and triple-gated in round 9, flipped
+to @register in round 11 per VERDICT round-10 item 1). Oracle parity
+is covered by the registry-wide tools/check_oracle.py sweep; this file
+keeps the invariants the value-hash compare can't express: the
+planted-quote cut contract, the nested-sample property, the
+domain-gate witnesses, and plan anti-patterns."""
 
 import hashlib
 
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r10_staging import (
     _DG_MIN_AVG_CHARS,
     _PS_MIDDLE_HEX,
@@ -18,7 +18,6 @@ from market_pulse_data_pipeline_spark.queries.r10_staging import (
     _TR_PLANT_MOD,
     _TR_QUOTE,
     _TR_W,
-    STAGED,
 )
 
 R10_NAMES = [
@@ -27,18 +26,22 @@ R10_NAMES = [
     "domain_dedup_quality_gate",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R10_NAMES if n in QUERY_REGISTRY}
 
-def test_r10_staging_composition():
+
+def test_r10_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R11_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R10_NAMES
-    # staged, NOT registered: the addition budget is round 11's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    # the merged staging view sweeps this batch alongside r9's
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 11, heading the correctness window for their
+    # first driver witness (the first half of the double flip)
+    assert set(R10_NAMES) <= set(QUERY_REGISTRY)
+    assert list(_R11_FIRST_WITNESS)[:3] == R10_NAMES
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(R10_NAMES) & staging_candidates().keys()
+    # no rows-only drift: every registration ships a value-hash oracle
     assert all(d.oracle is not None for d in STAGED.values())
 
 

@@ -1,20 +1,21 @@
-"""Semantic pins for the round-12 staged operators
-(queries/r11_staging.py — third pre-staged batch; registration is
-round 12's flip). Oracle parity is covered by check_oracle --staging
-at sf0.001/0.01/0.1 and hostile_check --chaos --staging; this file
-keeps the invariants the value-hash compare can't express: the
-promo-plant Hamming contract, the DoReMi monotone-reweight algebra,
-the curriculum pack replay, and plan anti-patterns."""
+"""Semantic pins for the round-11 registrations, second batch
+(queries/r11_staging.py — staged and triple-gated in round 9, flipped
+to @register in round 11 per VERDICT round-10 item 2's double flip).
+Oracle parity is covered by the registry-wide tools/check_oracle.py
+sweep; this file keeps the invariants the value-hash compare can't
+express: the promo-plant Hamming contract, the DoReMi
+monotone-reweight algebra, the curriculum pack replay, and plan
+anti-patterns."""
 
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r11_staging import (
     _CP_BUDGET,
     _DM_CAP_MILLI,
     _PH_P1_OFFSET,
     _PH_P2_OFFSET,
     _PH_PLANT_MOD,
-    STAGED,
 )
 
 R11_NAMES = [
@@ -23,16 +24,22 @@ R11_NAMES = [
     "curriculum_pack_easy_first",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R11_NAMES if n in QUERY_REGISTRY}
 
-def test_r11_staging_composition():
+
+def test_r11_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R11_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R11_NAMES
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 11, heading the correctness window for their
+    # first driver witness (the second half of the double flip)
+    assert set(R11_NAMES) <= set(QUERY_REGISTRY)
+    assert list(_R11_FIRST_WITNESS)[3:] == R11_NAMES
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(R11_NAMES) & staging_candidates().keys()
+    # no rows-only drift: every registration ships a value-hash oracle
     assert all(d.oracle is not None for d in STAGED.values())
 
 

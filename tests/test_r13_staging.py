@@ -7,6 +7,8 @@ contracts (scale-free flags, sign-flip non-flags), the rendezvous
 monotonicity property (removing a shard moves only its own docs), and
 the LSH recall curve's s-shape and planted-tail guarantees."""
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import pytest
 
 from market_pulse_data_pipeline_spark.queries.r13_staging import (
@@ -224,7 +226,16 @@ def test_recall_curve_shape(rc_rows):
     for r in rc_rows.values():
         assert 0 <= r.j_bucket <= 9
         assert 0 <= r.n_candidates <= r.n_pairs
-        assert abs(r.recall - round(r.n_candidates / r.n_pairs, 4)) < 1e-9
+        # replay round_div's decimal half-away-from-zero route, NOT
+        # builtin round() (banker's rounding): an exact dyadic ratio
+        # like 1/32 = 0.03125 rounds to 0.0312 under Python round but
+        # 0.0313 under the engines' half-up rule (ADVICE r10)
+        expect = float(
+            (Decimal(r.n_candidates) / Decimal(r.n_pairs))
+            .quantize(Decimal("0.00000001"), rounding=ROUND_HALF_UP)
+            .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        assert abs(r.recall - expect) < 1e-9
 
 
 def test_recall_curve_endpoints(rc_rows, sf_dir):

@@ -12,64 +12,66 @@ the same commit.
 
 from market_pulse_data_pipeline_spark.queries import (
     _DRIVER_GREEN,
-    _R10_FIRST_WITNESS,
-    _R10_WINDOW,
-    _R11_DEFER,
+    _R11_FIRST_WITNESS,
+    _R11_WINDOW,
+    _R12_DEFER,
     QUERY_REGISTRY,
     all_queries,
-    r11_rotation,
+    r12_rotation,
     stalest_green,
 )
 
-# Round-10 rotation (VERDICT round-9 item 1): the three round-10
-# registrations (the r9_staging batch, flipped to @register this
-# round) taking their FIRST driver witness at the head — they landed
-# BEFORE the window pin, so never-witnessed beats stale — then the 47
-# stalest greens: the 6 remaining CORRECTNESS_r04 rows, then the r05
-# ledger head, stalest witness first, original window order within a
-# round.
+# Round-11 rotation (VERDICT round-10 items 1+2, the DOUBLE flip): the
+# six round-11 registrations (the r10_staging AND r11_staging batches,
+# both flipped to @register this round) taking their FIRST driver
+# witness at the head — they landed BEFORE the window pin, so
+# never-witnessed beats stale — then the 44 stalest greens: the 9
+# remaining CORRECTNESS_r05 rows, then the r06 ledger head, stalest
+# witness first, ledger-insertion order within a round (the 7
+# SURVEY-§2 chain rows re-witnessed in r6 keep their original r2
+# insertion positions, so they precede the r6 first-witness block).
 EXPECTED_WINDOW = [
-    "gopher_repetition_filters", "eval_decontaminate_fuzzy_minhash",
-    "lang_id_rank_profile",
-    "cross_corpus_dedup_exact", "doc_chunking",
-    "mixture_rebalanced_sample", "bernoulli_sample_hash",
-    "corpus_pipeline_end_to_end", "corpus_quality_filter",
-    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
-    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
-    "k_anonymity_check", "benford_first_digit_audit",
-    "chi2_independence_lang_source", "format_roundtrip_orc",
-    "format_roundtrip_csv", "format_roundtrip_jsonl",
-    "partitioned_write_readback", "schema_evolution_read",
-    "pagerank_user_event_graph", "centroid_classifier_confusion",
-    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
-    "sql_registered_udf", "sql_lateral_top2_orders",
-    "udtf_split_sentences", "incremental_agg_maintenance",
-    "calendar_gapfill_ffill", "pointer_swap_time_travel",
-    "join_strategy_independence", "tfidf_top_terms", "bm25_score_query",
-    "zorder_locality_boxes", "bigram_fluency_score", "media_audio_windows",
-    "array_setops_user_events", "higher_order_array_suite",
-    "sql_scalar_udf_params", "sql_table_function_orders",
-    "salted_skew_aggregate", "bucketed_join_colocated",
-    "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
-    "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
+    "exact_substring_trim", "perplexity_stratified_sample",
+    "domain_dedup_quality_gate",
+    "paragraph_simhash_near_dups", "doremi_excess_loss_reweight",
+    "curriculum_pack_easy_first",
+    "sql_recursive_cte", "xml_parse_roundtrip", "hll_sketch_mergeability",
+    "mad_robust_outliers", "cogroup_signup_purchase_counts",
+    "event_sequence_pattern_match", "peak_concurrency_sweep",
+    "streaming_session_window", "collation_case_insensitive_group",
+    "weekly_rollup", "dim_case_mapping", "left_join_enrich",
+    "derived_metrics", "keyed_upsert", "qc_not_null_violations",
+    "qc_anti_join_orphans",
+    "bpe_learned_merges", "embedding_pca_project",
+    "media_decode_features", "media_resize",
+    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
+    "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
+    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
+    "try_functions_suite", "salted_replicate_join",
+    "hashed_linear_quality_score", "mixture_epoch_expansion",
+    "watermark_delay_estimate", "prefix_sum_two_phase",
+    "simhash_portable", "ann_recall_at_10", "tick_rule_trade_signs",
+    "label_propagation_communities", "scd2_point_in_time_join",
+    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
+    "python_datasource_stream", "m4_downsample",
 ]
 
 
 def test_window_is_the_verified_composition():
     assert list(all_queries())[:50] == EXPECTED_WINDOW
-    assert _R10_WINDOW == EXPECTED_WINDOW
+    assert _R11_WINDOW == EXPECTED_WINDOW
 
 
 def test_window_head_is_first_witness_then_stalest_green():
     # the pinned window and the cadence computation stay in lockstep:
     # a ledger edit that would shift the driver's snapshot fails here
-    assert _R10_FIRST_WITNESS == _R10_WINDOW[:3]
-    assert _R10_WINDOW[3:] == stalest_green(47)
+    assert _R11_FIRST_WITNESS == _R11_WINDOW[:6]
+    assert _R11_WINDOW[6:] == stalest_green(44)
     # the head takes its FIRST driver row this round — no prior witness
-    assert not set(_R10_FIRST_WITNESS) & set(_DRIVER_GREEN)
-    # the re-witness tail rotates stalest-first: 6 r4 rows then 41 r5
-    assert all(_DRIVER_GREEN[n] == 4 for n in _R10_WINDOW[3:9])
-    assert all(_DRIVER_GREEN[n] == 5 for n in _R10_WINDOW[9:])
+    assert not set(_R11_FIRST_WITNESS) & set(_DRIVER_GREEN)
+    # the re-witness tail rotates stalest-first: 9 r5 rows then 35 r6
+    assert all(_DRIVER_GREEN[n] == 5 for n in _R11_WINDOW[6:15])
+    assert all(_DRIVER_GREEN[n] == 6 for n in _R11_WINDOW[15:])
 
 
 def test_window_has_full_oracles():
@@ -83,30 +85,30 @@ def test_window_has_full_oracles():
 def test_ledger_is_closed_and_additions_defer():
     # Steady-state invariant: every registered query is driver-green,
     # in this round's first-witness head, or a deferred registration
-    # awaiting its first row. A registration missing from _R11_DEFER
-    # lands in tier 1 with rank len(_R11_DEFER) — caught here, not
+    # awaiting its first row. A registration missing from _R12_DEFER
+    # lands in tier 1 with rank len(_R12_DEFER) — caught here, not
     # silently shuffled into the window.
     assert set(QUERY_REGISTRY) == (
-        set(_DRIVER_GREEN) | set(_R10_FIRST_WITNESS) | set(_R11_DEFER)
+        set(_DRIVER_GREEN) | set(_R11_FIRST_WITNESS) | set(_R12_DEFER)
     )
-    assert not set(_R11_DEFER) & set(_DRIVER_GREEN)
-    assert not set(_R11_DEFER) & set(_R10_WINDOW)
-    # round-10 registry: the 256 round-8 names + the 3 round-10
-    # registrations (the r9_staging batch flip)
-    assert len(QUERY_REGISTRY) == 259
+    assert not set(_R12_DEFER) & set(_DRIVER_GREEN)
+    assert not set(_R12_DEFER) & set(_R11_WINDOW)
+    # round-11 registry: the 259 round-10 names + the 6 round-11
+    # registrations (the r10_staging + r11_staging double flip)
+    assert len(QUERY_REGISTRY) == 265
     # tier-1 names (positions 50..) are exactly the deferral list, in
     # order — new operators never displace a verified window slot
-    assert list(all_queries())[50:50 + len(_R11_DEFER)] == _R11_DEFER
+    assert list(all_queries())[50:50 + len(_R12_DEFER)] == _R12_DEFER
 
 
-def test_round10_ledger_arithmetic():
-    assert len(_R10_WINDOW) == 50
-    assert len(set(_R10_WINDOW)) == 50
-    # the 47 re-witnesses all have existing green rows
-    assert all(n in _DRIVER_GREEN for n in _R10_WINDOW[3:])
-    # the round-9 window landed in the ledger at round 9: 44
-    # re-witnesses refreshed + 6 first-witness names entered
-    assert sum(1 for v in _DRIVER_GREEN.values() if v == 9) == 50
+def test_round11_ledger_arithmetic():
+    assert len(_R11_WINDOW) == 50
+    assert len(set(_R11_WINDOW)) == 50
+    # the 44 re-witnesses all have existing green rows
+    assert all(n in _DRIVER_GREEN for n in _R11_WINDOW[6:])
+    # the round-10 window landed in the ledger at round 10: 47
+    # re-witnesses refreshed + 3 first-witness names entered
+    assert sum(1 for v in _DRIVER_GREEN.values() if v == 10) == 50
 
 
 def test_rows_only_floor():
@@ -116,22 +118,22 @@ def test_rows_only_floor():
     assert rows_only == set()
 
 
-def test_r11_rotation_defers_then_rotates():
-    # the proposed round-11 window: never-witnessed round-10
-    # registrations first (empty until the r10_staging batch flips to
+def test_r12_rotation_defers_then_rotates():
+    # the proposed round-12 window: never-witnessed round-11
+    # registrations first (empty until the r12_staging batch flips to
     # @register), then the stalest greens assuming this round's window
-    # lands green (the 9 remaining r5 rows + the head of r6 continue
+    # lands green (the r6 ledger remainder + the head of r7 continue
     # the rotation).
-    rot = r11_rotation()
+    rot = r12_rotation()
     assert len(rot) == 50
-    assert rot[: len(_R11_DEFER)] == _R11_DEFER
-    rest = rot[len(_R11_DEFER):]
-    after_r10 = dict(_DRIVER_GREEN)
-    after_r10.update(dict.fromkeys(_R10_WINDOW, 10))
-    # stalest-first: the remaining r5 rows head the remainder
-    rounds = [after_r10[n] for n in rest]
+    assert rot[: len(_R12_DEFER)] == _R12_DEFER
+    rest = rot[len(_R12_DEFER):]
+    after_r11 = dict(_DRIVER_GREEN)
+    after_r11.update(dict.fromkeys(_R11_WINDOW, 11))
+    # stalest-first: the remaining r6 rows head the remainder
+    rounds = [after_r11[n] for n in rest]
     assert rounds == sorted(rounds)
-    assert rounds[0] == 5
-    assert rest[0] == "sql_recursive_cte"
+    assert rounds[0] == 6
+    assert rest[0] == "calendar_interpolate_linear"
     # nothing in the proposal repeats this round's window
-    assert not set(rot) & set(_R10_WINDOW)
+    assert not set(rot) & set(_R11_WINDOW)
