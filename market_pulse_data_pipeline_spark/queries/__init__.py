@@ -130,7 +130,7 @@ def staging_candidates():
     import importlib
 
     out = {}
-    for modname in ("r12_staging", "r13_staging"):
+    for modname in ("r12_staging", "r13_staging", "r14_staging"):
         try:
             mod = importlib.import_module(
                 f"market_pulse_data_pipeline_spark.queries.{modname}"

@@ -1996,6 +1996,183 @@ def main() -> int:
             ),
         )
 
+    # DSIR importance resampling (staged round 11,
+    # queries/r14_staging.py): one B-bounded bucket aggregate with
+    # map-side combine, the 128-row ratio table broadcast back, one
+    # doc-keyed aggregate, map-only accept. Per-copy token tags grow
+    # the bigram vocabulary N× (honest shuffle volume); cost must stay
+    # linear in corpus bigrams.
+    if only is None or "dsir_resample" in only:
+        from market_pulse_data_pipeline_spark.queries.r14_staging import (
+            _DS_B,
+            _DS_CAP_MICRO,
+            _DS_KEEP_DEN,
+            _DS_TARGET_LANG,
+            _DS_U_MAX,
+            _h60,
+        )
+
+        docs_ds = tagged_docs("docs_dsir")
+        tokd_ds = docs_ds.select(
+            "doc_id", "lang", F.split("text", " ").alias("ws")
+        ).filter(F.size("ws") >= 2)
+        big_ds = tokd_ds.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1]))"
+                )
+            ).alias("bg"),
+        ).select(
+            "doc_id",
+            "lang",
+            F.pmod(_h60(F.col("bg")), F.lit(_DS_B)).alias("bucket"),
+        )
+        bstats_ds = big_ds.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == _DS_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+        )
+        tot_ds = bstats_ds.agg(
+            F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+        )
+        ratio_ds = bstats_ds.crossJoin(F.broadcast(tot_ds)).select(
+            "bucket",
+            F.least(
+                F.round(
+                    (
+                        ((F.col("ct") + 1) * (F.col("tr") + _DS_B)) * 1.0
+                        / ((F.col("cr") + 1) * (F.col("tt") + _DS_B))
+                    ).cast("decimal(28,10)")
+                    * 1000000,
+                    0,
+                ).cast("long"),
+                F.lit(_DS_CAP_MICRO).cast("long"),
+            ).alias("micro"),
+        )
+        dsc_ds = (
+            big_ds.join(F.broadcast(ratio_ds), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.sum("micro").cast("long").alias("score_micro"),
+            )
+        )
+        u_ds = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dsir:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        run(
+            "dsir_resample",
+            dsc_ds.select(
+                "doc_id",
+                "n_bigrams",
+                "score_micro",
+                (
+                    u_ds * F.col("n_bigrams") * _DS_KEEP_DEN
+                    < F.col("score_micro") * _DS_U_MAX
+                ).alias("kept"),
+            ),
+        )
+
+    # Containment excerpt dedup (staged round 11): df-capped
+    # inverted-index pair generation. Per-copy token tags keep copies'
+    # shingle universes disjoint, so candidate pairs grow LINEARLY
+    # with the multiplier (a plain self-union would square them); the
+    # recorded row count is the flagged pair count.
+    if only is None or "containment" in only:
+        from market_pulse_data_pipeline_spark.queries.r14_staging import (
+            _CE_MAX_DF,
+            _CE_MIN_PLANT_TOKS,
+            _CE_MIN_SH,
+            _CE_N,
+            _CE_OFFSET,
+            _CE_PCT,
+            _CE_PLANT_MOD,
+        )
+
+        docs_ce = tagged_docs("docs_containment")
+        src_ce = docs_ce.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("ws")
+        ).filter(F.size("ws") >= _CE_N)
+        exlen_ce = F.greatest(
+            F.lit(_CE_N + 2), F.floor(F.size("ws") * 2 / 5).cast("int")
+        )
+        plants_ce = src_ce.filter(
+            (F.col("doc_id") % _CE_PLANT_MOD == 0)
+            & (F.size("ws") >= _CE_MIN_PLANT_TOKS)
+        ).select(
+            (F.col("doc_id") + _CE_OFFSET * args.mult).alias("doc_id"),
+            F.slice("ws", F.lit(1), exlen_ce).alias("ws"),
+        )
+        corpus_ce = src_ce.unionByName(plants_ce)
+        sh_ce = corpus_ce.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {_CE_N - 1}),"
+                    f" i -> md5(cast(concat_ws(' ', slice(ws, i, {_CE_N}))"
+                    f" as binary)))"
+                )
+            ).alias("h"),
+        ).distinct()
+        hot_ce = sh_ce.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        kept_ce = sh_ce.join(
+            hot_ce.filter(F.col("df") <= _CE_MAX_DF).select("h"), "h"
+        )
+        sizes_ce = kept_ce.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        )
+        pa_ce, pb_ce = kept_ce.alias("a"), kept_ce.alias("b")
+        pairs_ce = (
+            pa_ce.join(
+                pb_ce,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        run(
+            "containment",
+            pairs_ce.join(
+                sizes_ce.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("n_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes_ce.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("n_b"),
+                ),
+                "doc_b",
+            )
+            .filter(
+                (F.least("n_a", "n_b") >= _CE_MIN_SH)
+                & (
+                    10 * F.col("inter")
+                    >= _CE_PCT * F.least("n_a", "n_b")
+                )
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
