@@ -131,8 +131,16 @@ def _trim_oracle() -> str:
     "shuffle width at 32 bytes/shingle.",
 )
 def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out,
+    )
+
     docs = t(spark, sf_dir, "documents")
-    src = docs.select(
+    # fan_out BEFORE the per-window md5 projection (a higher-order
+    # transform outside codegen): on a small-file fixture the scan is
+    # 1-3 partitions — the round-10 single-split finding. No-op on a
+    # real many-split corpus.
+    src = fan_out(docs).select(
         "doc_id",
         F.when(
             F.col("doc_id") % _TR_PLANT_MOD == 0,

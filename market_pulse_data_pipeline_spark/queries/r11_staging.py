@@ -156,20 +156,28 @@ def paragraph_simhash_near_dups(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out,
         portable_hash60,
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     seeds = docs.filter(F.col("doc_id") % _PH_PLANT_MOD == 0)
-    alldocs = docs.unionByName(
-        seeds.select(
-            (F.col("doc_id") + _PH_P1_OFFSET).alias("doc_id"),
-            F.lit(_PH_PROMO).alias("text"),
-        )
-    ).unionByName(
-        seeds.select(
-            (F.col("doc_id") + _PH_P2_OFFSET).alias("doc_id"),
-            F.lit(_PH_PROMO_MUT).alias("text"),
+    # fan_out BEFORE the signature projection: the 60 per-bit lambda
+    # folds below are higher-order expressions outside whole-stage
+    # codegen, and on a small-file fixture the union arrives in 1-3
+    # scan partitions — the round-10 single-split finding. No-op on a
+    # real many-split corpus.
+    alldocs = fan_out(
+        docs.unionByName(
+            seeds.select(
+                (F.col("doc_id") + _PH_P1_OFFSET).alias("doc_id"),
+                F.lit(_PH_PROMO).alias("text"),
+            )
+        ).unionByName(
+            seeds.select(
+                (F.col("doc_id") + _PH_P2_OFFSET).alias("doc_id"),
+                F.lit(_PH_PROMO_MUT).alias("text"),
+            )
         )
     )
     tk = F.split("text", " ")
