@@ -122,7 +122,7 @@ def staging_candidates():
     across staging modules. Round 11 executed VERDICT r10's double
     flip (r10_staging AND r11_staging are now pure @register modules
     like r9_staging), so the remaining staged backlog is the round-12
-    batch (r12_staging) and the round-13 batch (r13_staging).
+    through round-15 batches (r12_staging .. r15_staging).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -130,7 +130,12 @@ def staging_candidates():
     import importlib
 
     out = {}
-    for modname in ("r12_staging", "r13_staging", "r14_staging"):
+    for modname in (
+        "r12_staging",
+        "r13_staging",
+        "r14_staging",
+        "r15_staging",
+    ):
         try:
             mod = importlib.import_module(
                 f"market_pulse_data_pipeline_spark.queries.{modname}"

@@ -2173,6 +2173,53 @@ def main() -> int:
             ),
         )
 
+    # SoftDeDup commonness reweighting (staged round 11): distinct
+    # shingles -> df hash aggregate -> ONE digest-keyed equi-join back
+    # -> doc aggregate. No self-join, so cost must be LINEAR in corpus
+    # shingles; per-copy token tags keep copies' shingle universes
+    # disjoint so the df distribution (and output weights) is
+    # preserved per copy instead of inflating df by the multiplier.
+    if only is None or "softdedup" in only:
+        from market_pulse_data_pipeline_spark.queries.r15_staging import (
+            _SW_MIN_PLANT_TOKS,
+            _SW_N,
+            _SW_OFFSET,
+            _SW_PLANT_MOD,
+        )
+
+        docs_sw = tagged_docs("docs_softdedup")
+        src_sw = docs_sw.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("ws")
+        ).filter(F.size("ws") >= _SW_N)
+        plants_sw = src_sw.filter(
+            (F.col("doc_id") % _SW_PLANT_MOD == 0)
+            & (F.size("ws") >= _SW_MIN_PLANT_TOKS)
+        ).select(
+            (F.col("doc_id") + _SW_OFFSET * args.mult).alias("doc_id"),
+            "ws",
+        )
+        corpus_sw = src_sw.unionByName(plants_sw)
+        sh_sw = corpus_sw.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {_SW_N - 1}),"
+                    f" i -> md5(cast(concat_ws(' ', slice(ws, i, {_SW_N}))"
+                    f" as binary)))"
+                )
+            ).alias("h"),
+        ).distinct()
+        dfreq_sw = sh_sw.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        run(
+            "softdedup",
+            sh_sw.join(dfreq_sw, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sh"),
+                F.sum("df").cast("long").alias("sum_df"),
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
