@@ -2220,6 +2220,161 @@ def main() -> int:
             ),
         )
 
+    # Portable-bloom decontamination probe (staged round 11 for round
+    # 16): the eval set (and hence the bloom array) is FIXED while the
+    # corpus multiplies — the real decontamination asymmetry. The probe
+    # is a map-side expression against a bounded array plus one
+    # doc-keyed aggregate, so cost must be LINEAR in corpus grams.
+    if only is None or "bloom_probe" in only:
+        from market_pulse_data_pipeline_spark.functions.dedup import (
+            portable_hash60,
+        )
+        from market_pulse_data_pipeline_spark.queries.r16_staging import (
+            _BL_EVAL_MOD,
+            _BL_K,
+            _BL_M,
+            _BL_N,
+            _BL_NWORDS,
+            _BL_WORD,
+            _bl_positions_col,
+        )
+
+        docs_bl = load_table(spark, args.sf, "documents").select(
+            "doc_id", "text"
+        )
+
+        def _grams_bl(df: DataFrame) -> DataFrame:
+            toks = df.select(
+                "doc_id", F.split("text", " ").alias("ws")
+            ).filter(F.size("ws") >= _BL_N)
+            return toks.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (_BL_N - 1)),
+                        lambda i: portable_hash60(
+                            F.concat_ws(" ", F.slice(F.col("ws"), i, _BL_N))
+                        ),
+                    )
+                ).alias("g"),
+            )
+
+        eg_bl = (
+            _grams_bl(docs_bl.filter(F.col("doc_id") % _BL_EVAL_MOD == 0))
+            .select("g")
+            .distinct()
+        )
+        words_bl = (
+            eg_bl.select(
+                F.explode(
+                    F.array(*_bl_positions_col(F.col("g")))
+                ).alias("pos")
+            )
+            .select(
+                F.floor(F.col("pos") / _BL_WORD).cast("int").alias("widx"),
+                F.expr(
+                    f"shiftleft(1L, cast(pos % {_BL_WORD} as int))"
+                ).alias("mask"),
+            )
+            .groupBy("widx")
+            .agg(F.bit_or("mask").alias("w"))
+        )
+        arr_bl = [0] * _BL_NWORDS
+        for wrow in words_bl.collect():  # bounded: _BL_NWORDS longs
+            arr_bl[wrow["widx"]] = wrow["w"]
+        ba_bl = F.lit(arr_bl)
+        corpus_bl = mat(
+            multiplied(docs_bl, args.mult, ["doc_id"]), "docs_bloom"
+        )
+        tg_bl = _grams_bl(corpus_bl).select(
+            "doc_id",
+            *[
+                pos.alias(f"pos_{j}")
+                for j, pos in enumerate(_bl_positions_col(F.col("g")))
+            ],
+        )
+        hit_bl = None
+        for j in range(_BL_K):
+            mask_j = F.expr(
+                f"shiftleft(1L, cast(pos_{j} % {_BL_WORD} as int))"
+            )
+            word_j = F.get(
+                ba_bl, F.floor(F.col(f"pos_{j}") / _BL_WORD).cast("int")
+            )
+            cond = word_j.bitwiseAND(mask_j) == mask_j
+            hit_bl = cond if hit_bl is None else (hit_bl & cond)
+        run(
+            "bloom_probe",
+            tg_bl.select("doc_id", hit_bl.alias("hit"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum(F.col("hit").cast("int")).cast("long").alias(
+                    "n_bloom"
+                ),
+            ),
+        )
+
+    # HTML tag-strip extraction (staged round 11 for round 16): a
+    # 6-pattern regex chain per document, zero joins, zero shuffles —
+    # the embarrassingly-parallel WET step. Must scale linearly in
+    # corpus bytes.
+    if only is None or "html_extract" in only:
+        from market_pulse_data_pipeline_spark.queries.r16_staging import (
+            _HT_COMMENT,
+            _HT_COMMENT_BLOCK,
+            _HT_ENTITIES,
+            _HT_FOOTER,
+            _HT_SCRIPT,
+            _HT_SCRIPT_BLOCK,
+            _HT_STYLE,
+            _HT_STYLE_BLOCK,
+            _HT_TAG,
+            _HT_WS,
+        )
+
+        docs_ht = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_html",
+        )
+        html_ht = F.concat(
+            F.lit("<html><body>"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(_HT_SCRIPT_BLOCK)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(_HT_STYLE_BLOCK)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(_HT_COMMENT_BLOCK)
+            ).otherwise(F.lit("")),
+            F.lit("<p>"),
+            F.regexp_replace(F.col("text"), " ", "</p> <p>"),
+            F.lit("</p>"),
+            F.lit(_HT_FOOTER),
+            F.lit("</body></html>"),
+        )
+        u_ht = html_ht
+        for pat in (_HT_COMMENT, _HT_SCRIPT, _HT_STYLE, _HT_TAG):
+            u_ht = F.regexp_replace(u_ht, pat, " ")
+        for src_e, dst_e in _HT_ENTITIES:
+            u_ht = F.replace(u_ht, F.lit(src_e), F.lit(dst_e))
+        ex_ht = F.trim(F.regexp_replace(u_ht, _HT_WS, " "))
+        run(
+            "html_extract",
+            docs_ht.select(
+                "doc_id",
+                F.length(ex_ht).cast("long").alias("n_chars"),
+                F.md5(F.encode(ex_ht, "utf-8")).alias("extract_md5"),
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
