@@ -139,7 +139,7 @@ def quantize_vec_py(vec, scale: int = SNAP_SCALE) -> list[int]:
 def kmeans_oracle_sql(
     final: str,
     *,
-    k: int,
+    k: int | str,
     iters: int,
     dim: int,
     scale: int = SNAP_SCALE,
@@ -156,7 +156,15 @@ def kmeans_oracle_sql(
     centroid table c{iters}); ``where`` optionally restricts the
     training rows (e.g. ``WHERE vec_id <> 0`` for the IVF codebook);
     ``src`` swaps the source relation (must expose vec_id + embedding
-    — e.g. the semdedup oracle's planted-union subquery)."""
+    — e.g. the semdedup oracle's planted-union subquery).
+
+    ``k`` may be a SQL expression string instead of an int — it lands
+    in the init CTE's LIMIT, parenthesized, so a scalar subquery like
+    ``SELECT (COUNT(*) + 49) // 50 FROM p`` yields k ∝ N (the
+    SemDeDup-at-scale discipline: cluster POPULATION fixed, cluster
+    COUNT growing with the corpus). Int k produces byte-identical SQL
+    to before this parameter existed (the generator pins hold)."""
+    k_sql = k if isinstance(k, int) else f"({k})"
     parts = [
         f"""
     WITH p AS (
@@ -175,7 +183,7 @@ def kmeans_oracle_sql(
                   AS INTEGER) AS cid,
              pos, qv AS val
       FROM pu
-      WHERE vec_id IN (SELECT vec_id FROM p ORDER BY vec_id LIMIT {k})
+      WHERE vec_id IN (SELECT vec_id FROM p ORDER BY vec_id LIMIT {k_sql})
     )"""
     ]
     for i in range(1, iters + 2):  # last pass assigns only

@@ -1,0 +1,454 @@
+"""Round-17 staged queries — implemented, oracle-paired, NOT registered.
+
+Staged in round 11 (the third batch staged this round) so the
+registration pipeline stays turn-key past round 16: rounds 12-16 each
+flip their batch, and this one keeps round 17 a pure flip.
+``staging_candidates()`` (queries/__init__.py) merges this module into
+the check_oracle --staging / hostile_check --staging sweeps.
+
+The three close distinct holes:
+
+- ``semdedup_scaled_prune`` — VERDICT r10 item 4's registered-witness
+  path: SemDeDup with **k ∝ corpus size** (k = ceil(N / 50), cluster
+  POPULATION pinned instead of cluster COUNT), which is the published
+  algorithm's actual 100 TB posture — the registered
+  ``semdedup_prune`` keeps k at a constant 10, which is faithful to
+  the paper's small-scale setup but lets per-cluster populations (and
+  the within-cluster quadratic) grow with the corpus. Here both
+  engines derive k from the SAME count — the Spark side from a
+  bounded 1-row action, the oracle from a scalar subquery in the
+  shared unrolled-Lloyd generator's init LIMIT — so the value hash
+  covers the scaling rule itself.
+- ``tv_distance_source_drift`` — distribution-level drift between two
+  corpus snapshots, per source: total-variation distance over
+  length-bucket histograms, TV = Σ|aᵢ·m − bᵢ·n| / (2·n·m), computed
+  ENTIRELY in exact integers (one rounding at the very end through
+  the shared decimal route; the 5% alert threshold is an exact
+  cross-multiplied comparison, no float boundary anywhere).
+  Complements the registered ``qc_profile_drift`` (scalar profile
+  drift: counts, min/max, totals) with the histogram-shape evidence a
+  corpus refresh gate actually needs — a snapshot can keep its row
+  count and mean while its length distribution collapses.
+- ``l_diversity_check`` — the privacy audit k-anonymity cannot
+  express (Machanavajjhala et al. 2007): a group can satisfy k yet
+  expose everyone in it when all members share one sensitive value.
+  Distinct-l-diversity over quasi-identifier groups (nation × market
+  segment × account-balance bucket) with order priority as the
+  sensitive attribute; violating groups are exactly what a
+  suppression pass would rewrite. Completes the registered privacy
+  family (k_anonymity_check, text_pii_scan/redact).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_pulse_data_pipeline_spark.queries.common import (
+    QueryDef,
+    round_div,
+    sql_round_div,
+    t,
+)
+
+STAGED: dict[str, QueryDef] = {}
+
+
+def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
+    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
+    the round-17 registration budget stays untouched while the
+    implementations, oracles, and tests land."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# semdedup_scaled_prune
+# --------------------------------------------------------------------
+
+_SS_POP = 50  # target cluster POPULATION — the fixed quantity at scale
+_SS_ITERS = 2
+_SS_DIM = 64
+_SS_PLANT_OFFSET = 1_000_000_000  # same plant regime as semdedup_prune
+# cos >= 0.95 as the exact-integer contract 400*dot^2 >= 361*|a|^2*|b|^2
+_SS_NUM, _SS_DEN = 361, 400
+# k as a SQL expression over the SAME planted-union source the Spark
+# side counts — ceil(N / pop) via integer arithmetic
+_SS_K_EXPR = f"SELECT (COUNT(*) + {_SS_POP - 1}) // {_SS_POP} FROM p"
+
+
+def _semdedup_scaled_oracle() -> str:
+    from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
+        SNAP_SCALE,
+        kmeans_oracle_sql,
+    )
+
+    final = f"""
+    , asg AS (SELECT vec_id, cid AS cluster FROM %(a)s),
+    n2 AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM pu GROUP BY vec_id),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b
+        ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b, SUM(pa.qv * pb.qv) AS dot
+      FROM cand c
+      JOIN pu pa ON pa.vec_id = c.id_a
+      JOIN pu pb ON pb.vec_id = c.id_b AND pb.pos = pa.pos
+      GROUP BY c.id_a, c.id_b
+    ),
+    dup AS (
+      SELECT DISTINCT d.id_a AS vec_id
+      FROM dots d
+      JOIN n2 x ON x.vec_id = d.id_a
+      JOIN n2 y ON y.vec_id = d.id_b
+      WHERE d.dot >= 0
+        AND {_SS_DEN} * d.dot * d.dot >= {_SS_NUM} * x.n2 * y.n2
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+           (dup.vec_id IS NOT NULL) AS dropped
+    FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """
+    src = f"""(
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SS_PLANT_OFFSET},
+             list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT))
+      FROM embeddings WHERE vec_id % 13 = 0
+    ) both_src"""
+    return kmeans_oracle_sql(
+        final,
+        k=_SS_K_EXPR,
+        iters=_SS_ITERS,
+        dim=_SS_DIM,
+        scale=SNAP_SCALE,
+        src=src,
+    )
+
+
+@stage(
+    "semdedup_scaled_prune",
+    _semdedup_scaled_oracle(),
+    doc="SemDeDup at its published 100 TB posture (VERDICT r10 item 4): "
+    "k-means blocking with k ∝ CORPUS SIZE — k = ceil(N / 50), so the "
+    "per-cluster population (and hence the within-cluster quadratic, "
+    "the algorithm's one super-linear term) stays FIXED as the corpus "
+    "grows, where the registered semdedup_prune's constant k=10 is "
+    "the paper's small-scale setup. Both engines derive k from the "
+    "same planted-union count: Spark via a bounded 1-row action "
+    "before the fit, the DuckDB twin via a scalar subquery in the "
+    "shared unrolled-Lloyd generator's init LIMIT (kmeans_oracle_sql "
+    "k-as-expression) — the value hash therefore covers the scaling "
+    "RULE, not just one k. Within-cluster pairwise cosine >= 0.95 as "
+    "the exact-integer contract 400*dot^2 >= 361*|a|^2*|b|^2 on "
+    "round(x*1e6) int64 vectors; lowest vec_id survives; planted "
+    "1.001-scaled copies witness. 100 TB shape: per-assignment cost "
+    "grows O(k·dim) — the documented IVF escalation (coarse-quantize "
+    "first, assign within the probed cell) caps it when k reaches "
+    "1e5+; centroid state stays k×dim driver-bounded; one shuffle on "
+    "cluster id for the pair join, quadratic bounded per cluster BY "
+    "CONSTRUCTION at every corpus size.",
+)
+def semdedup_scaled_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
+        kmeans_snapped_fit,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + _SS_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(planted)
+    # bounded collect: ONE count row — k must be data-derived for the
+    # population-pinned scaling rule (the point of this query)
+    n_total = both.count()
+    k = (n_total + _SS_POP - 1) // _SS_POP
+    assigned, _ = kmeans_snapped_fit(both, k=k, iters=_SS_ITERS)
+    qv = assigned.withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = qv.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("v").alias("v_a"),
+        F.col("n2").alias("na"),
+    )
+    b = qv.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cl_b"),
+        F.col("v").alias("v_b"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    pairs = a.join(
+        b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") > F.col("id_b"))
+    ).withColumn("dot", dot)
+    d = F.col("dot").cast(dec)
+    dup = (
+        pairs.filter(
+            (F.col("dot") >= 0)
+            & (
+                d * d * F.lit(_SS_DEN).cast(dec)
+                >= F.col("na").cast(dec)
+                * F.col("nb").cast(dec)
+                * F.lit(_SS_NUM).cast(dec)
+            )
+        )
+        .select(F.col("id_a").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        qv.join(dup, qv.vec_id == dup.dup_id, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("dup_id").isNotNull().alias("dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------
+# tv_distance_source_drift
+# --------------------------------------------------------------------
+
+_TV_BUCKET = 200  # n_chars per histogram bucket
+_TV_DROP_MOD = 31  # snapshot edit: doc_id % 31 == 0 removed
+_TV_GROW_MOD = 7  # snapshot edit: doc_id % 7 == 0 grows by 150 chars
+_TV_GROW = 150
+# alert when TV > 0.05 = 1/20, tested exactly: num/(2nm) > 1/20
+# <=> 10*num > n*m (cross-multiplied integers, no float boundary)
+_TV_ALERT_NUM, _TV_ALERT_DEN = 1, 20
+
+
+def _tv_oracle() -> str:
+    return f"""
+    WITH old_h AS (
+      SELECT source, n_chars // {_TV_BUCKET} AS bucket, COUNT(*) AS a
+      FROM documents GROUP BY 1, 2
+    ),
+    new_h AS (
+      SELECT source,
+             (CASE WHEN doc_id % {_TV_GROW_MOD} = 0
+                   THEN n_chars + {_TV_GROW} ELSE n_chars END)
+               // {_TV_BUCKET} AS bucket,
+             COUNT(*) AS b
+      FROM documents WHERE doc_id % {_TV_DROP_MOD} <> 0 GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT COALESCE(o.source, nw.source) AS source,
+             COALESCE(o.bucket, nw.bucket) AS bucket,
+             COALESCE(o.a, 0) AS a, COALESCE(nw.b, 0) AS b
+      FROM old_h o FULL OUTER JOIN new_h nw
+        ON o.source = nw.source AND o.bucket = nw.bucket
+    ),
+    tot AS (
+      SELECT source, SUM(a) AS n, SUM(b) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM joined GROUP BY source
+    ),
+    num AS (
+      SELECT j.source, SUM(ABS(j.a * t.m - j.b * t.n)) AS num
+      FROM joined j JOIN tot t USING (source)
+      GROUP BY j.source
+    )
+    SELECT t.source,
+           CAST(t.n AS BIGINT) AS n_old,
+           CAST(t.m AS BIGINT) AS n_new,
+           t.n_buckets,
+           {sql_round_div('num.num', '2 * t.n * t.m')} AS tv_distance,
+           ({_TV_ALERT_DEN} * num.num
+             > {_TV_ALERT_NUM} * 2 * t.n * t.m) AS drift_alert
+    FROM tot t JOIN num USING (source)
+    ORDER BY t.source
+    """
+
+
+@stage(
+    "tv_distance_source_drift",
+    _tv_oracle(),
+    doc="distribution-level drift gate between two corpus snapshots, "
+    "per source: total-variation distance over length-bucket "
+    "histograms — TV = sum_i |a_i*m - b_i*n| / (2*n*m), the "
+    "common-denominator form that keeps EVERY quantity an exact "
+    "integer (counts and cross-products only; ONE rounding at the "
+    "very end through the shared decimal half-up route, and the 5% "
+    "alert is the exact cross-multiplied comparison 20*num > 2*n*m — "
+    "no float boundary anywhere, so the flag can never disagree "
+    "across engines on a tie). The synthetic new snapshot (house "
+    "planting idiom: every 31st doc dropped, every 7th doc grown by "
+    "150 chars) moves real mass between buckets. Complements "
+    "qc_profile_drift's scalar profile (a snapshot can keep count/"
+    "mean/min/max while its SHAPE collapses — exactly what TV "
+    "catches). 100 TB shape: two hash aggregates with map-side "
+    "combine (histogram state is bounded by sources x buckets, not "
+    "rows), one histogram-sized outer join, one per-source fold — "
+    "persist each snapshot's histogram and successive drift checks "
+    "never rescan history.",
+)
+def tv_distance_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    old_h = (
+        docs.select(
+            "source", (F.col("n_chars") / _TV_BUCKET).cast("long").alias("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    new_chars = F.when(
+        F.col("doc_id") % _TV_GROW_MOD == 0, F.col("n_chars") + _TV_GROW
+    ).otherwise(F.col("n_chars"))
+    new_h = (
+        docs.filter(F.col("doc_id") % _TV_DROP_MOD != 0)
+        .select(
+            "source", (new_chars / _TV_BUCKET).cast("long").alias("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    joined = (
+        old_h.join(new_h, ["source", "bucket"], "full_outer")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    tot = joined.groupBy("source").agg(
+        F.sum("a").alias("n"),
+        F.sum("b").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    num = (
+        joined.join(tot.select("source", "n", "m"), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(F.col("a") * F.col("m") - F.col("b") * F.col("n"))
+            ).alias("num")
+        )
+    )
+    return (
+        tot.join(num, "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_old"),
+            F.col("m").cast("long").alias("n_new"),
+            "n_buckets",
+            round_div(F.col("num"), 2 * F.col("n") * F.col("m")).alias(
+                "tv_distance"
+            ),
+            (
+                F.lit(_TV_ALERT_DEN) * F.col("num")
+                > F.lit(_TV_ALERT_NUM) * 2 * F.col("n") * F.col("m")
+            ).alias("drift_alert"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# l_diversity_check
+# --------------------------------------------------------------------
+
+_LD_L = 3  # distinct-l-diversity threshold
+_LD_BAL_BUCKET = 250  # account-balance bucket width (quasi-identifier)
+
+
+def _ldiv_oracle() -> str:
+    return f"""
+    WITH j AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / {_LD_BAL_BUCKET}) AS BIGINT)
+               AS bal_bucket,
+             o.o_orderpriority
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+             AS n_sensitive,
+           COUNT(DISTINCT o_orderpriority) < {_LD_L} AS violates_l
+    FROM j
+    GROUP BY 1, 2, 3
+    ORDER BY c_nationkey, c_mktsegment, bal_bucket
+    """
+
+
+@stage(
+    "l_diversity_check",
+    _ldiv_oracle(),
+    doc=f"distinct-l-diversity audit (l={_LD_L}; Machanavajjhala et "
+    "al. 2007) — the disclosure k-anonymity cannot see: a group can "
+    "satisfy k yet expose every member when all its rows share one "
+    "sensitive value (homogeneity attack). Quasi-identifiers are "
+    "(nation, market segment, account-balance bucket); the sensitive "
+    "attribute is order priority, reached through the natural "
+    "customer-orders equi-join. Violating groups (n_sensitive < l) "
+    "are exactly the rows a suppression/generalization pass would "
+    "rewrite before release — the fixture yields real violations at "
+    "every checked scale factor. Completes the registered privacy "
+    "family: k_anonymity_check (group SIZE), text_pii_scan/redact "
+    "(direct identifiers), this (sensitive-value DIVERSITY). 100 TB "
+    "shape: one fact-dim equi-join then one hash aggregate whose "
+    "distinct-count state is bounded by the sensitive domain (5 "
+    "priorities), with group count bounded by the quasi-identifier "
+    "domain, not row count.",
+)
+def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _LD_BAL_BUCKET)
+        .cast("long")
+        .alias("bal_bucket"),
+        "o_orderpriority",
+    )
+    return (
+        j.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count_distinct("o_orderpriority")
+            .cast("long")
+            .alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_bucket",
+            "n_orders",
+            "n_sensitive",
+            (F.col("n_sensitive") < _LD_L).alias("violates_l"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    )
