@@ -122,7 +122,7 @@ def staging_candidates():
     across staging modules. Round 11 executed VERDICT r10's double
     flip (r10_staging AND r11_staging are now pure @register modules
     like r9_staging), so the remaining staged backlog is the round-12
-    through round-18 batches (r12_staging .. r18_staging).
+    through round-19 batches (r12_staging .. r19_staging).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -138,6 +138,7 @@ def staging_candidates():
         "r16_staging",
         "r17_staging",
         "r18_staging",
+        "r19_staging",
     ):
         try:
             mod = importlib.import_module(
