@@ -122,7 +122,8 @@ def staging_candidates():
     across staging modules. Round 11 executed VERDICT r10's double
     flip (r10_staging AND r11_staging are now pure @register modules
     like r9_staging), so the remaining staged backlog is the round-12
-    through round-19 batches (r12_staging .. r19_staging).
+    through round-20 batches (r12_staging .. r20_staging) — every
+    remaining driver round is a pure flip.
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -139,6 +140,7 @@ def staging_candidates():
         "r17_staging",
         "r18_staging",
         "r19_staging",
+        "r20_staging",
     ):
         try:
             mod = importlib.import_module(
