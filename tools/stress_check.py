@@ -719,7 +719,7 @@ def main() -> int:
     # own deployment argument. Driver state is k×dim int64 (1200×64 at
     # 30×), assignment is the Arrow int64 matmul, and the pair join
     # shuffles once on cluster id.
-    if only is None or "semdedup_pairs" in only:
+    if only is None or {"semdedup_pairs", "semdedup_popbound"} & only:
         from market_pulse_data_pipeline_spark.functions.clustering import (
             kmeans_snapped_fit,
         )
@@ -781,6 +781,33 @@ def main() -> int:
             )
             .select("id_a", "id_b"),
         )
+        # VERDICT r10 item 4 evidence: under k ∝ N the per-cluster
+        # POPULATION (the bound on the within-cluster quadratic) must
+        # stay flat as the corpus multiplies — report the distribution,
+        # not just the pair-stage time. Target is ~50; the quadratic
+        # cost rides max_pop², so that is the number that must not
+        # scale with mult.
+        if only is None or "semdedup_popbound" in only:
+            pop_row = (
+                qv_sd.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("pop"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                    F.max("pop").cast("long").alias("max_pop"),
+                    (F.sum("pop") / F.count(F.lit(1)))
+                    .cast("long")
+                    .alias("mean_pop"),
+                )
+                .collect()[0]
+            )
+            timings["semdedup_popbound"] = 0.0
+            rows["semdedup_popbound"] = int(pop_row["n_clusters"])
+            print(
+                f"  semdedup_popbound k={k_sd} "
+                f"n_clusters={pop_row['n_clusters']} "
+                f"mean_pop={pop_row['mean_pop']} "
+                f"max_pop={pop_row['max_pop']}"
+            )
 
     # n-gram novelty (queries/r7_staging.py::ngram_novelty_profile,
     # staged for round 7): two shuffles both keyed on the shingle —
