@@ -2402,6 +2402,109 @@ def main() -> int:
             ),
         )
 
+    # Trigram substring-index probe (staged round 11 for round 20):
+    # the doc-side trigram stream is filtered MAP-SIDE to the query
+    # trigram set before the distinct/coverage join, so the shuffled
+    # volume is (query-relevant trigram, doc) pairs only — cost must
+    # be linear in corpus characters.
+    if only is None or "trigram_probe" in only:
+        from market_pulse_data_pipeline_spark.queries.r20_staging import (
+            _TG_PATTERNS,
+            _trigrams,
+        )
+
+        docs_tg = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_trigram",
+        )
+        pat_tris_st = {p: _trigrams(p) for p in _TG_PATTERNS}
+        all_tris_st = sorted(
+            {g for ts_ in pat_tris_st.values() for g in ts_}
+        )
+        ptri_st = spark.createDataFrame(
+            [(p, g) for p, ts_ in pat_tris_st.items() for g in set(ts_)],
+            ["pattern", "tri"],
+        )
+        pn_st = {p: len(set(ts_)) for p, ts_ in pat_tris_st.items()}
+        tri_expr_st = F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.substring(F.col("text"), i, F.lit(3)),
+        )
+        dtri_st = (
+            docs_tg.select("doc_id", F.explode(tri_expr_st).alias("tri"))
+            .filter(F.col("tri").isin(all_tris_st))
+            .distinct()
+        )
+        n_tri_col_st = F.coalesce(
+            *[
+                F.when(F.col("pattern") == p, F.lit(n))
+                for p, n in pn_st.items()
+            ]
+        )
+        run(
+            "trigram_probe",
+            dtri_st.join(F.broadcast(ptri_st), "tri")
+            .groupBy("pattern", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_cov"))
+            .filter(F.col("n_cov") == n_tri_col_st)
+            .select("pattern", "doc_id"),
+        )
+
+    # Incremental sessionization (staged round 11 for round 20):
+    # per-batch sessionize + boundary stitch. Windows are per-user
+    # (key-remapped multiplication grows the user domain, not the
+    # per-user history), so the stage must scale linearly in events.
+    if only is None or "inc_session" in only:
+        from market_pulse_data_pipeline_spark.queries.r20_staging import (
+            STAGED as _R20_STAGED,
+        )
+
+        ev_is = mat(
+            multiplied(
+                load_table(spark, args.sf, "events").select(
+                    "user_id", "event_id", "ts"
+                ),
+                args.mult,
+                ["user_id", "event_id"],
+            ),
+            "events_incsess",
+        )
+        path_is = os.path.join(cache_root, "events_incsess_src")
+        if not os.path.exists(os.path.join(path_is, "_SUCCESS")):
+            ev_is.write.mode("overwrite").parquet(path_is)
+        # reuse the staged implementation verbatim against the
+        # multiplied events (its t() loads <dir>/events.parquet)
+        import glob as _glob
+        import shutil as _shutil
+
+        stage_dir = os.path.join(cache_root, "events_incsess_tbl")
+        os.makedirs(stage_dir, exist_ok=True)
+        tbl = os.path.join(stage_dir, "events.parquet")
+        if not os.path.exists(tbl):
+            parts = _glob.glob(os.path.join(path_is, "part-*.parquet"))
+            if len(parts) == 1:
+                _shutil.copy(parts[0], tbl)
+            else:
+                spark.read.parquet(path_is).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(tbl + ".dir")
+                part = _glob.glob(
+                    os.path.join(tbl + ".dir", "part-*.parquet")
+                )[0]
+                _shutil.copy(part, tbl)
+        run(
+            "inc_session",
+            _R20_STAGED["incremental_sessionization"].spark(
+                spark, stage_dir
+            ),
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
