@@ -123,7 +123,9 @@ def staging_candidates():
     flip (r10_staging AND r11_staging are now pure @register modules
     like r9_staging), so the remaining staged backlog is the round-12
     through round-20 batches (r12_staging .. r20_staging) — every
-    remaining driver round is a pure flip.
+    remaining driver round is a pure flip — plus r21_staging, the
+    RESERVE batch in case a future verdict orders another double
+    flip (round 10's did once).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -141,6 +143,7 @@ def staging_candidates():
         "r18_staging",
         "r19_staging",
         "r20_staging",
+        "r21_staging",
     ):
         try:
             mod = importlib.import_module(
