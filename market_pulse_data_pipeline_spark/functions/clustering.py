@@ -293,6 +293,15 @@ def kmeans_snapped_fit(
             ).alias("v"),
         )
     )
+    # materialize the quantized vectors ONCE: every Lloyd iteration
+    # (plus the init collect and the final assignment) re-reads them,
+    # and without this each of those jobs re-runs the upstream scan,
+    # quantization, and whatever plan produced `emb` (the semdedup
+    # callers union planted copies in). localCheckpoint, not cache():
+    # blocks are reclaimed when the DataFrame is garbage-collected, so
+    # a long session running many registered queries cannot accumulate
+    # pinned storage.
+    src = src.localCheckpoint(eager=True)
     init = src.orderBy(id_col).limit(k).collect()  # bounded: k vectors
     centroids = np.array([r["v"] for r in init], dtype=np.int64)
     for _ in range(iters):
