@@ -144,6 +144,7 @@ def staging_candidates():
         "r19_staging",
         "r20_staging",
         "r21_staging",
+        "r22_staging",
     ):
         try:
             mod = importlib.import_module(
