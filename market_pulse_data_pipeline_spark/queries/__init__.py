@@ -39,6 +39,10 @@ from market_pulse_data_pipeline_spark.queries import r8_staging  # noqa: F401, E
 from market_pulse_data_pipeline_spark.queries import r9_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r10_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r11_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r12_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r13_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r14_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r15_staging  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -50,82 +54,89 @@ from market_pulse_data_pipeline_spark.queries import r11_staging  # noqa: F401, 
 # list) go to the very head, so new operators get their first witness
 # exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R12_DEFER` — new operators land
+# never-witnessed registrations (`_R13_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
 #
-# Round-11 window (VERDICT.md round 10 "Next round" #1+#2: the DOUBLE
-# flip): exactly what round 10's pinned r11_rotation() computes once
-# BOTH staged batches flip to @register — the 6 round-11 registrations
-# taking their FIRST driver witness at the head (they landed BEFORE
-# the window pin, so never-witnessed beats stale; CORRECTNESS_r10 was
-# 50/50 green, so no red row outranks the rotation), then the 44
-# stalest green rows: the 9 remaining CORRECTNESS_r05 rows, then the
-# r06 ledger head (ledger-insertion order within the round — the
-# SURVEY-§2 chain rows re-witnessed in r6 keep their original r2
-# positions, so they precede the r6-first-witness block). Pinned
-# literally so any registry or ledger edit that would shift the
-# driver's snapshot fails tests/test_window_composition.py loudly.
-_R11_WINDOW = [
-    # first driver witness for the six round-11 registrations —
-    # the r10_staging batch, then the r11_staging batch
-    "exact_substring_trim", "perplexity_stratified_sample",
-    "domain_dedup_quality_gate",
-    "paragraph_simhash_near_dups", "doremi_excess_loss_reweight",
-    "curriculum_pack_easy_first",
-    # then the 9 remaining r5 greens (CORRECTNESS_r05 tail)
-    "sql_recursive_cte", "xml_parse_roundtrip", "hll_sketch_mergeability",
-    "mad_robust_outliers", "cogroup_signup_purchase_counts",
-    "event_sequence_pattern_match", "peak_concurrency_sweep",
-    "streaming_session_window", "collation_case_insensitive_group",
-    # then the 35 stalest r6 greens (CORRECTNESS_r06 head in
-    # ledger-insertion order: the 7 SURVEY-chain re-witnesses keep
-    # their r2 insertion positions, then the r6 first-witness block)
-    "weekly_rollup", "dim_case_mapping", "left_join_enrich",
-    "derived_metrics", "keyed_upsert", "qc_not_null_violations",
-    "qc_anti_join_orphans",
-    "bpe_learned_merges", "embedding_pca_project",
-    "media_decode_features", "media_resize",
-    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
-    "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
-    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
-    "try_functions_suite", "salted_replicate_join",
-    "hashed_linear_quality_score", "mixture_epoch_expansion",
-    "watermark_delay_estimate", "prefix_sum_two_phase",
-    "simhash_portable", "ann_recall_at_10", "tick_rule_trade_signs",
-    "label_propagation_communities", "scd2_point_in_time_join",
-    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
-    "python_datasource_stream", "m4_downsample",
+# Round-12 window (VERDICT.md round 11 "Next round" #1+#7: the
+# ACCELERATED drain — FOUR staged batches flip this round so the
+# staged backlog lands at 21 with a published drain-by-round-16
+# schedule): the 12 round-12 registrations taking their FIRST driver
+# witness at the head (they landed BEFORE the window pin, so
+# never-witnessed beats stale; CORRECTNESS_r11 was 50/50 green, so no
+# red row outranks the rotation), then the 38 stalest green rows: the
+# 15 remaining CORRECTNESS_r06 rows (calendar_interpolate_linear …
+# rrf_hybrid_fusion, ledger-insertion order), then the r07 ledger
+# head (the r2-positioned SURVEY-chain rows re-witnessed in r7 keep
+# their original insertion positions). Pinned literally so any
+# registry or ledger edit that would shift the driver's snapshot
+# fails tests/test_window_composition.py loudly.
+_R12_WINDOW = [
+    # first driver witness for the twelve round-12 registrations —
+    # the r12_staging batch, then r13, r14, r15 (registration order)
+    "corpus_yield_funnel", "c4_line_filters",
+    "hot_ngram_blocklist_coverage",
+    "eval_decontaminate_semantic", "rendezvous_shard_assignment",
+    "lsh_recall_curve",
+    "dsir_importance_resample", "containment_excerpt_dups",
+    "quality_calibration_ece",
+    "softdedup_commonness_reweight", "url_canonicalize_dedup",
+    "domain_suffix_optout_filter",
+    # then the 15 remaining r6 greens (CORRECTNESS_r06 tail in
+    # ledger-insertion order)
+    "calendar_interpolate_linear", "ab_test_proportions",
+    "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
+    "qc_join_multiplicity", "graph_bfs_k_hop",
+    "streaming_outer_join_eviction", "linear_regression_gd",
+    "skyline_pareto_parts", "quota_largest_remainder",
+    "attribution_position_credit", "heavy_hitters_mg_verified",
+    "vocab_top_p_coverage", "rrf_hybrid_fusion",
+    # then the 23 stalest r7 greens (CORRECTNESS_r07 head in
+    # ledger-insertion order: the SURVEY-chain re-witnesses keep
+    # their original r2 insertion positions, so they precede the
+    # TPC-H block)
+    "json_path_extract", "explode_words", "distinct_keys",
+    "dedup_keep_latest", "incremental_merge", "qc_unique_violations",
+    "map_explode_props", "variant_path_extract",
+    "qc_accepted_values_violations", "argmin_unit_price_supplier",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
+    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
+    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
 ]
 
 # the window head: names taking their FIRST driver row this round —
-# they join _DRIVER_GREEN (round 11) at the next rotation
-_R11_FIRST_WITNESS = _R11_WINDOW[:6]
+# they join _DRIVER_GREEN (round 12) at the next rotation
+_R12_FIRST_WITNESS = _R12_WINDOW[:12]
 
-# Round-11 registrations awaiting deferral to the round-12 window per
+# Round-12 registrations awaiting deferral to the round-13 window per
 # the round-4 displacement rule (additions never displace a verified
-# window). The round-11 batches (r10_staging + r11_staging) registered
-# BEFORE the window pin, so they head the window instead of deferring;
-# this list is for any later round-11 addition.
-_R12_DEFER: list[str] = []
+# window). The round-12 batches (r12_staging .. r15_staging)
+# registered BEFORE the window pin, so they head the window instead
+# of deferring; this list is for any later round-12 addition.
+_R13_DEFER: list[str] = []
 
 # stable alias for tools (check_oracle --staged, hostile_check): the
 # newest registrations still awaiting their first driver witness —
 # points at the current round's deferral list so the tools never need
 # a per-round rename again
-PENDING_FIRST_WITNESS = _R12_DEFER
+PENDING_FIRST_WITNESS = _R13_DEFER
 
 
 def staging_candidates():
     """Every staged-but-unregistered query (name -> QueryDef), merged
-    across staging modules. Round 11 executed VERDICT r10's double
-    flip (r10_staging AND r11_staging are now pure @register modules
-    like r9_staging), so the remaining staged backlog is the round-12
-    through round-20 batches (r12_staging .. r20_staging) — every
-    remaining driver round is a pure flip — plus r21_staging, the
-    RESERVE batch in case a future verdict orders another double
-    flip (round 10's did once).
+    across staging modules. Round 12 executed VERDICT r11's
+    accelerated drain (r12_staging .. r15_staging are now pure
+    @register modules like r9_staging), so the remaining staged
+    backlog is the seven batches r16_staging .. r22_staging —
+    21 queries, including the two former reserve batches r21_staging
+    and r22_staging, now on the published drain schedule: round 13
+    flips r16+r17, round 14 flips r18+r19, round 15 flips r20+r21,
+    round 16 flips r22 (backlog 0).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -134,10 +145,6 @@ def staging_candidates():
 
     out = {}
     for modname in (
-        "r12_staging",
-        "r13_staging",
-        "r14_staging",
-        "r15_staging",
         "r16_staging",
         "r17_staging",
         "r18_staging",
@@ -414,19 +421,51 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "bloom_filter_prejoin", "compaction_roundtrip", "basket_lift_pairs",
     "triangle_count_parts", "split_leakage_safe", "unpivot_nation_metrics",
 ], 10))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r11.json — 50/50 green (the round-11 window, verbatim
+    # order: the 6 round-11 registrations taking their first driver
+    # witness, then the 9 remaining r5 re-witnesses and the 35-row r6
+    # ledger head). dict.update keeps the 44 re-witnesses at their
+    # original insertion positions and appends the 6 first-witness
+    # names at the end — exactly the shape round 11's r12_rotation()
+    # pre-computed.
+    "exact_substring_trim", "perplexity_stratified_sample",
+    "domain_dedup_quality_gate",
+    "paragraph_simhash_near_dups", "doremi_excess_loss_reweight",
+    "curriculum_pack_easy_first",
+    "sql_recursive_cte", "xml_parse_roundtrip", "hll_sketch_mergeability",
+    "mad_robust_outliers", "cogroup_signup_purchase_counts",
+    "event_sequence_pattern_match", "peak_concurrency_sweep",
+    "streaming_session_window", "collation_case_insensitive_group",
+    "weekly_rollup", "dim_case_mapping", "left_join_enrich",
+    "derived_metrics", "keyed_upsert", "qc_not_null_violations",
+    "qc_anti_join_orphans",
+    "bpe_learned_merges", "embedding_pca_project",
+    "media_decode_features", "media_resize",
+    "embedding_kmeans_clusters", "embedding_kmeans_sizes",
+    "minhash_lsh_near_dups", "embedding_near_dups", "ann_lsh_topk",
+    "ann_ivf_topk", "pq_encode_embeddings", "ann_pq_adc_topk",
+    "try_functions_suite", "salted_replicate_join",
+    "hashed_linear_quality_score", "mixture_epoch_expansion",
+    "watermark_delay_estimate", "prefix_sum_two_phase",
+    "simhash_portable", "ann_recall_at_10", "tick_rule_trade_signs",
+    "label_propagation_communities", "scd2_point_in_time_join",
+    "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
+    "python_datasource_stream", "m4_downsample",
+], 11))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R12_DEFER`` order — after the window, so new
+    registrations (``_R13_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R11_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R12_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R12_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R13_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -443,32 +482,34 @@ def all_queries():
 
 def stalest_green(window: int = 50) -> list[str]:
     """The stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R11_WINDOW``'s tail is
-    this round's pinned snapshot of exactly ``stalest_green(44)`` (a
-    regression test keeps them in lockstep; the window head is the 6
+    ledger-insertion order within a round. ``_R12_WINDOW``'s tail is
+    this round's pinned snapshot of exactly ``stalest_green(38)`` (a
+    regression test keeps them in lockstep; the window head is the 12
     first-witness names, which have no green row yet)."""
     order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
     stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
     return stale[:window]
 
 
-def r12_rotation(window: int = 50) -> list[str]:
-    """The proposed round-12 window under the steady-state cadence:
-    never-witnessed registrations at the head — the round-12 batch
-    (r12_staging: corpus_yield_funnel, c4_line_filters,
-    hot_ngram_blocklist_coverage) once it flips to @register, via
-    ``_R12_DEFER`` or a pre-pin window head — then the stalest greens
-    assuming this round's window lands green (its 44 re-witnesses move
-    to round 11 and its 6 first-witness names enter the ledger at
-    round 11): the r6 ledger remainder (``calendar_interpolate_linear``
-    …), then the r7 ledger head. Any r11 RED row outranks all of this
-    and goes to the very front instead (red beats rotation)."""
-    never = [n for n in _R12_DEFER if n in QUERY_REGISTRY]
-    after_r11 = dict(_DRIVER_GREEN)
-    # update() keeps existing positions for the 44 re-witnesses and
-    # appends the 6 first-witness names at the end in window order —
+def r13_rotation(window: int = 50) -> list[str]:
+    """The proposed round-13 window under the steady-state cadence:
+    never-witnessed registrations at the head — the round-13 flip
+    batches (r16_staging: bloom_decontaminate_portable,
+    html_tag_strip_extract, delta_join_view_maintenance; r17_staging:
+    semdedup_scaled_prune, tv_distance_source_drift,
+    l_diversity_check) once they flip to @register, via ``_R13_DEFER``
+    or a pre-pin window head — then the stalest greens assuming this
+    round's window lands green (its 38 re-witnesses move to round 12
+    and its 12 first-witness names enter the ledger at round 12): the
+    r7 ledger remainder (``tpch_q18_large_volume_customers`` …), then
+    the r8 ledger head. Any r12 RED row outranks all of this and goes
+    to the very front instead (red beats rotation)."""
+    never = [n for n in _R13_DEFER if n in QUERY_REGISTRY]
+    after_r12 = dict(_DRIVER_GREEN)
+    # update() keeps existing positions for the 38 re-witnesses and
+    # appends the 12 first-witness names at the end in window order —
     # the same shape next round's literal ledger edit will produce
-    after_r11.update(dict.fromkeys(_R11_WINDOW, 11))
-    order = {n: i for i, n in enumerate(after_r11)}
-    stale = sorted(after_r11, key=lambda n: (after_r11[n], order[n]))
+    after_r12.update(dict.fromkeys(_R12_WINDOW, 12))
+    order = {n: i for i, n in enumerate(after_r12)}
+    stale = sorted(after_r12, key=lambda n: (after_r12[n], order[n]))
     return (never + stale)[:window]

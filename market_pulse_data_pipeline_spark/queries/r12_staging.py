@@ -1,8 +1,11 @@
-"""Round-13 staged queries — implemented, oracle-paired, NOT registered.
-
-Fourth pre-staged batch, topped up to the full ≤3 budget in round 10.
-``staging_candidates()`` already merges this module into the
---staging sweeps.
+"""Round-12 registrations, first batch — staged and triple-gated in
+rounds 9-10 (implementations, DuckDB value-hash oracles, pytest pins
+in tests/test_r12_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed),
+registered in round 12 per VERDICT round-11 item 1's accelerated
+drain (items 1+7: four batches flip this round so the staged backlog
+lands at 21 — new registrations ride the deferral list and can never
+displace a verified window slot).
 
 - ``corpus_yield_funnel`` — the end-to-end YIELD REPORT a training-
   data pipeline team actually ships: per source domain, how many
@@ -33,29 +36,16 @@ Fourth pre-staged batch, topped up to the full ≤3 budget in round 10.
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
 from market_pulse_data_pipeline_spark.queries.text import _SW_SQL, STOPWORDS
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
 
 # --------------------------------------------------------------------
 # corpus_yield_funnel
@@ -134,7 +124,7 @@ def _yield_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "corpus_yield_funnel",
     _yield_oracle(),
     doc="end-to-end corpus yield funnel — the per-domain report a "
@@ -328,7 +318,7 @@ def _c4_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "c4_line_filters",
     _c4_oracle(),
     doc="C4 line-level cleanup heuristics (Raffel et al. 2020 §2.2 — "
@@ -470,7 +460,7 @@ def _hot_ngram_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "hot_ngram_blocklist_coverage",
     _hot_ngram_oracle(),
     doc="corpus-level boilerplate n-gram blocklist coverage (the "

@@ -1,8 +1,10 @@
-"""Round-14 staged queries — implemented, oracle-paired, NOT registered.
-
-Fifth pre-staged batch (round 10), so the registration pipeline stays
-turn-key after the round-13 flip drains r12_staging:
-``staging_candidates()`` merges this module into the --staging sweeps.
+"""Round-12 registrations, second batch — staged and triple-gated in
+round 10 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r13_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed),
+registered in round 12 per VERDICT round-11 item 1 (the r13 half of
+the ordered double flip, including ``lsh_recall_curve`` — the
+ANN-quality witness the registry previously lacked).
 
 - ``eval_decontaminate_semantic`` — the third leg of the
   decontamination family: EXACT 13-grams (eval_decontaminate_exact_
@@ -30,27 +32,14 @@ turn-key after the round-13 flip drains r12_staging:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
 
 # --------------------------------------------------------------------
 # eval_decontaminate_semantic
@@ -117,7 +106,7 @@ def _esem_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "eval_decontaminate_semantic",
     _esem_oracle(),
     doc="semantic (embedding-space) eval-set decontamination — the "
@@ -269,7 +258,7 @@ def _rendezvous_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "rendezvous_shard_assignment",
     _rendezvous_oracle(),
     doc="deterministic doc->shard placement by Highest-Random-Weight "
@@ -431,7 +420,7 @@ def _recall_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "lsh_recall_curve",
     _recall_oracle(),
     doc="measured recall calibration of the banded MinHash-LSH "

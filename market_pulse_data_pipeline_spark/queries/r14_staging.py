@@ -1,11 +1,9 @@
-"""Round-14 staged queries — implemented, oracle-paired, NOT registered.
-
-Staged in round 11 (which executed VERDICT r10's double flip and
-drained the r10/r11 batches) so the registration pipeline stays
-turn-key: round 12 flips r12_staging, round 13 flips r13_staging, and
-this batch keeps round 14 a pure flip. ``staging_candidates()``
-(queries/__init__.py) merges this module into the
-check_oracle --staging / hostile_check --staging sweeps.
+"""Round-12 registrations, third batch — staged and triple-gated in
+round 11 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r14_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed),
+registered in round 12 under VERDICT round-11 item 7's accelerated
+drain (backlog ≤ 21 by end of round 12, full drain by round 16).
 
 The three close the next tier of LLM-pipeline gaps:
 
@@ -39,32 +37,15 @@ The three close the next tier of LLM-pipeline gaps:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-14 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
 
 # --------------------------------------------------------------------
 # dsir_importance_resample
@@ -146,7 +127,7 @@ def _dsir_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "dsir_importance_resample",
     _dsir_oracle(),
     doc="DSIR importance resampling (Xie et al., NeurIPS 2023): raw "
@@ -336,7 +317,7 @@ def _containment_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "containment_excerpt_dups",
     _containment_oracle(),
     doc="one-sided set CONTAINMENT dedup (Broder 1997): |A∩B| / |A| "
@@ -500,7 +481,7 @@ def _ece_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "quality_calibration_ece",
     _ece_oracle(),
     doc="reliability diagram for the registered hashed linear quality "

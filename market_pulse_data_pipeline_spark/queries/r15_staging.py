@@ -1,12 +1,9 @@
-"""Round-15 staged queries — implemented, oracle-paired, NOT registered.
-
-Staged in round 11 (the round that executed VERDICT r10's double flip
-and drained the r10/r11 batches) so the registration pipeline stays
-turn-key past round 14: round 12 flips r12_staging, round 13 flips
-r13_staging, round 14 flips r14_staging, and this batch keeps round 15
-a pure flip. ``staging_candidates()`` (queries/__init__.py) merges
-this module into the check_oracle --staging / hostile_check --staging
-sweeps.
+"""Round-12 registrations, fourth batch — staged and triple-gated in
+round 11 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r15_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed),
+registered in round 12 under VERDICT round-11 item 7's accelerated
+drain (backlog ≤ 21 by end of round 12, full drain by round 16).
 
 The three close the web-corpus ingestion tier the registry does not
 yet witness:
@@ -46,32 +43,15 @@ yet witness:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-15 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
 
 # --------------------------------------------------------------------
 # softdedup_commonness_reweight
@@ -122,7 +102,7 @@ def _softdedup_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "softdedup_commonness_reweight",
     _softdedup_oracle(),
     doc="SoftDeDup reweighting (He et al. 2024): keep every document "
@@ -246,7 +226,7 @@ def _url_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "url_canonicalize_dedup",
     _url_oracle(),
     doc="URL canonicalization + exact dedup — the CommonCrawl/FineWeb "
@@ -377,7 +357,7 @@ def _optout_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "domain_suffix_optout_filter",
     _optout_oracle(),
     doc="opt-out / blocklist suppression with WILDCARD domain rules "

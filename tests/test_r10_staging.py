@@ -31,14 +31,14 @@ STAGED = {n: QUERY_REGISTRY[n] for n in R10_NAMES if n in QUERY_REGISTRY}
 
 def test_r10_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        _R11_FIRST_WITNESS,
+        _DRIVER_GREEN,
         staging_candidates,
     )
 
-    # registered in round 11, heading the correctness window for their
-    # first driver witness (the first half of the double flip)
+    # registered in round 11 (the first half of the double flip), first
+    # driver witness green in CORRECTNESS_r11 (the ledger records it)
     assert set(R10_NAMES) <= set(QUERY_REGISTRY)
-    assert list(_R11_FIRST_WITNESS)[:3] == R10_NAMES
+    assert all(_DRIVER_GREEN.get(n) == 11 for n in R10_NAMES)
     # the flip dropped the batch out of the staging tools' view
     assert not set(R10_NAMES) & staging_candidates().keys()
     # no rows-only drift: every registration ships a value-hash oracle

@@ -1,14 +1,16 @@
-"""Semantic pins for the round-13 staged operators
+"""Semantic pins for the round-12 registrations, first batch
 (queries/r12_staging.py — corpus_yield_funnel staged in round 9, the
-C4 line filters and the hot-n-gram blocklist topped up in round 10).
-Oracle parity is covered by check_oracle --staging at
-sf0.001/0.01/0.1 and hostile_check --chaos --staging; this file keeps
+C4 line filters and the hot-n-gram blocklist topped up in round 10,
+flipped to @register in round 12 per VERDICT round-11 items 1+7).
+Oracle parity is covered by the registry-wide tools/check_oracle.py
+sweep; this file keeps
 the invariants the value-hash can't express: the funnel algebra, the
 C4 planted-witness contracts, and an engine-free pure-python replay
 of the blocklist coverage."""
 
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r12_staging import (
     _C4_BRACE_OFFSET,
     _C4_JS_OFFSET,
@@ -18,7 +20,6 @@ from market_pulse_data_pipeline_spark.queries.r12_staging import (
     _HB_K,
     _HB_N,
     _YF_EVAL_MOD,
-    STAGED,
 )
 
 R12_NAMES = [
@@ -27,16 +28,21 @@ R12_NAMES = [
     "hot_ngram_blocklist_coverage",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R12_NAMES if n in QUERY_REGISTRY}
 
-def test_r12_staging_composition():
+
+def test_r12_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R12_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R12_NAMES
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 12 (the first batch of the accelerated drain),
+    # heading the correctness window for their first driver witness
+    assert set(R12_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R12_NAMES) <= set(_R12_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

@@ -1,7 +1,7 @@
-"""Semantic pins for the round-14 staged operators
-(queries/r13_staging.py — staged in round 10). Oracle parity is
-covered by check_oracle --staging at sf0.001/0.01/0.1 and
-hostile_check --chaos --staging; this file keeps the invariants the
+"""Semantic pins for the round-12 registrations, second batch
+(queries/r13_staging.py — staged in round 10, flipped to @register in
+round 12 per VERDICT round-11 item 1). Oracle parity is covered by
+the registry-wide tools/check_oracle.py sweep; this file keeps the invariants the
 value-hash can't express: the semantic-decontamination plant
 contracts (scale-free flags, sign-flip non-flags), the rendezvous
 monotonicity property (removing a shard moves only its own docs), and
@@ -11,6 +11,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r13_staging import (
     _ES_EVAL_MOD,
     _ES_H_OFFSET,
@@ -19,7 +20,6 @@ from market_pulse_data_pipeline_spark.queries.r13_staging import (
     _RC_PLANT_MOD,
     _RC_V_OFFSET,
     _RV_SHARDS,
-    STAGED,
 )
 
 R13_NAMES = [
@@ -28,16 +28,21 @@ R13_NAMES = [
     "lsh_recall_curve",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R13_NAMES if n in QUERY_REGISTRY}
 
-def test_r13_staging_composition():
+
+def test_r13_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R12_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R13_NAMES
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 12 (the second batch of the accelerated drain),
+    # heading the correctness window for their first driver witness
+    assert set(R13_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R13_NAMES) <= set(_R12_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

@@ -1,8 +1,8 @@
-"""Semantic pins for the round-14 staged operators
-(queries/r14_staging.py — staged in round 11 after the double flip so
-rounds 12-14 stay turn-key). Oracle parity is covered by
-check_oracle --staging at sf0.001/0.01/0.1 and hostile_check --chaos
---staging; this file keeps the invariants the value-hash can't
+"""Semantic pins for the round-12 registrations, third batch
+(queries/r14_staging.py — staged in round 11, flipped to @register in
+round 12 under VERDICT round-11 item 7's accelerated drain). Oracle
+parity is covered by the registry-wide tools/check_oracle.py sweep;
+this file keeps the invariants the value-hash can't
 express: an engine-free pure-python replay of the whole DSIR scoring
 chain, the target-tilt property DSIR exists for, the excerpt-plant
 containment-vs-Jaccard gap, and the reliability-diagram algebra."""
@@ -12,6 +12,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r14_staging import (
     _CE_MIN_SH,
     _CE_OFFSET,
@@ -22,7 +23,6 @@ from market_pulse_data_pipeline_spark.queries.r14_staging import (
     _DS_TARGET_LANG,
     _DS_U_MAX,
     _EC_BINS,
-    STAGED,
 )
 
 R14_NAMES = [
@@ -31,17 +31,21 @@ R14_NAMES = [
     "quality_calibration_ece",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R14_NAMES if n in QUERY_REGISTRY}
 
-def test_r14_staging_composition():
+
+def test_r14_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R12_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R14_NAMES
-    # staged, NOT registered: the addition budget is round 14's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 12 (the third batch of the accelerated drain),
+    # heading the correctness window for their first driver witness
+    assert set(R14_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R14_NAMES) <= set(_R12_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

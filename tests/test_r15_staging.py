@@ -1,7 +1,8 @@
-"""Semantic pins for the round-15 staged operators
-(queries/r15_staging.py — staged in round 11 so rounds 12-15 stay
-turn-key). Oracle parity is covered by check_oracle --staging at
-sf0.001/0.01/0.1 and hostile_check --chaos --staging; this file keeps
+"""Semantic pins for the round-12 registrations, fourth batch
+(queries/r15_staging.py — staged in round 11, flipped to @register in
+round 12 under VERDICT round-11 item 7's accelerated drain). Oracle
+parity is covered by the registry-wide tools/check_oracle.py sweep;
+this file keeps
 the invariants the value-hash can't express: full engine-free pure-
 python replays of all three operators (hashlib + decimal + re), the
 SoftDeDup plant-weight property, the per-rule URL canonicalization
@@ -14,6 +15,7 @@ from decimal import ROUND_HALF_UP, Decimal
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r15_staging import (
     _OO_RULES,
     _SW_MIN_PLANT_TOKS,
@@ -26,7 +28,6 @@ from market_pulse_data_pipeline_spark.queries.r15_staging import (
     _UC_PREFIX,
     _UC_SLASH,
     _UC_TRACK,
-    STAGED,
 )
 
 R15_NAMES = [
@@ -34,6 +35,8 @@ R15_NAMES = [
     "url_canonicalize_dedup",
     "domain_suffix_optout_filter",
 ]
+
+STAGED = {n: QUERY_REGISTRY[n] for n in R15_NAMES if n in QUERY_REGISTRY}
 
 
 def _round_div(n: int, d: int) -> float:
@@ -56,16 +59,19 @@ def _doc_ids(sf_dir: str) -> list[int]:
     ]
 
 
-def test_r15_staging_composition():
+def test_r15_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R12_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R15_NAMES
+    # registered in round 12 (the fourth batch of the accelerated drain),
+    # heading the correctness window for their first driver witness
+    assert set(R15_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R15_NAMES) <= set(_R12_FIRST_WITNESS)
     # staged, NOT registered: the addition budget is round 15's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 
