@@ -92,7 +92,7 @@ _BL_K = 4  # hash functions (double hashing)
 _BL_WORD = 63  # bits packed per BIGINT word; bit 63 stays clear because
 # DuckDB raises Out of Range on 1::BIGINT << 63 while Spark wraps to the
 # sign bit — 63-per-word keeps every mask positive and both engines exact
-_BL_NWORDS = (_BL_M + _BL_WORD - 1) // _BL_WORD  # 261
+_BL_NWORDS = (_BL_M + _BL_WORD - 1) // _BL_WORD  # 1041
 
 
 def _bl_positions_sql(g: str) -> list[str]:
@@ -270,7 +270,7 @@ def bloom_decontaminate_portable(
         .groupBy("widx")
         .agg(F.bit_or("mask").alias("w"))
     )
-    # bounded collect: <= _BL_NWORDS = 261 longs — the bloom's size is a
+    # bounded collect: <= _BL_NWORDS = 1041 longs — the bloom's size is a
     # MODEL constant (bits/63), independent of corpus size
     arr = [0] * _BL_NWORDS
     for row in words.collect():

@@ -313,18 +313,21 @@ def tv_distance_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_h = (
         docs.select(
-            "source", (F.col("n_chars") / _TV_BUCKET).cast("long").alias("bucket")
+            "source", F.expr(f"n_chars div {_TV_BUCKET}").alias("bucket")
         )
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).alias("a"))
     )
-    new_chars = F.when(
-        F.col("doc_id") % _TV_GROW_MOD == 0, F.col("n_chars") + _TV_GROW
-    ).otherwise(F.col("n_chars"))
     new_h = (
         docs.filter(F.col("doc_id") % _TV_DROP_MOD != 0)
         .select(
-            "source", (new_chars / _TV_BUCKET).cast("long").alias("bucket")
+            "source",
+            F.expr(
+                "(CASE WHEN doc_id % {m} = 0 THEN n_chars + {g} "
+                "ELSE n_chars END) div {b}".format(
+                    m=_TV_GROW_MOD, g=_TV_GROW, b=_TV_BUCKET
+                )
+            ).alias("bucket"),
         )
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).alias("b"))

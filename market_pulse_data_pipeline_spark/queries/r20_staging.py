@@ -227,7 +227,7 @@ def _histo_oracle() -> str:
     WITH ranked AS (
       SELECT event_type, value,
              NTILE({_EH_BUCKETS}) OVER (
-               PARTITION BY event_type ORDER BY value, event_id
+               PARTITION BY event_type ORDER BY value NULLS LAST, event_id
              ) AS bucket
       FROM events
     )
@@ -264,7 +264,12 @@ def equi_depth_histogram_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST pinned explicitly: Spark's ascending default is NULLS
+    # FIRST, DuckDB's is NULLS LAST — a NULL value would silently shift
+    # every bucket assignment between engines (ADVICE r11)
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     ranked = ev.select(
         "event_type",
         "value",

@@ -16,7 +16,7 @@ The three close distinct holes:
   (Σ 2^(cap - min(age, cap)) over 2^cap, ages capped at 30 days —
   beyond the cap a contribution is < 1e-9 of a fresh event and the
   cap is what makes the numerator BIGINT-exact). The day bucket is
-  epoch_us // 86400e6 — a pure integer, so no compared byte depends
+  epoch_us div 86400000000 (integer truncation on both engines) — a pure integer, so no compared byte depends
   on session timezone (the round-1 lesson); the reference day is the
   corpus max, derived engine-side (1-row aggregate cross join, no
   driver collect).
@@ -113,7 +113,7 @@ def _decay_oracle() -> str:
     "and the cap is what keeps the numerator exact instead of "
     "floating). ONE rounding at the very end through the shared "
     "decimal route, so engines cannot diverge on any tie. Day = "
-    "epoch_us // 86400e6, a pure integer — no compared byte depends "
+    "epoch_us div 86400000000 (integer truncation on both engines), a pure integer — no compared byte depends "
     "on session timezone (the round-1 sessionization lesson); the "
     "reference day is the corpus max, derived ENGINE-side as a 1-row "
     "aggregate cross join (no driver collect). 100 TB shape: one "
@@ -125,7 +125,11 @@ def _decay_oracle() -> str:
 def decayed_event_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_type",
-        (F.unix_micros("ts") / _DF_DAY_US).cast("long").alias("day"),
+        # integer `div`, not double-divide-then-cast: Spark div and
+        # DuckDB's integer // both truncate toward zero, so the bucket
+        # is identical for ALL inputs incl. pre-1970 timestamps, and no
+        # compared byte rides double rounding (ADVICE r11)
+        F.expr(f"unix_micros(ts) div {_DF_DAY_US}").alias("day"),
     )
     ref = ev.agg(F.max("day").alias("ref_day"))
     w = ev.crossJoin(F.broadcast(ref)).select(

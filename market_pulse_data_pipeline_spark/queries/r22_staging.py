@@ -25,7 +25,7 @@ The three open capability families no registered query touches:
   (forecast(d) = actual(d - 7)) joined against actuals per series,
   with MAE and signed bias through the exact-decimal route (sums are
   order-independent DECIMAL, ONE terminal rounding each). Day buckets
-  are epoch_us // 86400e6 — timezone-free integers.
+  are epoch_us div 86400000000 (integer truncation on both engines) — timezone-free integers.
 - ``gazetteer_phrase_match`` — dictionary/gazetteer span matching
   (the Aho-Corasick workload, NER-by-dictionary): multi-token phrases
   located by their RAREST token as the anchor (chosen from corpus
@@ -234,7 +234,7 @@ def _backtest_oracle() -> str:
     "DECIMAL sums (order-independent), the error aggregates stay "
     "DECIMAL end-to-end, and each output metric takes ONE terminal "
     "rounding through the shared decimal route — no float "
-    "reassociation anywhere. Day buckets are epoch_us // 86400e6, "
+    "reassociation anywhere. Day buckets are epoch_us div 86400000000 (integer truncation on both engines), "
     "timezone-free integers (the round-1 lesson). Only days with an "
     "observation 7 days prior are evaluable — n_eval vs n_days makes "
     "the coverage explicit rather than silently imputing. 100 TB "
@@ -248,7 +248,9 @@ def _backtest_oracle() -> str:
 def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_type",
-        (F.unix_micros("ts") / _SN_DAY_US).cast("long").alias("day"),
+        # integer `div` matches DuckDB's integer // (both truncate
+        # toward zero) for ALL inputs incl. pre-1970 ts (ADVICE r11)
+        F.expr(f"unix_micros(ts) div {_SN_DAY_US}").alias("day"),
         "value",
     )
     daily = ev.groupBy("event_type", "day").agg(

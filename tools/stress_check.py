@@ -689,9 +689,11 @@ def main() -> int:
         .agg(F.count(F.lit(1)), F.sum("credit")),
     )
 
-    # 2-D skyline (operators/pareto.py): global-ordered window funnel
-    # over N× points — the documented one-task shape. Must stay linear
-    # (one sort + one scan); the quadratic NOT-EXISTS oracle form it
+    # 2-D skyline (operators/pareto.py): since round 12 the scan
+    # EXECUTES two-phase (range-partition on cost, per-range local
+    # running-max scans in parallel, O(ranges) carry-in maxima) — no
+    # single-partition window. Must stay linear (parallel local sorts
+    # + one bounded collect); the quadratic NOT-EXISTS oracle form it
     # replaces would scale ×mult².
     from market_pulse_data_pipeline_spark.operators.pareto import skyline_2d
 
@@ -788,6 +790,7 @@ def main() -> int:
         # cost rides max_pop², so that is the number that must not
         # scale with mult.
         if only is None or "semdedup_popbound" in only:
+            t0_pop = time.time()
             pop_row = (
                 qv_sd.groupBy("cluster")
                 .agg(F.count(F.lit(1)).alias("pop"))
@@ -800,7 +803,9 @@ def main() -> int:
                 )
                 .collect()[0]
             )
-            timings["semdedup_popbound"] = 0.0
+            # real work: the population aggregate scans the cluster
+            # assignment — time it like every other stage (ADVICE r11)
+            timings["semdedup_popbound"] = round(time.time() - t0_pop, 2)
             rows["semdedup_popbound"] = int(pop_row["n_clusters"])
             print(
                 f"  semdedup_popbound k={k_sd} "
