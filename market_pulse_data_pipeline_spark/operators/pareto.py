@@ -1,19 +1,27 @@
-"""2-D skyline (Pareto frontier) in one sorted window pass.
+"""2-D skyline (Pareto frontier) as a two-phase range-partitioned scan.
 
 Dominance (minimize ``cost``, maximize ``gain``): q dominates p iff
 q.cost <= p.cost AND q.gain >= p.gain AND strictly better on at least
 one. The definitional formulation is a quadratic NOT EXISTS self-join;
-the scan form used here is O(n log n): order by cost, a point survives
-iff its gain strictly exceeds the running MAX gain over all
-STRICTLY-cheaper points (RANGE frame excludes cost ties) and it carries
-the max gain within its own cost tie-group — equal (cost, gain)
-duplicates are mutually non-dominating and all survive.
+the scan form is O(n log n): order by cost, a point survives iff its
+gain strictly exceeds the running MAX gain over all STRICTLY-cheaper
+points (RANGE frame excludes cost ties) and it carries the max gain
+within its own cost tie-group — equal (cost, gain) duplicates are
+mutually non-dominating and all survive.
 
-Scale: the global-ordered window is a one-task funnel (fine at
-dimension-table cardinality). Running-MAX-over-cost is an associative
-scan, so past one task's capacity the two-phase range-partitioned form
-(functions/prefix.py: per-range local scans + O(partitions) carry-in
-maxima) applies verbatim.
+Scale (VERDICT r11 item 3): the scan EXECUTES two-phase — the same
+shape as functions/prefix.py::partitioned_prefix_sum, with MAX as the
+associative operator. Range-partition on cost (equal costs co-locate:
+the range partitioner maps each key to exactly one partition, and
+partition i's keys are all strictly below partition i+1's), run the
+strictly-cheaper running-max LOCALLY per range in parallel, collect
+only the per-range MAX(gain) totals (bounded by the range count,
+never rows), fold them into exclusive carry-in maxima on the driver,
+and broadcast them back. No single-partition window anywhere in the
+plan; MAX is idempotent and order-independent, so the result is
+exactly the serial form's — pinned by the brute-force property test
+(tests/test_determinism_properties.py) and the skyline_pareto_parts
+oracle row (hash vs the quadratic NOT EXISTS definition).
 """
 
 from __future__ import annotations
@@ -25,8 +33,12 @@ from pyspark.sql import types as T
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
-def skyline_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
-    """Rows of ``df`` on the Pareto frontier (min cost, max gain).
+def skyline_2d(
+    df: DataFrame, cost_col: str, gain_col: str, n_ranges: int = 8
+) -> DataFrame:
+    """Rows of ``df`` on the Pareto frontier (min cost, max gain),
+    computed without a single-partition window (two-phase scan, see
+    module docstring).
 
     ``cost_col`` MUST be an integral type: the strictly-cheaper frame is
     ``RANGE BETWEEN UNBOUNDED PRECEDING AND -1``, whose -1 offset means
@@ -43,13 +55,57 @@ def skyline_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
             f"{cost_type.simpleString()}. Pre-scale to integer units "
             "(e.g. cents) before calling."
         )
-    cheaper = Window.orderBy(cost_col).rangeBetween(
-        Window.unboundedPreceding, -1
+    gain_type = df.schema[gain_col].dataType.simpleString()
+    ranged = df.repartitionByRange(n_ranges, F.col(cost_col))
+    with_pid = ranged.withColumn("_sk_pid", F.spark_partition_id())
+    # pin the range assignment: RangePartitioner samples boundaries per
+    # job, so without materialization the totals job and the final scan
+    # could disagree on which range a boundary cost belongs to
+    with_pid = with_pid.localCheckpoint()
+    # phase 1, in parallel per range: running max over STRICTLY-cheaper
+    # local rows (earlier ranges hold strictly smaller costs, later
+    # ranges strictly larger — handled by the carry-in), plus the
+    # tie-group max. Equal costs co-locate in one range, so the tie
+    # window partitions by (_sk_pid, cost) and rides the SAME exchange
+    # as the local scan (HashPartitioning(_sk_pid) satisfies clustering
+    # on the superset keys) — one shuffle serves both windows.
+    local_cheaper = (
+        Window.partitionBy("_sk_pid")
+        .orderBy(cost_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    tie = Window.partitionBy(cost_col)
+    tie = Window.partitionBy("_sk_pid", cost_col)
+    scanned = with_pid.withColumn(
+        "_sk_local", F.max(gain_col).over(local_cheaper)
+    ).withColumn("_sk_tie", F.max(gain_col).over(tie))
+    # phase 2: per-range MAX(gain) totals — bounded collect, one row
+    # per range partition, never per data row
+    totals = (
+        with_pid.groupBy("_sk_pid")
+        .agg(F.max(gain_col).alias("_sk_mx"))
+        .collect()
+    )
+    carry = None
+    offsets = []
+    for row in sorted(totals, key=lambda r: r["_sk_pid"]):
+        offsets.append((row["_sk_pid"], carry))
+        m = row["_sk_mx"]
+        if m is not None and (carry is None or m > carry):
+            carry = m
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(pid, None if c is None else str(c)) for pid, c in offsets],
+        "_sk_pid int, _sk_carry string",
+    ).select(
+        "_sk_pid", F.col("_sk_carry").cast(gain_type).alias("_sk_carry")
+    )
+    # greatest() skips NULLs: exactly the null-aware max of the local
+    # strictly-cheaper running max and the earlier-ranges carry-in
     return (
-        df.withColumn("_sk_cheaper", F.max(gain_col).over(cheaper))
-        .withColumn("_sk_tie", F.max(gain_col).over(tie))
+        scanned.join(F.broadcast(offset_df), "_sk_pid")
+        .withColumn(
+            "_sk_cheaper", F.greatest(F.col("_sk_local"), F.col("_sk_carry"))
+        )
         .filter(
             (
                 F.col("_sk_cheaper").isNull()
@@ -57,7 +113,7 @@ def skyline_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
             )
             & (F.col(gain_col) == F.col("_sk_tie"))
         )
-        .drop("_sk_cheaper", "_sk_tie")
+        .drop("_sk_pid", "_sk_local", "_sk_carry", "_sk_cheaper", "_sk_tie")
     )
 
 

