@@ -14,6 +14,16 @@ metrics from `.explain("formatted")` text:
   (legit Arrow-batched Python) vs BatchEvalPython (row-at-a-time —
   forbidden; tests/test_plan_invariants.py enforces its absence).
 - cartesian: CartesianProduct presence (forbidden).
+- win_funnel: global-window funnels — a `Window` whose required sort
+  rides an `Exchange SinglePartition` (the Window -> Sort -> Exchange
+  SinglePartition chain in the simple plan), i.e. EVERY input row
+  through one task. Scalar aggregates also plan a SinglePartition
+  exchange but carry one partial row per mapper — model-sized, not
+  counted. Reported rather than failed: a >0 entry is legitimate only
+  when the windowed input is itself model-sized (a bounded histogram,
+  a top-N after limit, a key-domain vocabulary); the column exists so
+  any DATA-sized funnel is immediately visible in review (VERDICT
+  r11 items 2-3 removed the registry's two data-sized ones).
 
 Queries that eagerly materialize mid-build (localCheckpoint, e.g. the
 LSH pipeline releasing corpus-sized caches, or iterative graph hops)
@@ -63,6 +73,17 @@ ALLOWED_ANTIPATTERNS = {
     ),
 }
 
+# Global-window funnels whose windowed input is MODEL-sized by
+# construction (so one task is the right plan): name -> the bound.
+BOUNDED_WINDOW_FUNNELS = {
+    "quality_threshold_sweep": (
+        "window over the <= 2*RES+1-row threshold histogram, not rows"
+    ),
+    "quota_largest_remainder": (
+        "window over one quota row per key-domain value, not rows"
+    ),
+}
+
 METRIC_KEYS = (
     "n_exchanges",
     "n_broadcasts",
@@ -71,17 +92,25 @@ METRIC_KEYS = (
     "arrow_python",
     "row_python",
     "cartesian",
+    "win_funnel",
 )
 
 
-def plan_text(df) -> str:
+def plan_texts(df) -> tuple[str, str]:
+    """(formatted, simple) explain output — the formatted details feed
+    the node-count metrics; the simple tree preserves parent-child
+    adjacency for the Window -> Sort -> Exchange funnel pattern."""
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    fmt = buf.getvalue()
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        df.explain()
+    return fmt, buf2.getvalue()
 
 
-def audit(text: str) -> dict[str, int]:
+def audit(text: str, simple: str = "") -> dict[str, int]:
     scans = re.findall(r"\(\d+\) Scan parquet", text)
     pushed = re.findall(r"PushedFilters: \[(?!\])", text)
     return {
@@ -100,6 +129,17 @@ def audit(text: str) -> dict[str, int]:
         ),
         "row_python": len(re.findall(r"BatchEvalPython", text)),
         "cartesian": len(re.findall(r"CartesianProduct", text)),
+        # Window whose required sort rides Exchange SinglePartition:
+        # EVERY input row through one task. Adjacency read off the
+        # simple-plan tree; scalar-aggregate SinglePartition exchanges
+        # (one partial row per mapper — model-sized) don't count.
+        "win_funnel": len(
+            re.findall(
+                r"Window [^\n]*\n[^\n]*?Sort [^\n]*\n"
+                r"[^\n]*?Exchange SinglePartition",
+                simple,
+            )
+        ),
     }
 
 
@@ -137,7 +177,7 @@ class CheckpointCapture:
 
         def hooked(df, *a, **kw):
             try:
-                captured.append(audit(plan_text(df)))
+                captured.append(audit(*plan_texts(df)))
             except Exception:
                 pass  # capture is best-effort; never break the query
             return orig(df, *a, **kw)
@@ -178,7 +218,7 @@ def main() -> int:
         try:
             with CheckpointCapture() as cap:
                 df = q.spark(spark, args.sf)
-                m = audit(plan_text(df))
+                m = audit(*plan_texts(df))
             for stage in cap.captured:
                 merge(m, stage)
         except Exception as e:  # streaming/write-side: note, don't fail
@@ -203,26 +243,30 @@ def main() -> int:
         "plan-affecting changes). Columns: shuffle exchanges, broadcast",
         "exchanges, parquet scans (with pushed filters),",
         "Arrow-batched Python operators, row-at-a-time",
-        "Python operators (must be 0), cartesian products (must be 0).",
+        "Python operators (must be 0), cartesian products (must be 0),",
+        "and global-window funnels (a Window sorted through an",
+        "Exchange SinglePartition — every row through one task;",
+        "legitimate only when the windowed input is model-sized).",
         "Eagerly-checkpointed stages (e.g. the LSH pipeline's cache",
         "release) are folded into their query's row via a",
         "localCheckpoint hook, so metrics reflect the executed shape.",
         "",
         "| query | exch | bcast | scans | pushed | arrowPy |"
-        " rowPy | cartesian |",
-        "|---|---|---|---|---|---|---|---|",
+        " rowPy | cartesian | winFunnel |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     bad = 0
     for name, m, err in rows:
         if m is None:
-            out.append(f"| `{name}` | — | — | — | — | — | — | {err} |")
+            out.append(f"| `{name}` | — | — | — | — | — | — | — | {err} |")
             continue
         if m["row_python"] or m["cartesian"]:
             bad += 1
         out.append(
             f"| `{name}` | {m['n_exchanges']} | {m['n_broadcasts']} | "
             f"{m['n_scans']} | {m['n_pushed']} | "
-            f"{m['arrow_python']} | {m['row_python']} | {m['cartesian']} |"
+            f"{m['arrow_python']} | {m['row_python']} | {m['cartesian']} | "
+            f"{m['win_funnel']} |"
         )
     out.append("")
     path = os.path.join(
@@ -239,30 +283,39 @@ def main() -> int:
             f"Generated by `tools/plan_audit.py --all` at {args.sf}. Same",
             "columns as PLAN_AUDIT.md, one row per registered query, so the",
             "0-rowPy / 0-cartesian claim is reproducible for every plan,",
-            "not just the bench set. The two allowlisted anti-pattern",
+            "not just the bench set. winFunnel counts global-window",
+            "funnels (Window -> Sort -> Exchange SinglePartition: every",
+            "row through ONE task; scalar-agg SinglePartition exchanges",
+            "carry one partial per mapper and don't count) — reported,",
+            "legitimate only when the windowed input is model-sized. The two allowlisted anti-pattern",
             "witnesses (`join_strategy_independence` — shuffle_replicate_nl",
             "hint IS CartesianProduct; `udtf_split_sentences` — the Python",
             "UDTF surface is BatchEvalPython by construction) are marked",
             "`(allowed)`; everything else must show 0 in both columns.",
             "",
             "| query | exch | bcast | scans | pushed | arrowPy |"
-            " rowPy | cartesian | note |",
-            "|---|---|---|---|---|---|---|---|---|",
+            " rowPy | cartesian | winFunnel | note |",
+            "|---|---|---|---|---|---|---|---|---|---|",
         ]
         for name, m, err in full_rows:
             if m is None:
                 full.append(
-                    f"| `{name}` | — | — | — | — | — | — | — | {err} |"
+                    f"| `{name}` | — | — | — | — | — | — | — | — | {err} |"
                 )
                 continue
-            note = "(allowed)" if (
-                (m["row_python"] or m["cartesian"])
-                and name in ALLOWED_ANTIPATTERNS
-            ) else ""
+            if (m["row_python"] or m["cartesian"]) and (
+                name in ALLOWED_ANTIPATTERNS
+            ):
+                note = "(allowed)"
+            elif m["win_funnel"] and name in BOUNDED_WINDOW_FUNNELS:
+                note = "(bounded window)"
+            else:
+                note = ""
             full.append(
                 f"| `{name}` | {m['n_exchanges']} | {m['n_broadcasts']} | "
                 f"{m['n_scans']} | {m['n_pushed']} | {m['arrow_python']} | "
-                f"{m['row_python']} | {m['cartesian']} | {note} |"
+                f"{m['row_python']} | {m['cartesian']} | "
+                f"{m['win_funnel']} | {note} |"
             )
         full.append("")
         full_path = os.path.join(os.path.dirname(path), "PLAN_AUDIT_FULL.md")
