@@ -37,7 +37,7 @@ The three close the next tier of LLM-pipeline gaps:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
@@ -370,9 +370,21 @@ def containment_excerpt_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus.select(
         "doc_id", F.explode(grams).alias("h")
     ).distinct()
-    hot = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    keptsh = sh.join(
-        hot.filter(F.col("df") <= _CE_MAX_DF).select("h"), "h"
+    # df-cap via a shingle-partitioned window (same shuffle key as the
+    # aggregate-then-join form, one pass instead of two), then
+    # materialize ONCE: keptsh feeds three consumers (sizes + both
+    # sides of the candidate self-join), and without the checkpoint
+    # each consumer re-runs the whole scan -> shingle -> distinct ->
+    # df-cap pipeline — 16 document scans in the audited plan. At
+    # corpus scale that recompute IS the cost; one materialized pass
+    # is the shape a real pipeline runs (same discipline as the LSH
+    # pipeline's checkpoint and the round-11 kmeans-fit fix).
+    df_w = Window.partitionBy("h")
+    keptsh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("_df") <= _CE_MAX_DF)
+        .drop("_df")
+        .localCheckpoint()
     )
     sizes = keptsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = keptsh.alias("a")
