@@ -39,9 +39,20 @@ def connected_components(
     in O(log D) rounds instead of D (with the default ``max_iter=20``
     that covers diameters the pure propagation form would silently
     mislabel)."""
-    bidir = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    # Materialize the symmetric edge set ONCE before iterating: edges
+    # often arrive as the tail of an expensive pipeline (the n-gram
+    # Jaccard near-dup join in dedup_cluster_assignment, winnowing
+    # fingerprint joins), and every round's neighbor join would
+    # otherwise re-execute that whole pipeline — the audited plan
+    # showed 160 document scans for a 20-round run before this
+    # checkpoint (round 12).
+    bidir = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .localCheckpoint()
+    )
     verts = (
         bidir.select(F.col("src").alias("id"))
         .distinct()
@@ -109,9 +120,13 @@ def pagerank_fixed_point(
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # materialize the degree-annotated edge list once — every
+    # iteration joins against it, and edges may be the tail of an
+    # expensive upstream pipeline (same hazard connected_components
+    # checkpoints `bidir` for)
     eo = edges.join(deg, src).select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
-    )
+    ).localCheckpoint()
     ranks = (
         deg.select(F.col(src).alias("node"))
         .crossJoin(F.broadcast(n))

@@ -350,9 +350,14 @@ def doremi_excess_loss_reweight(
     # mean_inv_p) among its outputs — the per-doc fluency this solver
     # consumes; source rides back in via a doc_id join
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    # materialize the proxy-loss scores once: the fluency pipeline
+    # behind ccnet_perplexity_buckets is the expensive stage and BOTH
+    # aggregates below (per-domain and corpus reference) consume it —
+    # the lazy form re-ran the whole scoring pipeline for each
+    # (14 document scans in the audited plan before round 12)
     scored = ccnet_perplexity_buckets(spark, sf_dir).select(
         "doc_id", "mean_inv_p"
-    )
+    ).localCheckpoint()
     dec = F.col("mean_inv_p").cast("decimal(20,6)")
     bysrc = (
         scored.join(docs, "doc_id")
