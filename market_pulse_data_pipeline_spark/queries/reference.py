@@ -583,25 +583,31 @@ def qc_join_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def audit(relation: str, left: DataFrame, right: DataFrame) -> DataFrame:
-        lt = left.agg(F.sum("lc").cast("long").alias("left_rows"))
-        rt = right.agg(F.sum("rc").cast("long").alias("right_rows"))
-        joined = left.join(right, "k")
+        # ONE full-outer pass per relation: the per-side totals ride the
+        # same aggregate as the shared-key stats (SUM skips the nulls
+        # the outer join introduces), so neither count-side is
+        # recomputed for its total — the three-aggregate form scanned
+        # each base table twice (12 scans for 3 relations; now 6).
+        joined = left.join(right, "k", "full_outer")
+        both = F.col("lc").isNotNull() & F.col("rc").isNotNull()
         return (
             joined.agg(
-                F.count(F.lit(1)).alias("n_shared_keys"),
-                F.max("lc").alias("max_left_per_key"),
-                F.max("rc").alias("max_right_per_key"),
+                F.sum("lc").cast("long").alias("left_rows"),
+                F.sum("rc").cast("long").alias("right_rows"),
+                F.count(F.when(both, F.lit(1))).alias("n_shared_keys"),
+                F.max(F.when(both, F.col("lc"))).alias("max_left_per_key"),
+                F.max(F.when(both, F.col("rc"))).alias("max_right_per_key"),
                 F.sum(
-                    F.when((F.col("lc") > 1) & (F.col("rc") > 1), 1).otherwise(0)
+                    F.when(
+                        both & (F.col("lc") > 1) & (F.col("rc") > 1), 1
+                    ).otherwise(0)
                 )
                 .cast("long")
                 .alias("n_mn_keys"),
-                F.sum(F.col("lc") * F.col("rc"))
+                F.sum(F.when(both, F.col("lc") * F.col("rc")))
                 .cast("long")
                 .alias("est_join_rows"),
             )
-            .crossJoin(F.broadcast(lt))
-            .crossJoin(F.broadcast(rt))
             .select(
                 F.lit(relation).alias("relation"),
                 "left_rows",
