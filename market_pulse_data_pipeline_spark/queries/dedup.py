@@ -75,7 +75,13 @@ def ngram_jaccard_pairs(
     quadratic scale-killer. Jaccard is computed over the df-capped
     shingle universe (sizes and intersections consistently), keeping the
     operator exactly oracle-expressible. See SCALING.md."""
-    sh = _shingles(docs)
+    # materialize the shingle set ONCE: four consumers (the hot-shingle
+    # df aggregate, the per-doc sizes, and both sides of the candidate
+    # self-join) otherwise each re-run the scan -> split -> shingle
+    # pipeline (8 document scans in the audited plan before round 12).
+    # The later consumers redo only the cheap broadcast anti-join over
+    # the materialized rows.
+    sh = _shingles(docs).localCheckpoint()
     # hot shingles are few by definition → broadcast the anti-join side
     hot = (
         sh.groupBy("sh")
