@@ -372,15 +372,21 @@ def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the exact branch exists only as oracle evidence).",
 )
 def kmv_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize each side's distinct hash set once: four consumers
+    # each (own sketch, union sketch, exact-overlap verify) otherwise
+    # re-run the scan + hash + distinct per use — 8 scans in the
+    # audited plan before round 12
     ha = (
         t(spark, sf_dir, "orders")
         .select(portable_hash60(F.col("o_orderkey").cast("string")).alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     hb = (
         t(spark, sf_dir, "lineitem")
         .select(portable_hash60(F.col("l_orderkey").cast("string")).alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     ka = ha.orderBy("h").limit(_KMV_K)
     kb = hb.orderBy("h").limit(_KMV_K)
