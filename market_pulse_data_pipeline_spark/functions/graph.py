@@ -39,19 +39,20 @@ def connected_components(
     in O(log D) rounds instead of D (with the default ``max_iter=20``
     that covers diameters the pure propagation form would silently
     mislabel)."""
-    # Materialize the symmetric edge set ONCE before iterating: edges
-    # often arrive as the tail of an expensive pipeline (the n-gram
-    # Jaccard near-dup join in dedup_cluster_assignment, winnowing
-    # fingerprint joins), and every round's neighbor join would
-    # otherwise re-execute that whole pipeline — the audited plan
-    # showed 160 document scans for a 20-round run before this
-    # checkpoint (round 12).
-    bidir = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(
-            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-        )
-        .localCheckpoint()
+    # Materialize the edge list ONCE before iterating: edges often
+    # arrive as the tail of an expensive pipeline (the n-gram Jaccard
+    # near-dup join in dedup_cluster_assignment, winnowing fingerprint
+    # joins), and every round's neighbor join would otherwise
+    # re-execute that whole pipeline — the audited plan showed 160
+    # document scans for a 20-round run before this checkpoint
+    # (round 12). Checkpointing the ONE-directional list (not bidir)
+    # runs the upstream pipeline exactly once; the symmetric view is a
+    # map-only union over the materialized rows.
+    ed = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    bidir = ed.union(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     verts = (
         bidir.select(F.col("src").alias("id"))
