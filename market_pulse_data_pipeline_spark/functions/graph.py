@@ -119,17 +119,23 @@ def pagerank_fixed_point(
     per round with localCheckpoint like connected_components. Driver
     holds only the 1-row node count.
     """
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    # materialize the edge list once: the degree aggregate, the node
+    # count, the rank init, AND every iteration's join all consume it,
+    # and edges may be the tail of an expensive upstream pipeline
+    # (same hazard connected_components checkpoints its edges for) —
+    # the lazy form re-ran that pipeline per consumer (14 source scans
+    # in the audited pagerank plan before round 12)
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ed = ed.localCheckpoint()
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    # materialize the degree-annotated edge list once — every
-    # iteration joins against it, and edges may be the tail of an
-    # expensive upstream pipeline (same hazard connected_components
-    # checkpoints `bidir` for)
-    eo = edges.join(deg, src).select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
+    # the per-iteration join side is itself materialized so each round
+    # reads it instead of redoing the degree join
+    eo = ed.join(deg, "src").select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "outdeg"
     ).localCheckpoint()
     ranks = (
-        deg.select(F.col(src).alias("node"))
+        deg.select(F.col("src").alias("node"))
         .crossJoin(F.broadcast(n))
         .select("node", F.expr(f"{scale} div n_nodes").alias("pr"))
         .localCheckpoint()
