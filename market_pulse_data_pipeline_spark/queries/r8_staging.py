@@ -368,6 +368,11 @@ def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
         .distinct()
+        # materialize once: both self-join sides consume the
+        # fingerprint set, and the lazy form re-ran the whole
+        # scan -> k-gram -> window-min pipeline per side (8 document
+        # scans in the audited winnowing_cluster_dedup plan)
+        .localCheckpoint()
     )
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
