@@ -2160,10 +2160,24 @@ def main() -> int:
                 )
             ).alias("h"),
         ).distinct()
-        hot_ce = sh_ce.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        kept_ce = sh_ce.join(
-            hot_ce.filter(F.col("df") <= _CE_MAX_DF).select("h"), "h"
+        # mirrors the registered r12 shape: window df-cap + one
+        # materialization feeding all three consumers. The (eager)
+        # checkpoint IS the expensive pass, so it gets its own timing
+        # entry — the pair stage below times only the post-
+        # materialization join + score work.
+        from pyspark.sql import Window as WCE
+
+        t0_cemat = time.time()
+        kept_ce = (
+            sh_ce.withColumn(
+                "_df", F.count(F.lit(1)).over(WCE.partitionBy("h"))
+            )
+            .filter(F.col("_df") <= _CE_MAX_DF)
+            .drop("_df")
+            .localCheckpoint()
         )
+        timings["containment_mat"] = round(time.time() - t0_cemat, 2)
+        rows["containment_mat"] = 0
         sizes_ce = kept_ce.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_sh")
         )
