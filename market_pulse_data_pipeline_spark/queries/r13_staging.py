@@ -109,6 +109,7 @@ def _esem_oracle() -> str:
 @register(
     "eval_decontaminate_semantic",
     _esem_oracle(),
+    bench=True,
     doc="semantic (embedding-space) eval-set decontamination — the "
     "third leg of the family: exact 13-grams catch verbatim leaks, "
     "fuzzy MinHash catches near-verbatim ones, and this flags every "

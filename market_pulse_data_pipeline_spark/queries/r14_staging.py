@@ -320,6 +320,7 @@ def _containment_oracle() -> str:
 @register(
     "containment_excerpt_dups",
     _containment_oracle(),
+    bench=True,
     doc="one-sided set CONTAINMENT dedup (Broder 1997): |A∩B| / |A| "
     "over distinct 5-gram shingle sets, threshold 0.8 compared as "
     "cross-multiplied integers (10*inter >= 8*n_small). Catches "
