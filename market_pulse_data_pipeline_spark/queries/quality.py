@@ -379,7 +379,9 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         "lang",
-        (F.col("n_chars") / _FUZZY_BUCKET).cast("bigint").alias("bucket"),
+        # integer div (the r12 idiom): identical to DuckDB's // for
+        # every input, no double quotient in the compared path
+        F.expr(f"n_chars div {_FUZZY_BUCKET}").alias("bucket"),
         F.substring("text", 1, _FUZZY_HEAD).alias("head"),
     )
     a, b = d.alias("a"), d.alias("b")
