@@ -1836,7 +1836,7 @@ def max_drawdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            {sql_round_div(
                "CAST(RANK() OVER (PARTITION BY event_type "
-               "ORDER BY value, event_id) - 1 AS DOUBLE)",
+               "ORDER BY value NULLS LAST, event_id) - 1 AS DOUBLE)",
                "CAST(COUNT(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE)",
            )} AS q_norm
     FROM events
@@ -1850,7 +1850,11 @@ def max_drawdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers. One window per group partition.",
 )
 def quantile_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST pinned on both engines (Spark asc defaults NULLS
+    # FIRST, DuckDB NULLS LAST — the ADVICE r11 NTILE class)
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     w_all = Window.partitionBy("event_type")
     ev = t(spark, sf_dir, "events")
     return ev.select(
