@@ -43,7 +43,7 @@ yet witness:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
@@ -117,9 +117,10 @@ def _softdedup_oracle() -> str:
     "5e7) witness the semantics: a doc and its clone share every "
     "shingle, so each shingle's df doubles and the pair's soft_weight "
     "falls to <= 0.5 while unique docs stay near 1.0. 100 TB shape: "
-    "distinct-shingle stream -> df hash aggregate (map-side combine) "
-    "-> ONE shuffled equi-join keyed by digest back onto the stream "
-    "-> doc-keyed aggregate. No self-join anywhere, so cost is "
+    "distinct-shingle stream -> per-digest df via ONE shingle-"
+    "partitioned window (r12: the aggregate+equi-join form re-ran the "
+    "shingle pipeline per consumer) -> doc-keyed aggregate. No join "
+    "and no self-join anywhere, so cost is "
     "strictly linear in corpus shingles — cheaper than every pair-"
     "producing family in the registry; hot shingles need no df cap "
     "because df rides the join as a value, never a fan-out key.",
@@ -153,9 +154,15 @@ def softdedup_commonness_reweight(
         ),
     )
     sh = corpus.select("doc_id", F.explode(grams).alias("h")).distinct()
-    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # per-shingle df rides a shingle-partitioned window instead of an
+    # aggregate + self-join: ONE consumer chain, so the shingle
+    # pipeline executes once (the agg+join form re-ran it per
+    # consumer — 4 document scans in the audited plan) and one whole
+    # shuffle drops out
     per_doc = (
-        sh.join(dfreq, "h")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sh"),
