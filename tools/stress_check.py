@@ -2255,10 +2255,15 @@ def main() -> int:
                 )
             ).alias("h"),
         ).distinct()
-        dfreq_sw = sh_sw.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        # mirrors the registered r12 shape: per-digest df via one
+        # shingle-partitioned window — join-free single chain
+        from pyspark.sql import Window as WSW
+
         run(
             "softdedup",
-            sh_sw.join(dfreq_sw, "h")
+            sh_sw.withColumn(
+                "df", F.count(F.lit(1)).over(WSW.partitionBy("h"))
+            )
             .groupBy("doc_id")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_sh"),
