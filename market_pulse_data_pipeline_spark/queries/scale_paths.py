@@ -344,7 +344,11 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"), lambda x: (x * 1.001).cast("float")
         ).alias("embedding"),
     )
-    both = emb.unionByName(planted)
+    # materialize the planted corpus once: the signature pass and both
+    # verify sides consume it, and the lazy form re-ran the scan+plant
+    # union per consumer (8 embedding scans in the audited plan); the
+    # downstream quantization is map-only over the materialized rows
+    both = emb.unionByName(planted).localCheckpoint()
     with_sig = add_lsh_signature(both, dim=_EMB_DIM)
     cand = lsh_chunk_candidate_pairs(with_sig, n_planes=16, max_hamming=2)
     qv = both.select(
