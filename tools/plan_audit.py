@@ -82,6 +82,12 @@ BOUNDED_WINDOW_FUNNELS = {
     "quota_largest_remainder": (
         "window over one quota row per key-domain value, not rows"
     ),
+    # staged (flips round 15): rank window over the category VOCABULARY
+    # (one row per distinct category after the count aggregate), not
+    # data rows — bounded by the key domain like the quota window
+    "categorical_dictionary_encode": (
+        "window over one count row per distinct category, not rows"
+    ),
 }
 
 METRIC_KEYS = (
