@@ -49,20 +49,34 @@ def _physical_plan_string(df: DataFrame) -> str:
     try:
         return df._jdf.queryExecution().executedPlan().toString()
     except Exception:  # pragma: no cover - private-API fallback
-        import contextlib  # noqa: PLC0415
-        import io  # noqa: PLC0415
+        return _explain_plan_string(df)
 
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain(mode="formatted")
-        return buf.getvalue()
+
+def _explain_plan_string(df: DataFrame) -> str:
+    """Public-API plan text: ``df.explain()`` captured from stdout.
+    Simple mode renders exchanges inline ("Exchange
+    hashpartitioning(...)"), matching the private-API toString;
+    formatted mode splits the node name and its partitioning across
+    lines and would break substring checks (ADVICE r12). Split out so
+    tests pin the fallback's format contract without having to break
+    the private surface."""
+    import contextlib  # noqa: PLC0415
+    import io  # noqa: PLC0415
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
 
 
 def plan_has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle exchange — the
     property bucketed joins eliminate (used by tests/benchmarks as the
-    co-location assertion)."""
-    return "Exchange hashpartitioning" in _physical_plan_string(df)
+    co-location assertion). Matches on ``hashpartitioning`` alone: it
+    only ever appears as an Exchange's partitioning expression, and the
+    bare token survives both the simple/inline plan rendering and
+    formatted mode's separate ``Arguments:`` line."""
+    return "hashpartitioning" in _physical_plan_string(df)
 
 
 def bucketed_join(

@@ -33,6 +33,22 @@ from pyspark.sql import types as T
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+def _nan_aware_gt(a, b) -> bool:
+    """Spark's comparison ordering for the driver-side carry fold: Spark
+    treats NaN as larger than any other floating-point value (both in
+    ``F.max`` and in ``>`` predicates), while Python's ``>`` makes NaN
+    incomparable (always False). The fold must mirror the executor-side
+    ordering or a NaN gain in an earlier range would fail to propagate
+    into later ranges' carry-in and dominated points could survive."""
+    a_nan = isinstance(a, float) and a != a
+    b_nan = isinstance(b, float) and b != b
+    if a_nan:
+        return not b_nan
+    if b_nan:
+        return False
+    return a > b
+
+
 def skyline_2d(
     df: DataFrame, cost_col: str, gain_col: str, n_ranges: int = 8
 ) -> DataFrame:
@@ -55,7 +71,7 @@ def skyline_2d(
             f"{cost_type.simpleString()}. Pre-scale to integer units "
             "(e.g. cents) before calling."
         )
-    gain_type = df.schema[gain_col].dataType.simpleString()
+    gain_type = df.schema[gain_col].dataType
     ranged = df.repartitionByRange(n_ranges, F.col(cost_col))
     with_pid = ranged.withColumn("_sk_pid", F.spark_partition_id())
     # pin the range assignment: RangePartitioner samples boundaries per
@@ -90,15 +106,20 @@ def skyline_2d(
     for row in sorted(totals, key=lambda r: r["_sk_pid"]):
         offsets.append((row["_sk_pid"], carry))
         m = row["_sk_mx"]
-        if m is not None and (carry is None or m > carry):
+        if m is not None and (carry is None or _nan_aware_gt(m, carry)):
             carry = m
     spark = df.sparkSession
-    offset_df = spark.createDataFrame(
-        [(pid, None if c is None else str(c)) for pid, c in offsets],
-        "_sk_pid int, _sk_carry string",
-    ).select(
-        "_sk_pid", F.col("_sk_carry").cast(gain_type).alias("_sk_carry")
+    # carry values round-trip as typed rows in the gain column's actual
+    # DataType — collect() already yielded Python values of that type,
+    # so no string formatting/parsing is involved and non-numeric
+    # orderable gains (timestamps, decimals) carry over exactly
+    offset_schema = T.StructType(
+        [
+            T.StructField("_sk_pid", T.IntegerType(), False),
+            T.StructField("_sk_carry", gain_type, True),
+        ]
     )
+    offset_df = spark.createDataFrame(list(offsets), offset_schema)
     # greatest() skips NULLs: exactly the null-aware max of the local
     # strictly-cheaper running max and the earlier-ranges carry-in
     return (

@@ -613,17 +613,19 @@ def linear_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_avg,
     )
 
-    # cache the 2-column training projection: every GD iteration (plus
-    # the n/mse passes) aggregates over it, and the uncached form
-    # re-scanned lineitem per iteration — 17 scans in the audited
-    # plan. In-memory cache, not a disk checkpoint: the projection is
-    # 16 bytes/row and the first evaluation populates it inside the
-    # same job, so there is no extra write pass. The standard
-    # iterative-ML posture at corpus scale; gradients are unchanged.
+    # materialize the 2-column training projection once: every GD
+    # iteration (plus the n/mse passes) aggregates over it, and the
+    # unmaterialized form re-scanned lineitem per iteration — 17 scans
+    # in the audited plan. localCheckpoint rather than cache(): the
+    # blocks are released when this DataFrame reference is collected
+    # (cache() pinned them in executor storage for the rest of the
+    # session — the bench/correctness sweeps run hundreds of queries in
+    # one session, so an unreleased cache compounds). The projection is
+    # 16 bytes/row; gradients are unchanged.
     xy = t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("double").alias("x"),
         F.col("l_extendedprice").cast("double").alias("y"),
-    ).cache()
+    ).localCheckpoint()
 
     def snap(col):
         return F.round(col.cast("decimal(28,12)"), 6).cast("double")

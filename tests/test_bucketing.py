@@ -4,6 +4,7 @@ shuffle exchanges in the physical plan."""
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.operators.bucketing import (
+    _explain_plan_string,
     bucketed_join,
     plan_has_shuffle,
     write_bucketed,
@@ -45,3 +46,15 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert (got.n, got.q) == (want.n, want.q)
     spark.sql("DROP TABLE IF EXISTS bucketed.li_b")
     spark.sql("DROP TABLE IF EXISTS bucketed.ord_b")
+
+
+def test_fallback_plan_string_detects_shuffle(spark):
+    # ADVICE r12: the public-API fallback must render exchanges in a
+    # form plan_has_shuffle's substring check detects — the formatted
+    # explain mode put the partitioning on a separate Arguments: line
+    # and made the shuffle guard vacuously pass. Pin the contract on
+    # the fallback text directly: a groupBy plan shows hashpartitioning,
+    # a scan-only plan does not.
+    df = spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
+    assert "hashpartitioning" in _explain_plan_string(df)
+    assert "hashpartitioning" not in _explain_plan_string(spark.range(10))

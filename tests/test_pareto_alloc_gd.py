@@ -38,6 +38,41 @@ def test_skyline_equal_gain_cheaper_wins(spark):
     assert _sky(spark, [(1, 5, 50), (2, 10, 50)]) == [1]
 
 
+def test_skyline_nan_gain_carries_across_ranges(spark):
+    # ADVICE r12: Spark orders NaN above every double, so a NaN gain in
+    # an early range must propagate through the driver-side carry fold
+    # and dominate later-range rows. With n_ranges high enough that the
+    # NaN row and its victims land in different ranges, a Python `>`
+    # fold (NaN incomparable → never becomes the carry) would let rows
+    # 2..4 survive.
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, 1, nan), (2, 10, 5.0), (3, 20, 6.0), (4, 30, 1e300)],
+        "id bigint, cost bigint, gain double",
+    )
+    got = sorted(r.id for r in skyline_2d(df, "cost", "gain", n_ranges=4).collect())
+    assert got == [1]
+
+
+def test_skyline_timestamp_gain_typed_carry(spark):
+    # ADVICE r12: carry-in maxima must round-trip in the gain column's
+    # actual DataType — a str()/cast round-trip can NULL out timestamp
+    # carries (str(datetime) formatting vs Spark's cast-from-string) and
+    # silently drop the carry. Row 1's late timestamp must dominate the
+    # later-range rows 2 and 3.
+    import datetime as dt
+
+    rows = [
+        (1, 1, dt.datetime(2026, 1, 1, 12, 0, 0, 123456)),
+        (2, 10, dt.datetime(2025, 6, 1)),
+        (3, 20, dt.datetime(2025, 7, 1)),
+        (4, 30, dt.datetime(2026, 2, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, cost bigint, gain timestamp")
+    got = sorted(r.id for r in skyline_2d(df, "cost", "gain", n_ranges=4).collect())
+    assert got == [1, 4]
+
+
 def test_largest_remainder_sums_exactly(spark):
     for counts, total in [
         ([("a", 1), ("b", 1), ("c", 1)], 100),  # equal remainders → ties

@@ -69,7 +69,6 @@ def test_r15_registration_composition():
     # heading the correctness window for their first driver witness
     assert set(R15_NAMES) <= set(QUERY_REGISTRY)
     assert set(R15_NAMES) <= set(_R12_FIRST_WITNESS)
-    # staged, NOT registered: the addition budget is round 15's
     # the flip dropped the batch out of the staging tools' view
     assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
