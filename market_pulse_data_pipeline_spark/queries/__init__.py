@@ -43,6 +43,10 @@ from market_pulse_data_pipeline_spark.queries import r12_staging  # noqa: F401, 
 from market_pulse_data_pipeline_spark.queries import r13_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r14_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r15_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r16_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r17_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r18_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r19_staging  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -54,89 +58,86 @@ from market_pulse_data_pipeline_spark.queries import r15_staging  # noqa: F401, 
 # list) go to the very head, so new operators get their first witness
 # exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R13_DEFER` — new operators land
+# never-witnessed registrations (`_R14_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
 #
-# Round-12 window (VERDICT.md round 11 "Next round" #1+#7: the
-# ACCELERATED drain — FOUR staged batches flip this round so the
-# staged backlog lands at 21 with a published drain-by-round-16
-# schedule): the 12 round-12 registrations taking their FIRST driver
-# witness at the head (they landed BEFORE the window pin, so
-# never-witnessed beats stale; CORRECTNESS_r11 was 50/50 green, so no
-# red row outranks the rotation), then the 38 stalest green rows: the
-# 15 remaining CORRECTNESS_r06 rows (calendar_interpolate_linear …
-# rrf_hybrid_fusion, ledger-insertion order), then the r07 ledger
-# head (the r2-positioned SURVEY-chain rows re-witnessed in r7 keep
-# their original insertion positions). Pinned literally so any
-# registry or ledger edit that would shift the driver's snapshot
-# fails tests/test_window_composition.py loudly.
-_R12_WINDOW = [
-    # first driver witness for the twelve round-12 registrations —
-    # the r12_staging batch, then r13, r14, r15 (registration order)
-    "corpus_yield_funnel", "c4_line_filters",
-    "hot_ngram_blocklist_coverage",
-    "eval_decontaminate_semantic", "rendezvous_shard_assignment",
-    "lsh_recall_curve",
-    "dsir_importance_resample", "containment_excerpt_dups",
-    "quality_calibration_ece",
-    "softdedup_commonness_reweight", "url_canonicalize_dedup",
-    "domain_suffix_optout_filter",
-    # then the 15 remaining r6 greens (CORRECTNESS_r06 tail in
-    # ledger-insertion order)
-    "calendar_interpolate_linear", "ab_test_proportions",
-    "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
-    "qc_join_multiplicity", "graph_bfs_k_hop",
-    "streaming_outer_join_eviction", "linear_regression_gd",
-    "skyline_pareto_parts", "quota_largest_remainder",
-    "attribution_position_credit", "heavy_hitters_mg_verified",
-    "vocab_top_p_coverage", "rrf_hybrid_fusion",
-    # then the 23 stalest r7 greens (CORRECTNESS_r07 head in
-    # ledger-insertion order: the SURVEY-chain re-witnesses keep
-    # their original r2 insertion positions, so they precede the
-    # TPC-H block)
-    "json_path_extract", "explode_words", "distinct_keys",
-    "dedup_keep_latest", "incremental_merge", "qc_unique_violations",
-    "map_explode_props", "variant_path_extract",
-    "qc_accepted_values_violations", "argmin_unit_price_supplier",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
-    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
-    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
+# Round-13 window (VERDICT.md round 12 "Next round" #1+#2: the
+# SECOND accelerated drain — all FOUR remaining round-11-staged
+# batches r16_staging .. r19_staging flip this round, backlog 21 → 9
+# with the remainder draining in round 14): the 12 round-13
+# registrations taking their FIRST driver witness at the head (they
+# landed BEFORE the window pin, so never-witnessed beats stale;
+# CORRECTNESS_r12 was 50/50 green, so no red row outranks the
+# rotation), then the 38 stalest green rows: the 27 remaining
+# CORRECTNESS_r07 rows (tpch_q18_large_volume_customers …
+# rolling_avg_7rows — VERDICT r12 item 3: the full r7-stale
+# remainder rotates in this round), then the 11-row r08 ledger head.
+# Pinned literally so any registry or ledger edit that would shift
+# the driver's snapshot fails tests/test_window_composition.py loudly.
+_R13_WINDOW = [
+    # first driver witness for the twelve round-13 registrations —
+    # the r16_staging batch, then r17, r18, r19 (registration order)
+    "bloom_decontaminate_portable", "html_tag_strip_extract",
+    "delta_join_view_maintenance",
+    "semdedup_scaled_prune", "tv_distance_source_drift",
+    "l_diversity_check",
+    "unicode_fold_normalize", "deletion_vector_scan",
+    "dynamic_partition_pruning_join",
+    "sentence_lang_mix_profile", "token_spans_offsets",
+    "user_erasure_cascade",
+    # then the 27 remaining r7 greens (CORRECTNESS_r07 tail in
+    # ledger-insertion order: the TPC-H stragglers, the text/dedup
+    # SURVEY block, then the r3-positioned rows re-witnessed in r7)
+    "tpch_q18_large_volume_customers", "tpch_q19_disjunctive_revenue",
+    "text_token_count", "text_quality_score", "text_lang_stats",
+    "lang_id_heuristic", "doc_fingerprint", "text_bpe_token_estimate",
+    "multimodal_meta", "text_repetition_stats", "text_pii_scan",
+    "contamination_ngram_overlap", "stratified_sample_per_lang",
+    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
+    "similarity_topk_cosine", "embedding_label_centroid_norm",
+    "embedding_quantization_error", "event_hourly_windows",
+    "event_sliding_windows", "dedup_cluster_assignment",
+    "market_pulse_end_to_end", "minhash_lsh_portable",
+    "asof_join_latest_anchor", "range_join_price_bands",
+    "rolling_avg_7rows",
+    # then the 11 stalest r8 greens (CORRECTNESS_r08 head in
+    # ledger-insertion order — the r3-positioned re-witnesses keep
+    # their original insertion positions)
+    "weekly_ohlc", "embedding_int8_quantize", "streaming_ingest_upsert",
+    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
+    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
+    "set_ops_nations", "except_user_event_pairs",
 ]
 
 # the window head: names taking their FIRST driver row this round —
-# they join _DRIVER_GREEN (round 12) at the next rotation
-_R12_FIRST_WITNESS = _R12_WINDOW[:12]
+# they join _DRIVER_GREEN (round 13) at the next rotation
+_R13_FIRST_WITNESS = _R13_WINDOW[:12]
 
-# Round-12 registrations awaiting deferral to the round-13 window per
+# Round-13 registrations awaiting deferral to the round-14 window per
 # the round-4 displacement rule (additions never displace a verified
-# window). The round-12 batches (r12_staging .. r15_staging)
+# window). The round-13 batches (r16_staging .. r19_staging)
 # registered BEFORE the window pin, so they head the window instead
-# of deferring; this list is for any later round-12 addition.
-_R13_DEFER: list[str] = []
+# of deferring; this list is for any later round-13 addition.
+_R14_DEFER: list[str] = []
 
 # stable alias for tools (check_oracle --staged, hostile_check): the
 # newest registrations still awaiting their first driver witness —
 # points at the current round's deferral list so the tools never need
 # a per-round rename again
-PENDING_FIRST_WITNESS = _R13_DEFER
+PENDING_FIRST_WITNESS = _R14_DEFER
 
 
 def staging_candidates():
     """Every staged-but-unregistered query (name -> QueryDef), merged
-    across staging modules. Round 12 executed VERDICT r11's
-    accelerated drain (r12_staging .. r15_staging are now pure
+    across staging modules. Round 13 executed VERDICT r12 item 2's
+    second accelerated drain (r16_staging .. r19_staging are now pure
     @register modules like r9_staging), so the remaining staged
-    backlog is the seven batches r16_staging .. r22_staging —
-    21 queries, including the two former reserve batches r21_staging
-    and r22_staging, now on the published drain schedule: round 13
-    flips r16+r17, round 14 flips r18+r19, round 15 flips r20+r21,
-    round 16 flips r22 (backlog 0).
+    backlog is the three batches r20_staging .. r22_staging —
+    9 queries on the published drain schedule: round 14 flips
+    r20+r21+r22 (backlog 0, two rounds ahead of the original
+    drain-by-round-16 plan).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -145,10 +146,6 @@ def staging_candidates():
 
     out = {}
     for modname in (
-        "r16_staging",
-        "r17_staging",
-        "r18_staging",
-        "r19_staging",
         "r20_staging",
         "r21_staging",
         "r22_staging",
@@ -453,19 +450,54 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "qc_profile_drift", "sql_pipe_syntax", "pandas_api_groupby",
     "python_datasource_stream", "m4_downsample",
 ], 11))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r12.json — 50/50 green (the round-12 window, verbatim
+    # order: the 12 round-12 registrations taking their first driver
+    # witness, then the 15 remaining r6 re-witnesses and the 23-row r7
+    # ledger head). dict.update keeps the 38 re-witnesses at their
+    # original insertion positions and appends the 12 first-witness
+    # names at the end — exactly the shape round 12's r13_rotation()
+    # pre-computed.
+    "corpus_yield_funnel", "c4_line_filters",
+    "hot_ngram_blocklist_coverage",
+    "eval_decontaminate_semantic", "rendezvous_shard_assignment",
+    "lsh_recall_curve",
+    "dsir_importance_resample", "containment_excerpt_dups",
+    "quality_calibration_ece",
+    "softdedup_commonness_reweight", "url_canonicalize_dedup",
+    "domain_suffix_optout_filter",
+    "calendar_interpolate_linear", "ab_test_proportions",
+    "interval_merge_maximal", "ndcg_at_k", "vocab_unk_rate",
+    "qc_join_multiplicity", "graph_bfs_k_hop",
+    "streaming_outer_join_eviction", "linear_regression_gd",
+    "skyline_pareto_parts", "quota_largest_remainder",
+    "attribution_position_credit", "heavy_hitters_mg_verified",
+    "vocab_top_p_coverage", "rrf_hybrid_fusion",
+    "json_path_extract", "explode_words", "distinct_keys",
+    "dedup_keep_latest", "incremental_merge", "qc_unique_violations",
+    "map_explode_props", "variant_path_extract",
+    "qc_accepted_values_violations", "argmin_unit_price_supplier",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q12_shipmode_priority", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q5_local_supplier",
+    "tpch_q13_customer_distribution", "tpch_q16_supplier_part_counts",
+    "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+], 12))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R13_DEFER`` order — after the window, so new
+    registrations (``_R14_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R12_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R13_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R13_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R14_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -482,7 +514,7 @@ def all_queries():
 
 def stalest_green(window: int = 50) -> list[str]:
     """The stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R12_WINDOW``'s tail is
+    ledger-insertion order within a round. ``_R13_WINDOW``'s tail is
     this round's pinned snapshot of exactly ``stalest_green(38)`` (a
     regression test keeps them in lockstep; the window head is the 12
     first-witness names, which have no green row yet)."""
@@ -491,25 +523,27 @@ def stalest_green(window: int = 50) -> list[str]:
     return stale[:window]
 
 
-def r13_rotation(window: int = 50) -> list[str]:
-    """The proposed round-13 window under the steady-state cadence:
-    never-witnessed registrations at the head — the round-13 flip
-    batches (r16_staging: bloom_decontaminate_portable,
-    html_tag_strip_extract, delta_join_view_maintenance; r17_staging:
-    semdedup_scaled_prune, tv_distance_source_drift,
-    l_diversity_check) once they flip to @register, via ``_R13_DEFER``
-    or a pre-pin window head — then the stalest greens assuming this
-    round's window lands green (its 38 re-witnesses move to round 12
-    and its 12 first-witness names enter the ledger at round 12): the
-    r7 ledger remainder (``tpch_q18_large_volume_customers`` …), then
-    the r8 ledger head. Any r12 RED row outranks all of this and goes
-    to the very front instead (red beats rotation)."""
-    never = [n for n in _R13_DEFER if n in QUERY_REGISTRY]
-    after_r12 = dict(_DRIVER_GREEN)
+def r14_rotation(window: int = 50) -> list[str]:
+    """The proposed round-14 window under the steady-state cadence:
+    never-witnessed registrations at the head — the round-14 flip
+    batches (r20_staging: trigram_substring_index,
+    equi_depth_histogram_stats, incremental_sessionization;
+    r21_staging: decayed_event_frequency, json_schema_infer,
+    categorical_dictionary_encode; r22_staging: grid_radius_join,
+    seasonal_naive_backtest, gazetteer_phrase_match) once they flip to
+    @register, via ``_R14_DEFER`` or a pre-pin window head — then the
+    stalest greens assuming this round's window lands green (its 38
+    re-witnesses move to round 13 and its 12 first-witness names enter
+    the ledger at round 13): the r8 ledger remainder
+    (``lag_lead_weekly`` …) continues the rotation. Any r13 RED row
+    outranks all of this and goes to the very front instead (red beats
+    rotation)."""
+    never = [n for n in _R14_DEFER if n in QUERY_REGISTRY]
+    after_r13 = dict(_DRIVER_GREEN)
     # update() keeps existing positions for the 38 re-witnesses and
     # appends the 12 first-witness names at the end in window order —
     # the same shape next round's literal ledger edit will produce
-    after_r12.update(dict.fromkeys(_R12_WINDOW, 12))
-    order = {n: i for i, n in enumerate(after_r12)}
-    stale = sorted(after_r12, key=lambda n: (after_r12[n], order[n]))
+    after_r13.update(dict.fromkeys(_R13_WINDOW, 13))
+    order = {n: i for i, n in enumerate(after_r13)}
+    stale = sorted(after_r13, key=lambda n: (after_r13[n], order[n]))
     return (never + stale)[:window]

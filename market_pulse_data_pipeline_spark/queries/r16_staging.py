@@ -1,10 +1,10 @@
-"""Round-16 staged queries — implemented, oracle-paired, NOT registered.
-
-Staged in round 11 so the registration pipeline stays turn-key past
-round 15 (round 12 flips r12_staging .. round 15 flips r15_staging;
-this batch makes round 16 a pure flip). ``staging_candidates()``
-(queries/__init__.py) merges this module into the check_oracle
---staging / hostile_check --staging sweeps.
+"""Round-13 registrations, first batch — staged and triple-gated in
+round 11 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r16_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed, re-gated
+on round-13 code before the flip), registered in round 13 under
+VERDICT round-12 item 2's accelerated drain (backlog 9 by end of
+round 13, full drain by round 14).
 
 The three close capability holes no registered query witnesses yet:
 
@@ -49,31 +49,14 @@ The three close capability holes no registered query witnesses yet:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     sql_round_sum,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-16 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
 
 # --------------------------------------------------------------------
 # bloom_decontaminate_portable
@@ -190,9 +173,10 @@ def _bloom_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "bloom_decontaminate_portable",
     _bloom_oracle(),
+    bench=True,
     doc="eval-set decontamination through a PORTABLE Bloom filter — "
     "the documented scale fallback of eval_decontaminate_exact_ngrams "
     "(r8) when the eval gram set outgrows the broadcast threshold, "
@@ -424,7 +408,7 @@ def _html_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "html_tag_strip_extract",
     _html_oracle(),
     doc="HTML -> text extraction, the WET step every crawl pipeline "
@@ -524,7 +508,7 @@ def _dv_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "delta_join_view_maintenance",
     _dv_oracle(),
     doc="incremental view maintenance of a join-aggregate by the "

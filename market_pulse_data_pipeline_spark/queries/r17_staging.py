@@ -1,10 +1,10 @@
-"""Round-17 staged queries — implemented, oracle-paired, NOT registered.
-
-Staged in round 11 (the third batch staged this round) so the
-registration pipeline stays turn-key past round 16: rounds 12-16 each
-flip their batch, and this one keeps round 17 a pure flip.
-``staging_candidates()`` (queries/__init__.py) merges this module into
-the check_oracle --staging / hostile_check --staging sweeps.
+"""Round-13 registrations, second batch — staged and triple-gated in
+round 11 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r17_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed, re-gated
+on round-13 code before the flip), registered in round 13 under
+VERDICT round-12 item 2's accelerated drain (backlog 9 by end of
+round 13, full drain by round 14).
 
 The three close distinct holes:
 
@@ -41,32 +41,15 @@ The three close distinct holes:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-17 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
 
 # --------------------------------------------------------------------
 # semdedup_scaled_prune
@@ -134,9 +117,10 @@ def _semdedup_scaled_oracle() -> str:
     )
 
 
-@stage(
+@register(
     "semdedup_scaled_prune",
     _semdedup_scaled_oracle(),
+    bench=True,
     doc="SemDeDup at its published 100 TB posture (VERDICT r10 item 4): "
     "k-means blocking with k ∝ CORPUS SIZE — k = ceil(N / 50), so the "
     "per-cluster population (and hence the within-cluster quadratic, "
@@ -285,7 +269,7 @@ def _tv_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "tv_distance_source_drift",
     _tv_oracle(),
     doc="distribution-level drift gate between two corpus snapshots, "
@@ -402,7 +386,7 @@ def _ldiv_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "l_diversity_check",
     _ldiv_oracle(),
     doc=f"distinct-l-diversity audit (l={_LD_L}; Machanavajjhala et "

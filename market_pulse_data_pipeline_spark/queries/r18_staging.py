@@ -1,9 +1,10 @@
-"""Round-18 staged queries — implemented, oracle-paired, NOT registered.
-
-Staged in round 11 (fourth batch of the round) so the registration
-pipeline stays turn-key past round 17. ``staging_candidates()``
-(queries/__init__.py) merges this module into the check_oracle
---staging / hostile_check --staging sweeps.
+"""Round-13 registrations, third batch — staged and triple-gated in
+round 11 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r18_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed, re-gated
+on round-13 code before the flip), registered in round 13 under
+VERDICT round-12 item 2's accelerated drain (backlog 9 by end of
+round 13, full drain by round 14).
 
 The three close distinct holes:
 
@@ -43,19 +44,15 @@ import atexit
 import os
 import shutil
 import tempfile
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_sum,
     sql_round_sum,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
 
 _R18_ROOT = os.path.join(
     tempfile.gettempdir(), f"mp_r18_oracle_{os.getpid()}"
@@ -67,18 +64,6 @@ def _scratch(name: str) -> str:
     path = os.path.join(_R18_ROOT, name)
     shutil.rmtree(path, ignore_errors=True)
     return path
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-18 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -151,7 +136,7 @@ def _unicode_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "unicode_fold_normalize",
     _unicode_oracle(),
     doc="unicode fold normalization — the ftfy/NFKC-style pass every "
@@ -227,7 +212,7 @@ def _dv_scan_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "deletion_vector_scan",
     _dv_scan_oracle(),
     doc="lakehouse merge-on-read READ path (Iceberg position deletes / "
@@ -311,7 +296,7 @@ def _dpp_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "dynamic_partition_pruning_join",
     _dpp_oracle(),
     doc="runtime partition pruning — THE fact-scan saver for "

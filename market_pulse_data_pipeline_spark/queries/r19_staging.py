@@ -1,9 +1,10 @@
-"""Round-19 staged queries — implemented, oracle-paired, NOT registered.
-
-Staged in round 11 (fifth batch of the round) so the registration
-pipeline stays turn-key past round 18. ``staging_candidates()``
-(queries/__init__.py) merges this module into the check_oracle
---staging / hostile_check --staging sweeps.
+"""Round-13 registrations, fourth batch — staged and triple-gated in
+round 11 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r19_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed, re-gated
+on round-13 code before the flip), registered in round 13 under
+VERDICT round-12 item 2's accelerated drain (backlog 9 by end of
+round 13, full drain by round 14).
 
 The three close distinct holes:
 
@@ -36,33 +37,16 @@ The three close distinct holes:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
 from market_pulse_data_pipeline_spark.queries.text import STOPWORDS
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-19 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
 
 # --------------------------------------------------------------------
 # sentence_lang_mix_profile
@@ -120,7 +104,7 @@ def _langmix_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "sentence_lang_mix_profile",
     _langmix_oracle(),
     doc="code-switching detection — the per-SENTENCE language profile "
@@ -230,7 +214,7 @@ def _spans_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "token_spans_offsets",
     _spans_oracle(),
     doc="span-preserving tokenization — tokens with exact (start, end) "
@@ -334,7 +318,7 @@ def _erasure_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "user_erasure_cascade",
     _erasure_oracle(),
     doc="GDPR/CCPA right-to-be-forgotten cascade audit: erasing a "

@@ -33,14 +33,14 @@ STAGED = {n: QUERY_REGISTRY[n] for n in R13_NAMES if n in QUERY_REGISTRY}
 
 def test_r13_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        _R12_FIRST_WITNESS,
+        _DRIVER_GREEN,
         staging_candidates,
     )
 
     # registered in round 12 (the second batch of the accelerated drain),
-    # heading the correctness window for their first driver witness
+    # first driver witness green in CORRECTNESS_r12 (the ledger records it)
     assert set(R13_NAMES) <= set(QUERY_REGISTRY)
-    assert set(R13_NAMES) <= set(_R12_FIRST_WITNESS)
+    assert all(_DRIVER_GREEN.get(x) == 12 for x in R13_NAMES)
     # the flip dropped the batch out of the staging tools' view
     assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())

@@ -1,7 +1,8 @@
-"""Semantic pins for the round-16 staged operators
-(queries/r16_staging.py — staged in round 11 so rounds 12-16 stay
-turn-key). Oracle parity is covered by check_oracle --staging at
-sf0.001/0.01/0.1 and hostile_check --chaos --staging; this file keeps
+"""Semantic pins for the round-13 registrations, first batch
+(queries/r16_staging.py — staged in round 11, flipped to @register in
+round 13 under VERDICT round-12 item 2's accelerated drain). Oracle
+parity is covered by the registry-wide tools/check_oracle.py sweep;
+this file keeps
 the invariants the value-hash can't express: a full engine-free
 pure-python replay of the portable Bloom filter (bits, probes, exact
 counts), the Bloom no-false-negative contract and the planted-leak
@@ -15,6 +16,7 @@ import re
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r16_staging import (
     _BL_EVAL_MOD,
     _BL_K,
@@ -37,7 +39,6 @@ from market_pulse_data_pipeline_spark.queries.r16_staging import (
     _HT_STYLE_BLOCK,
     _HT_TAG,
     _HT_WS,
-    STAGED,
 )
 
 R16_NAMES = [
@@ -45,6 +46,8 @@ R16_NAMES = [
     "html_tag_strip_extract",
     "delta_join_view_maintenance",
 ]
+
+STAGED = {n: QUERY_REGISTRY[n] for n in R16_NAMES if n in QUERY_REGISTRY}
 
 
 def _docs(sf_dir: str) -> list[tuple[int, str]]:
@@ -54,16 +57,18 @@ def _docs(sf_dir: str) -> list[tuple[int, str]]:
     ).fetchall()
 
 
-def test_r16_staging_composition():
+def test_r16_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R13_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R16_NAMES
-    # staged, NOT registered: the addition budget is round 16's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 13 (the second accelerated drain), heading
+    # the correctness window for their first driver witness
+    assert set(R16_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R16_NAMES) <= set(_R13_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

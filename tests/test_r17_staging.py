@@ -1,8 +1,8 @@
-"""Semantic pins for the round-17 staged operators
-(queries/r17_staging.py — staged in round 11, third batch of the
-round, keeping rounds 12-17 turn-key). Oracle parity is covered by
-check_oracle --staging at sf0.001/0.01/0.1 and hostile_check --chaos
---staging; this file keeps the invariants the value-hash can't
+"""Semantic pins for the round-13 registrations, second batch
+(queries/r17_staging.py — staged in round 11, flipped to @register in
+round 13 under VERDICT round-12 item 2's accelerated drain). Oracle
+parity is covered by the registry-wide tools/check_oracle.py sweep;
+this file keeps the invariants the value-hash can't
 express: the k ∝ N scaling rule and population bound for scaled
 SemDeDup (plus dropped == planted), an exact-Fraction replay of the
 total-variation drift arithmetic, and the l-diversity homogeneity
@@ -13,6 +13,7 @@ from fractions import Fraction
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r17_staging import (
     _LD_BAL_BUCKET,
     _LD_L,
@@ -24,7 +25,6 @@ from market_pulse_data_pipeline_spark.queries.r17_staging import (
     _TV_DROP_MOD,
     _TV_GROW,
     _TV_GROW_MOD,
-    STAGED,
 )
 
 R17_NAMES = [
@@ -33,17 +33,21 @@ R17_NAMES = [
     "l_diversity_check",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R17_NAMES if n in QUERY_REGISTRY}
 
-def test_r17_staging_composition():
+
+def test_r17_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R13_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R17_NAMES
-    # staged, NOT registered: the addition budget is round 17's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 13 (the second accelerated drain), heading
+    # the correctness window for their first driver witness
+    assert set(R17_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R17_NAMES) <= set(_R13_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

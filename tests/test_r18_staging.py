@@ -1,7 +1,8 @@
-"""Semantic pins for the round-18 staged operators
-(queries/r18_staging.py — staged in round 11, fourth batch of the
-round). Oracle parity is covered by check_oracle --staging at
-sf0.001/0.01/0.1 and hostile_check --chaos --staging; this file keeps
+"""Semantic pins for the round-13 registrations, third batch
+(queries/r18_staging.py — staged in round 11, flipped to @register in
+round 13 under VERDICT round-12 item 2's accelerated drain). Oracle
+parity is covered by the registry-wide tools/check_oracle.py sweep;
+this file keeps
 the invariants the value-hash can't express: a pure-python replay of
 the unicode fold chain with the no-op control, the MoR accounting
 identity (live + deleted == total per file) plus the anti-join plan
@@ -14,13 +15,13 @@ from decimal import ROUND_HALF_UP, Decimal
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r18_staging import (
     _DPP_URGENT,
     _DV_DEL_MOD,
     _DV_FILES,
     _UN_MAP,
     _UN_SUFFIXES,
-    STAGED,
 )
 
 R18_NAMES = [
@@ -29,17 +30,21 @@ R18_NAMES = [
     "dynamic_partition_pruning_join",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R18_NAMES if n in QUERY_REGISTRY}
 
-def test_r18_staging_composition():
+
+def test_r18_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R13_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R18_NAMES
-    # staged, NOT registered: the addition budget is round 18's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 13 (the second accelerated drain), heading
+    # the correctness window for their first driver witness
+    assert set(R18_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R18_NAMES) <= set(_R13_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

@@ -1,7 +1,8 @@
-"""Semantic pins for the round-19 staged operators
-(queries/r19_staging.py — staged in round 11, fifth batch of the
-round). Oracle parity is covered by check_oracle --staging at
-sf0.001/0.01/0.1 and hostile_check --chaos --staging; this file keeps
+"""Semantic pins for the round-13 registrations, fourth batch
+(queries/r19_staging.py — staged in round 11, flipped to @register in
+round 13 under VERDICT round-12 item 2's accelerated drain). Oracle
+parity is covered by the registry-wide tools/check_oracle.py sweep;
+this file keeps
 the invariants the value-hash can't express: a pure-python replay of
 the sentence-level language-mix profile with the planted minority
 sentences, full span-coverage invariants for the offset tokenizer
@@ -11,13 +12,13 @@ the erasure cascade's zero-orphan / nonempty-erasure accounting."""
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r19_staging import (
     _ER_MOD,
     _LM_EN_SENT,
     _LM_OTHER_SENT,
     _LM_PLANT_MOD,
     _LM_W,
-    STAGED,
 )
 from market_pulse_data_pipeline_spark.queries.text import STOPWORDS
 
@@ -27,6 +28,8 @@ R19_NAMES = [
     "user_erasure_cascade",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R19_NAMES if n in QUERY_REGISTRY}
+
 
 def _docs(sf_dir: str) -> list[tuple[int, str]]:
     return duckdb.sql(
@@ -35,16 +38,18 @@ def _docs(sf_dir: str) -> list[tuple[int, str]]:
     ).fetchall()
 
 
-def test_r19_staging_composition():
+def test_r19_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R13_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R19_NAMES
-    # staged, NOT registered: the addition budget is round 19's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 13 (the second accelerated drain), heading
+    # the correctness window for their first driver witness
+    assert set(R19_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R19_NAMES) <= set(_R13_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

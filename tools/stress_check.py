@@ -2271,6 +2271,88 @@ def main() -> int:
             ),
         )
 
+    # URL canonicalize + exact dedup (registered round 12): a map-only
+    # regex chain over doc_id-derived URL variants, then ONE hash
+    # aggregate on the canonical form (the registered query's ORDER BY
+    # is presentation for the oracle, not part of the operator). The
+    # variant families are doc_id-derived, so the key-remapped
+    # multiplication scales canonical-group count linearly — cost must
+    # be linear in docs with a single exchange.
+    if only is None or "url_canon" in only:
+        from market_pulse_data_pipeline_spark.queries.r15_staging import (
+            _UC_FAM,
+            _UC_FRAG,
+            _UC_PORT,
+            _UC_PREFIX,
+            _UC_SLASH,
+            _UC_TRACK,
+        )
+
+        docs_uc = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select("doc_id"),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_urlcanon",
+        )
+        fam_uc = (
+            F.floor(F.col("doc_id") / _UC_FAM).cast("long").cast("string")
+        )
+        host_uc = F.concat(F.lit("www.site"), fam_uc, F.lit(".com"))
+        v_uc = F.col("doc_id") % _UC_FAM
+        url_uc = (
+            F.when(
+                v_uc == 0, F.concat(F.lit("https://"), host_uc, F.lit("/a/b"))
+            )
+            .when(
+                v_uc == 1,
+                F.concat(
+                    F.lit("HTTPS://"), F.upper(host_uc), F.lit("/a/b#frag")
+                ),
+            )
+            .when(
+                v_uc == 2,
+                F.concat(
+                    F.lit("https://"),
+                    host_uc,
+                    F.lit(":443/a/b?utm_source=feed&utm_medium=rss"),
+                ),
+            )
+            .when(
+                v_uc == 3,
+                F.concat(F.lit("https://"), host_uc, F.lit("/a/b/")),
+            )
+            .otherwise(F.concat(F.lit("https://"), host_uc, F.lit("/other")))
+        )
+        st_uc = docs_uc.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(url_uc, _UC_FRAG, ""), _UC_TRACK, ""
+            ).alias("u2"),
+        )
+        sp_uc = st_uc.select(
+            "doc_id",
+            "u2",
+            F.regexp_extract("u2", _UC_PREFIX, 1).alias("prefix"),
+        )
+        rest_uc = F.col("u2").substr(
+            F.length("prefix") + 1, F.length("u2")
+        )
+        canonical_uc = F.concat(
+            F.regexp_replace(F.lower("prefix"), _UC_PORT, ""),
+            F.regexp_replace(rest_uc, _UC_SLASH, ""),
+        )
+        run(
+            "url_canon",
+            sp_uc.select("doc_id", canonical_uc.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min("doc_id").alias("keep_doc_id"),
+            ),
+        )
+
     # Portable-bloom decontamination probe (staged round 11 for round
     # 16): the eval set (and hence the bloom array) is FIXED while the
     # corpus multiplies — the real decontamination asymmetry. The probe
