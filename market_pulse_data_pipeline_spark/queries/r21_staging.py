@@ -356,7 +356,13 @@ def _dict_oracle() -> str:
     "only sort is ROW_NUMBER over the DISTINCT domain — vocabulary-"
     "bounded (the registry's sanctioned exception to the "
     "unpartitioned-window ban; domains are compressible precisely "
-    "because they are small). 100 TB shape: one distinct+count hash "
+    "because they are small). BOUND: the windowed input is "
+    "|distinct(source x lang)| rows — the CROSS-CARDINALITY of two "
+    "low-cardinality dimension columns (97 rows at sf0.01), NEVER "
+    "corpus rows; it scales with the category domain, not the data, "
+    "the same key-domain argument as quota_largest_remainder's "
+    "'(bounded window)' PLAN_AUDIT row, which this query joins when "
+    "registered. 100 TB shape: one distinct+count hash "
     "aggregate, a vocab-sized window, one broadcast join back — the "
     "exact shape of building and applying a tokenizer vocab or "
     "feature map.",
