@@ -285,73 +285,99 @@ def _tv_oracle() -> str:
     "150 chars) moves real mass between buckets. Complements "
     "qc_profile_drift's scalar profile (a snapshot can keep count/"
     "mean/min/max while its SHAPE collapses — exactly what TV "
-    "catches). 100 TB shape: two hash aggregates with map-side "
-    "combine (histogram state is bounded by sources x buckets, not "
-    "rows), one histogram-sized outer join, one per-source fold — "
-    "persist each snapshot's histogram and successive drift checks "
-    "never rescan history.",
+    "catches). 100 TB shape: when both periods derive from ONE table "
+    "(this query's semantics, and the common time-sliced monitor "
+    "case) a SINGLE corpus pass emits each row's per-snapshot bucket "
+    "tags and one hash aggregate with map-side combine builds both "
+    "histogram columns (histogram state bounded by sources x "
+    "buckets, not rows); everything after the histogram is "
+    "model-sized. With two physically separate snapshot tables the "
+    "per-table histogram aggregate + outer join is the inherent "
+    "2-scan variant — either way, persist each snapshot's histogram "
+    "and successive drift checks never rescan history.",
 )
 def tv_distance_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus pass (round-13 plan-quality fold; was two histogram
+    # aggregates + a full_outer join = two corpus scans): every doc
+    # emits its old-snapshot bucket and, unless dropped, its
+    # new-snapshot bucket via a 2-element explode, and a single
+    # (source, bucket) hash aggregate builds BOTH histogram columns.
+    # Buckets present in only one snapshot come out with a=0 or b=0 —
+    # exactly the coalesced full_outer rows of the previous shape. At
+    # 100 TB this halves the corpus reads and the corpus-side shuffle
+    # is one partial-aggregated histogram instead of two; everything
+    # downstream of the histogram is bucket-domain bounded.
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    old_h = (
-        docs.select(
-            "source", F.expr(f"n_chars div {_TV_BUCKET}").alias("bucket")
-        )
-        .groupBy("source", "bucket")
-        .agg(F.count(F.lit(1)).alias("a"))
-    )
-    new_h = (
-        docs.filter(F.col("doc_id") % _TV_DROP_MOD != 0)
-        .select(
-            "source",
-            F.expr(
-                "(CASE WHEN doc_id % {m} = 0 THEN n_chars + {g} "
-                "ELSE n_chars END) div {b}".format(
-                    m=_TV_GROW_MOD, g=_TV_GROW, b=_TV_BUCKET
-                )
-            ).alias("bucket"),
-        )
-        .groupBy("source", "bucket")
-        .agg(F.count(F.lit(1)).alias("b"))
-    )
+    tagged = docs.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr(f"n_chars div {_TV_BUCKET}").alias("bucket"),
+                    F.lit(1).alias("a"),
+                    F.lit(0).alias("b"),
+                ),
+                F.struct(
+                    F.when(
+                        F.col("doc_id") % _TV_DROP_MOD != 0,
+                        F.expr(
+                            "(CASE WHEN doc_id % {m} = 0 THEN n_chars + {g} "
+                            "ELSE n_chars END) div {b}".format(
+                                m=_TV_GROW_MOD, g=_TV_GROW, b=_TV_BUCKET
+                            )
+                        ),
+                    ).alias("bucket"),
+                    F.lit(0).alias("a"),
+                    F.lit(1).alias("b"),
+                ),
+            )
+        ).alias("e"),
+    ).filter(F.col("e.bucket").isNotNull())
     joined = (
-        old_h.join(new_h, ["source", "bucket"], "full_outer")
-        .select(
-            "source",
-            "bucket",
-            F.coalesce("a", F.lit(0)).alias("a"),
-            F.coalesce("b", F.lit(0)).alias("b"),
+        tagged.groupBy("source", F.col("e.bucket").alias("bucket"))
+        .agg(
+            F.sum("e.a").cast("long").alias("a"),
+            F.sum("e.b").cast("long").alias("b"),
         )
     )
-    tot = joined.groupBy("source").agg(
+    # the histogram frame is model-sized from here down: one aggregate
+    # folds the per-source totals AND the ordered (a, b) list, and the
+    # TV numerator is an order-independent integer fold over that list
+    per_source = joined.groupBy("source").agg(
         F.sum("a").alias("n"),
         F.sum("b").alias("m"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.collect_list(F.struct("a", "b")).alias("hist"),
     )
-    num = (
-        joined.join(tot.select("source", "n", "m"), "source")
-        .groupBy("source")
-        .agg(
-            F.sum(
-                F.abs(F.col("a") * F.col("m") - F.col("b") * F.col("n"))
-            ).alias("num")
-        )
+    num_col = F.aggregate(
+        "hist",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.abs(x["a"] * F.col("m") - x["b"] * F.col("n")),
     )
     return (
-        tot.join(num, "source")
-        .select(
+        per_source.select(
             "source",
             F.col("n").cast("long").alias("n_old"),
             F.col("m").cast("long").alias("n_new"),
             "n_buckets",
-            round_div(F.col("num"), 2 * F.col("n") * F.col("m")).alias(
+            num_col.alias("num"),
+            F.col("n").alias("_n"),
+            F.col("m").alias("_m"),
+        )
+        .select(
+            "source",
+            "n_old",
+            "n_new",
+            "n_buckets",
+            round_div(F.col("num"), 2 * F.col("_n") * F.col("_m")).alias(
                 "tv_distance"
             ),
             (
                 F.lit(_TV_ALERT_DEN) * F.col("num")
-                > F.lit(_TV_ALERT_NUM) * 2 * F.col("n") * F.col("m")
+                > F.lit(_TV_ALERT_NUM) * 2 * F.col("_n") * F.col("_m")
             ).alias("drift_alert"),
         )
         .orderBy("source")
