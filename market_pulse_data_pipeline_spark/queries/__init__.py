@@ -133,11 +133,13 @@ def staging_candidates():
     """Every staged-but-unregistered query (name -> QueryDef), merged
     across staging modules. Round 13 executed VERDICT r12 item 2's
     second accelerated drain (r16_staging .. r19_staging are now pure
-    @register modules like r9_staging), so the remaining staged
-    backlog is the three batches r20_staging .. r22_staging —
+    @register modules like r9_staging), so the remaining round-11
+    staged backlog is the three batches r20_staging .. r22_staging —
     9 queries on the published drain schedule: round 14 flips
     r20+r21+r22 (backlog 0, two rounds ahead of the original
-    drain-by-round-16 plan).
+    drain-by-round-16 plan). r23_staging is NEW capability staged in
+    round 13 with its own named flip round (round 15) per the
+    round-13 handoff rule — it is not drain backlog.
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -149,6 +151,7 @@ def staging_candidates():
         "r20_staging",
         "r21_staging",
         "r22_staging",
+        "r23_staging",
     ):
         try:
             mod = importlib.import_module(
