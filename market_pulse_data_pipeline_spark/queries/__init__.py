@@ -152,6 +152,7 @@ def staging_candidates():
         "r21_staging",
         "r22_staging",
         "r23_staging",
+        "r24_staging",
     ):
         try:
             mod = importlib.import_module(

@@ -2353,6 +2353,204 @@ def main() -> int:
             ),
         )
 
+    # TV-distance source drift (registered round 13, one-pass fold):
+    # ONE tagged corpus pass — each doc emits old/new bucket structs
+    # via a 2-element explode — then a (source, bucket) hash aggregate
+    # and a model-sized per-source fold. Sources don't multiply, so
+    # histogram state is CONSTANT while counts grow: cost must be
+    # linear in docs with one corpus-side exchange.
+    if only is None or "tv_drift" in only:
+        from market_pulse_data_pipeline_spark.queries.r17_staging import (
+            _TV_BUCKET,
+            _TV_DROP_MOD,
+            _TV_GROW,
+            _TV_GROW_MOD,
+        )
+
+        docs_tv = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "source", "n_chars"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_tvdrift",
+        )
+        tagged_tv = docs_tv.select(
+            "source",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.expr(f"n_chars div {_TV_BUCKET}").alias("bucket"),
+                        F.lit(1).alias("a"),
+                        F.lit(0).alias("b"),
+                    ),
+                    F.struct(
+                        F.when(
+                            F.col("doc_id") % _TV_DROP_MOD != 0,
+                            F.expr(
+                                "(CASE WHEN doc_id % {m} = 0 THEN n_chars"
+                                " + {g} ELSE n_chars END) div {b}".format(
+                                    m=_TV_GROW_MOD,
+                                    g=_TV_GROW,
+                                    b=_TV_BUCKET,
+                                )
+                            ),
+                        ).alias("bucket"),
+                        F.lit(0).alias("a"),
+                        F.lit(1).alias("b"),
+                    ),
+                )
+            ).alias("e"),
+        ).filter(F.col("e.bucket").isNotNull())
+        hist_tv = tagged_tv.groupBy(
+            "source", F.col("e.bucket").alias("bucket")
+        ).agg(
+            F.sum("e.a").cast("long").alias("a"),
+            F.sum("e.b").cast("long").alias("b"),
+        )
+        run(
+            "tv_drift",
+            hist_tv.groupBy("source").agg(
+                F.sum("a").alias("n"),
+                F.sum("b").alias("m"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            ),
+        )
+
+    # Span-preserving tokenization (registered round 13): posexplode to
+    # tokens then a doc-PARTITIONED running-sum window for character
+    # offsets — the window shuffle is keyed on doc_id, so partitions
+    # stay doc-sized however many docs there are. Output rows = token
+    # count: cost must be linear in tokens.
+    if only is None or "token_spans" in only:
+        docs_ts = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_tokspans",
+        )
+        tk_ts = docs_ts.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        from pyspark.sql import Window as WTS
+
+        w_ts = (
+            WTS.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(WTS.unboundedPreceding, -1)
+        )
+        sp_ts = tk_ts.select(
+            "doc_id",
+            "text",
+            F.col("pos").cast("long").alias("pos"),
+            "token",
+            F.coalesce(
+                F.sum(F.length("token") + 1).over(w_ts), F.lit(0)
+            )
+            .cast("long")
+            .alias("start_off"),
+        ).select(
+            "doc_id",
+            "pos",
+            "token",
+            "start_off",
+            (
+                F.expr(
+                    "substring(text, cast(start_off as int) + 1, "
+                    "length(token))"
+                )
+                == F.col("token")
+            ).alias("ok"),
+        )
+        run("token_spans", sp_ts)
+
+    # Four-quadrant incremental view maintenance (registered round 13):
+    # the bootstrap quadrant is the one big-big shuffle join; the three
+    # delta quadrants broadcast their delta side. Both fact sides
+    # multiply with co-offset keys, so join fan-out stays linear and
+    # the nation-grouped state is CONSTANT; cost must track the
+    # bootstrap join.
+    if only is None or "delta_ivm" in only:
+        from market_pulse_data_pipeline_spark.queries.r16_staging import (
+            _DV_CUST_MOD,
+            _DV_ORD_MOD,
+        )
+
+        ord_dv = mat(
+            multiplied(
+                load_table(spark, args.sf, "orders").select(
+                    "o_orderkey", "o_custkey", "o_totalprice"
+                ),
+                args.mult,
+                ["o_orderkey", "o_custkey"],
+            ),
+            "orders_deltaivm",
+        )
+        cust_dv = mat(
+            multiplied(
+                load_table(spark, args.sf, "customer").select(
+                    "c_custkey", "c_nationkey"
+                ),
+                args.mult,
+                ["c_custkey"],
+            ),
+            "cust_deltaivm",
+        )
+        nat_dv = load_table(spark, args.sf, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        a0_dv = ord_dv.filter(F.col("o_orderkey") % _DV_ORD_MOD != 0)
+        da_dv = ord_dv.filter(F.col("o_orderkey") % _DV_ORD_MOD == 0)
+        b0_dv = cust_dv.filter(F.col("c_custkey") % _DV_CUST_MOD != 0)
+        db_dv = cust_dv.filter(F.col("c_custkey") % _DV_CUST_MOD == 0)
+
+        def partial_dv(o, c, bcast):
+            if bcast == "orders":
+                j = F.broadcast(o).join(
+                    c, o["o_custkey"] == c["c_custkey"]
+                )
+            elif bcast == "customer":
+                j = o.join(
+                    F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+                )
+            else:
+                j = o.join(c, o["o_custkey"] == c["c_custkey"])
+            return (
+                j.join(
+                    F.broadcast(nat_dv),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+                .groupBy("n_name")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(20,2)")
+                    ).alias("s"),
+                )
+            )
+
+        state_dv = (
+            partial_dv(a0_dv, b0_dv, "none")
+            .unionByName(partial_dv(da_dv, b0_dv, "orders"))
+            .unionByName(partial_dv(a0_dv, db_dv, "customer"))
+            .unionByName(partial_dv(da_dv, db_dv, "customer"))
+        )
+        run(
+            "delta_ivm",
+            state_dv.groupBy("n_name").agg(
+                F.sum("n").cast("long").alias("n_orders"),
+                F.round(F.sum("s"), 2).cast("double").alias("revenue"),
+            ),
+        )
+
     # Portable-bloom decontamination probe (staged round 11 for round
     # 16): the eval set (and hence the bloom array) is FIXED while the
     # corpus multiplies — the real decontamination asymmetry. The probe
