@@ -137,9 +137,10 @@ def staging_candidates():
     staged backlog is the three batches r20_staging .. r22_staging —
     9 queries on the published drain schedule: round 14 flips
     r20+r21+r22 (backlog 0, two rounds ahead of the original
-    drain-by-round-16 plan). r23_staging is NEW capability staged in
-    round 13 with its own named flip round (round 15) per the
-    round-13 handoff rule — it is not drain backlog.
+    drain-by-round-16 plan). r23_staging and r24_staging are NEW
+    capability staged in round 13 with their own named flip rounds
+    (15 and 16 respectively) per the round-13 handoff rule — they are
+    not drain backlog.
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /

@@ -601,12 +601,13 @@ def _gd_sql() -> str:
     "each weight update decimal-snaps to 6dp before the next "
     "iteration, so three chained iterations stay bit-identical to "
     "DuckDB's unrolled CTEs. mse_initial vs mse_final witnesses the "
-    "loss actually dropping. Scale shape: each iteration is one scan "
-    "+ one scalar aggregate whose 1-row result broadcasts into the "
-    "next (crossJoin of a 1-row frame — no driver collect, the plan "
-    "stays lazy end-to-end); at 100 TB you cache the (x, y) "
-    "projection once and each epoch is one partial+final aggregate, "
-    "the textbook data-parallel full-batch GD.",
+    "loss actually dropping. Scale shape: the (x, y) projection is "
+    "materialized ONCE via localCheckpoint (an eager job at build "
+    "time; blocks release with the reference — ADVICE r12), then "
+    "each iteration is one in-memory aggregate whose 1-row result "
+    "broadcasts into the next (crossJoin of a 1-row frame — no "
+    "driver collect between epochs), the textbook data-parallel "
+    "full-batch GD.",
 )
 def linear_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.queries.common import (  # noqa: PLC0415

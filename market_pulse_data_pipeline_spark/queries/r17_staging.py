@@ -269,6 +269,53 @@ def _tv_oracle() -> str:
     """
 
 
+def tv_bucket_histogram(docs: DataFrame) -> DataFrame:
+    """Both snapshots' length-bucket histograms from ONE corpus pass
+    (round-13 plan-quality fold; was two histogram aggregates + a
+    full_outer join = two corpus scans): every doc emits its
+    old-snapshot bucket and, unless dropped, its new-snapshot bucket
+    via a 2-element explode, and a single (source, bucket) hash
+    aggregate builds BOTH histogram columns. Buckets present in only
+    one snapshot come out with a=0 or b=0 — exactly the coalesced
+    full_outer rows of the previous shape. At 100 TB this halves the
+    corpus reads and the corpus-side shuffle is one partial-aggregated
+    histogram instead of two. ``docs`` needs (doc_id, source,
+    n_chars); shared with tools/stress_check.py's ``tv_drift`` stage
+    so the stress evidence always measures the shipping fold."""
+    tagged = docs.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr(f"n_chars div {_TV_BUCKET}").alias("bucket"),
+                    F.lit(1).alias("a"),
+                    F.lit(0).alias("b"),
+                ),
+                F.struct(
+                    F.when(
+                        F.col("doc_id") % _TV_DROP_MOD != 0,
+                        F.expr(
+                            "(CASE WHEN doc_id % {m} = 0 THEN n_chars + {g} "
+                            "ELSE n_chars END) div {b}".format(
+                                m=_TV_GROW_MOD, g=_TV_GROW, b=_TV_BUCKET
+                            )
+                        ),
+                    ).alias("bucket"),
+                    F.lit(0).alias("a"),
+                    F.lit(1).alias("b"),
+                ),
+            )
+        ).alias("e"),
+    ).filter(F.col("e.bucket").isNotNull())
+    return (
+        tagged.groupBy("source", F.col("e.bucket").alias("bucket"))
+        .agg(
+            F.sum("e.a").cast("long").alias("a"),
+            F.sum("e.b").cast("long").alias("b"),
+        )
+    )
+
+
 @register(
     "tv_distance_source_drift",
     _tv_oracle(),
@@ -297,51 +344,12 @@ def _tv_oracle() -> str:
     "and successive drift checks never rescan history.",
 )
 def tv_distance_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE corpus pass (round-13 plan-quality fold; was two histogram
-    # aggregates + a full_outer join = two corpus scans): every doc
-    # emits its old-snapshot bucket and, unless dropped, its
-    # new-snapshot bucket via a 2-element explode, and a single
-    # (source, bucket) hash aggregate builds BOTH histogram columns.
-    # Buckets present in only one snapshot come out with a=0 or b=0 —
-    # exactly the coalesced full_outer rows of the previous shape. At
-    # 100 TB this halves the corpus reads and the corpus-side shuffle
-    # is one partial-aggregated histogram instead of two; everything
-    # downstream of the histogram is bucket-domain bounded.
+    # everything downstream of the one-pass histogram (see
+    # tv_bucket_histogram) is bucket-domain bounded
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    tagged = docs.select(
-        "source",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.expr(f"n_chars div {_TV_BUCKET}").alias("bucket"),
-                    F.lit(1).alias("a"),
-                    F.lit(0).alias("b"),
-                ),
-                F.struct(
-                    F.when(
-                        F.col("doc_id") % _TV_DROP_MOD != 0,
-                        F.expr(
-                            "(CASE WHEN doc_id % {m} = 0 THEN n_chars + {g} "
-                            "ELSE n_chars END) div {b}".format(
-                                m=_TV_GROW_MOD, g=_TV_GROW, b=_TV_BUCKET
-                            )
-                        ),
-                    ).alias("bucket"),
-                    F.lit(0).alias("a"),
-                    F.lit(1).alias("b"),
-                ),
-            )
-        ).alias("e"),
-    ).filter(F.col("e.bucket").isNotNull())
-    joined = (
-        tagged.groupBy("source", F.col("e.bucket").alias("bucket"))
-        .agg(
-            F.sum("e.a").cast("long").alias("a"),
-            F.sum("e.b").cast("long").alias("b"),
-        )
-    )
+    joined = tv_bucket_histogram(docs)
     # the histogram frame is model-sized from here down: one aggregate
     # folds the per-source totals AND the ordered (a, b) list, and the
     # TV numerator is an order-independent integer fold over that list

@@ -2360,11 +2360,11 @@ def main() -> int:
     # histogram state is CONSTANT while counts grow: cost must be
     # linear in docs with one corpus-side exchange.
     if only is None or "tv_drift" in only:
+        # the SHIPPING one-pass fold, not a copy: tv_bucket_histogram is
+        # the same code path the registered query executes, so this
+        # stress row always measures the operator as it ships
         from market_pulse_data_pipeline_spark.queries.r17_staging import (
-            _TV_BUCKET,
-            _TV_DROP_MOD,
-            _TV_GROW,
-            _TV_GROW_MOD,
+            tv_bucket_histogram,
         )
 
         docs_tv = mat(
@@ -2377,39 +2377,7 @@ def main() -> int:
             ),
             "docs_tvdrift",
         )
-        tagged_tv = docs_tv.select(
-            "source",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.expr(f"n_chars div {_TV_BUCKET}").alias("bucket"),
-                        F.lit(1).alias("a"),
-                        F.lit(0).alias("b"),
-                    ),
-                    F.struct(
-                        F.when(
-                            F.col("doc_id") % _TV_DROP_MOD != 0,
-                            F.expr(
-                                "(CASE WHEN doc_id % {m} = 0 THEN n_chars"
-                                " + {g} ELSE n_chars END) div {b}".format(
-                                    m=_TV_GROW_MOD,
-                                    g=_TV_GROW,
-                                    b=_TV_BUCKET,
-                                )
-                            ),
-                        ).alias("bucket"),
-                        F.lit(0).alias("a"),
-                        F.lit(1).alias("b"),
-                    ),
-                )
-            ).alias("e"),
-        ).filter(F.col("e.bucket").isNotNull())
-        hist_tv = tagged_tv.groupBy(
-            "source", F.col("e.bucket").alias("bucket")
-        ).agg(
-            F.sum("e.a").cast("long").alias("a"),
-            F.sum("e.b").cast("long").alias("b"),
-        )
+        hist_tv = tv_bucket_histogram(docs_tv)
         run(
             "tv_drift",
             hist_tv.groupBy("source").agg(
