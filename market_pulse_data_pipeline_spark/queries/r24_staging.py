@@ -123,28 +123,10 @@ def _pcc_oracle() -> str:
     """
 
 
-@stage(
-    "pii_cluster_contagion",
-    _pcc_oracle(),
-    doc="PII propagation through near-dup clusters — the conservative "
-    "release rule: a near-duplicate of a PII-bearing document is "
-    "treated as PII-bearing too (the 'clean' copy leaks the same "
-    "facts, so redaction/suppression must cascade across the "
-    "cluster). Clusters come from the content-prefix fingerprint "
-    "(md5 of the first 8 tokens — split_leakage_safe's cheap "
-    "near-dup stand-in; production swaps in MinHash cluster ids, "
-    "same join shape); per-member flags are text_pii_scan's exact "
-    "cross-engine regexes; propagation is MAX(flag) over one "
-    "cluster-partitioned window riding a single exchange. The house "
-    "planting idiom appends an email to a same-prefix twin of every "
-    "13th doc, so clean originals genuinely INHERIT the flag — "
-    "inherited_flag rows are the operator's point and are "
-    "pytest-pinned non-empty. 100 TB shape: map-only flags + ONE "
-    "cluster-keyed shuffle; cluster state is two booleans and a "
-    "count, never member payloads.",
-)
-def pii_cluster_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+def pii_cluster_contagion_from(base: DataFrame) -> DataFrame:
+    """The full contagion pipeline over a (doc_id, text) frame —
+    shared with tools/stress_check.py's ``pii_contagion`` stage so the
+    stress row always measures the shipping shape."""
     toks = F.split("text", " ")
     twins = (
         base.filter(
@@ -198,6 +180,32 @@ def pii_cluster_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@stage(
+    "pii_cluster_contagion",
+    _pcc_oracle(),
+    doc="PII propagation through near-dup clusters — the conservative "
+    "release rule: a near-duplicate of a PII-bearing document is "
+    "treated as PII-bearing too (the 'clean' copy leaks the same "
+    "facts, so redaction/suppression must cascade across the "
+    "cluster). Clusters come from the content-prefix fingerprint "
+    "(md5 of the first 8 tokens — split_leakage_safe's cheap "
+    "near-dup stand-in; production swaps in MinHash cluster ids, "
+    "same join shape); per-member flags are text_pii_scan's exact "
+    "cross-engine regexes; propagation is MAX(flag) over one "
+    "cluster-partitioned window riding a single exchange. The house "
+    "planting idiom appends an email to a same-prefix twin of every "
+    "13th doc, so clean originals genuinely INHERIT the flag — "
+    "inherited_flag rows are the operator's point and are "
+    "pytest-pinned non-empty. 100 TB shape: map-only flags + ONE "
+    "cluster-keyed shuffle; cluster state is two booleans and a "
+    "count, never member payloads.",
+)
+def pii_cluster_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_cluster_contagion_from(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 # --------------------------------------------------------------------
 # intra_doc_line_dedup
 # --------------------------------------------------------------------
@@ -244,29 +252,10 @@ def _ild_oracle() -> str:
     """
 
 
-@stage(
-    "intra_doc_line_dedup",
-    _ild_oracle(),
-    doc="WITHIN-document repeated-line removal — the intra-doc "
-    "repetition step (RefinedWeb/FineWeb run it between extraction "
-    "and corpus-level dedup; navigation chrome and boilerplate "
-    "repeat INSIDE a page long before they repeat across pages). "
-    "Distinct from every registered neighbor: c4_line_filters "
-    "keeps/drops lines by content rules, exact_substring_trim cuts "
-    "CROSS-doc duplicate spans, gopher_repetition_filters only "
-    "FLAGS. Lines are the registry's fixed 10-token pseudo-line "
-    "unit; the FIRST occurrence of each distinct line survives in "
-    "order (min-pos per (doc, line), the dedup_survivor_policy rule "
-    "applied intra-doc), and the md5 over the reassembled cleaned "
-    "text witnesses the byte-exact result — the html_extract "
-    "discipline. The planting idiom prepends every 11th doc's first "
-    "line to itself (chunk-aligned by construction), so n_dropped "
-    ">= 1 rows exist at every checked scale factor. 100 TB shape: "
-    "map-only chunking, ONE (doc, line)-keyed aggregate, one "
-    "doc-keyed fold; per-doc state is bounded by doc length.",
-)
-def intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+def intra_doc_line_dedup_from(docs: DataFrame) -> DataFrame:
+    """The full line-dedup pipeline over a (doc_id, text) frame —
+    shared with tools/stress_check.py's ``intra_line_dedup`` stage so
+    the stress row always measures the shipping shape."""
     toks0 = F.split("text", " ")
     first_line = F.array_join(F.slice(toks0, 1, _IL_W), " ")
     prepped = docs.select(
@@ -317,6 +306,33 @@ def intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+@stage(
+    "intra_doc_line_dedup",
+    _ild_oracle(),
+    doc="WITHIN-document repeated-line removal — the intra-doc "
+    "repetition step (RefinedWeb/FineWeb run it between extraction "
+    "and corpus-level dedup; navigation chrome and boilerplate "
+    "repeat INSIDE a page long before they repeat across pages). "
+    "Distinct from every registered neighbor: c4_line_filters "
+    "keeps/drops lines by content rules, exact_substring_trim cuts "
+    "CROSS-doc duplicate spans, gopher_repetition_filters only "
+    "FLAGS. Lines are the registry's fixed 10-token pseudo-line "
+    "unit; the FIRST occurrence of each distinct line survives in "
+    "order (min-pos per (doc, line), the dedup_survivor_policy rule "
+    "applied intra-doc), and the md5 over the reassembled cleaned "
+    "text witnesses the byte-exact result — the html_extract "
+    "discipline. The planting idiom prepends every 11th doc's first "
+    "line to itself (chunk-aligned by construction), so n_dropped "
+    ">= 1 rows exist at every checked scale factor. 100 TB shape: "
+    "map-only chunking, ONE (doc, line)-keyed aggregate, one "
+    "doc-keyed fold; per-doc state is bounded by doc length.",
+)
+def intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return intra_doc_line_dedup_from(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -378,42 +394,23 @@ def _mm_oracle() -> str:
     """
 
 
-@stage(
-    "cross_label_margin_mining",
-    _mm_oracle(),
-    doc="margin-based nearest-neighbor mining (Artetxe & Schwenk "
-    "2019, the LASER/CCMatrix bitext-mining criterion): a candidate "
-    "pair is harvested not on raw similarity but when the best "
-    "cross-label match beats ITS OWN runners-up by a ratio margin — "
-    "best / mean(next-4) > 6/5 — which suppresses hub vectors that "
-    "are 'close to everything' and would flood a plain top-k "
-    "harvest. Query side = every 41st vector, candidates = every "
-    "other label; dots ride the repo-wide round(x*1e6) int64 "
-    "quantization so best, the runner-up sum, and the accept flag "
-    "(5*4*best > 6*sum) are EXACT integers (positive-dot pool only, "
-    "so the ratio semantics are well-defined); only the reported "
-    "ratio rounds, through the shared decimal route. The fixture "
-    "accepts some and rejects most queries at every checked scale "
-    "factor — both classes pinned non-empty. 100 TB shape: the "
-    "query side is bounded (broadcastable), the candidate pass is "
-    "one map-side join + a query-PARTITIONED top-(k+1) window; past "
-    "~10k queries pre-block candidates with ann_lsh/ann_ivf exactly "
-    "as the esem/similarity docs prescribe.",
-)
-def cross_label_margin_mining(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, v) with the repo-wide round(x*1e6) int64
+    quantization applied to the embedding column."""
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * _MM_SCALE).cast("long"),
     )
-    e = emb.select("vec_id", "label", qv.alias("v"))
-    q = e.filter(F.col("vec_id") % _MM_Q_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("q_label"),
-        F.col("v").alias("qvec"),
-    )
+    return emb.select("vec_id", "label", qv.alias("v"))
+
+
+def margin_mine(e: DataFrame, q: DataFrame) -> DataFrame:
+    """The margin-mining core over a quantized candidate frame ``e``
+    (vec_id, label, v) and a query frame ``q`` (qid, q_label, qvec) —
+    shared with tools/stress_check.py's ``margin_mining`` stage (which
+    keeps the query side FIXED while the candidate corpus multiplies,
+    the decontamination asymmetry) so the stress row always measures
+    the shipping shape."""
     pairs = e.join(
         F.broadcast(q), F.col("label") != F.col("q_label")
     ).select(
@@ -472,3 +469,37 @@ def cross_label_margin_mining(
             > F.lit(_MM_NUM) * F.col("sum_runnerup")
         ).alias("accepted"),
     ).orderBy("qid")
+
+
+@stage(
+    "cross_label_margin_mining",
+    _mm_oracle(),
+    doc="margin-based nearest-neighbor mining (Artetxe & Schwenk "
+    "2019, the LASER/CCMatrix bitext-mining criterion): a candidate "
+    "pair is harvested not on raw similarity but when the best "
+    "cross-label match beats ITS OWN runners-up by a ratio margin — "
+    "best / mean(next-4) > 6/5 — which suppresses hub vectors that "
+    "are 'close to everything' and would flood a plain top-k "
+    "harvest. Query side = every 41st vector, candidates = every "
+    "other label; dots ride the repo-wide round(x*1e6) int64 "
+    "quantization so best, the runner-up sum, and the accept flag "
+    "(5*4*best > 6*sum) are EXACT integers (positive-dot pool only, "
+    "so the ratio semantics are well-defined); only the reported "
+    "ratio rounds, through the shared decimal route. The fixture "
+    "accepts some and rejects most queries at every checked scale "
+    "factor — both classes pinned non-empty. 100 TB shape: the "
+    "query side is bounded (broadcastable), the candidate pass is "
+    "one map-side join + a query-PARTITIONED top-(k+1) window; past "
+    "~10k queries pre-block candidates with ann_lsh/ann_ivf exactly "
+    "as the esem/similarity docs prescribe.",
+)
+def cross_label_margin_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") % _MM_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qvec"),
+    )
+    return margin_mine(e, q)

@@ -2519,6 +2519,68 @@ def main() -> int:
             ),
         )
 
+    # PII cluster contagion (staged r13 for round 16): token-tagged
+    # multiplication so content prefixes differ per copy — cluster
+    # COUNT scales, cluster SIZE stays constant (a real 300x corpus
+    # does not grow each cluster 300x). Map-only flags + ONE
+    # cluster-keyed window shuffle: cost must be linear in docs.
+    if only is None or "pii_contagion" in only:
+        from market_pulse_data_pipeline_spark.queries.r24_staging import (
+            pii_cluster_contagion_from,
+        )
+
+        run(
+            "pii_contagion",
+            pii_cluster_contagion_from(
+                tagged_docs("docs_pcc").select("doc_id", "text")
+            ),
+        )
+
+    # Intra-doc line dedup (staged r13 for round 16): per-doc work is
+    # corpus-independent (chunking + a (doc, line) aggregate), so the
+    # token-tagged multiplication must scale linearly in docs.
+    if only is None or "intra_line_dedup" in only:
+        from market_pulse_data_pipeline_spark.queries.r24_staging import (
+            intra_doc_line_dedup_from,
+        )
+
+        run(
+            "intra_line_dedup",
+            intra_doc_line_dedup_from(
+                tagged_docs("docs_ild").select("doc_id", "text")
+            ),
+        )
+
+    # Margin mining (staged r13 for round 16): the query side stays
+    # FIXED (base table) while the candidate corpus multiplies — the
+    # decontamination asymmetry; a multiplied query side would square
+    # the pair count and measure the wrong thing. Cost must be linear
+    # in candidates (|Q| map-side probes per candidate + a
+    # query-partitioned top-(k+1) window).
+    if only is None or "margin_mining" in only:
+        from market_pulse_data_pipeline_spark.queries.r24_staging import (
+            _MM_Q_MOD,
+            margin_mine,
+            quantize_embeddings,
+        )
+
+        base_mm = quantize_embeddings(
+            load_table(spark, args.sf, "embeddings")
+        )
+        q_mm = base_mm.filter(F.col("vec_id") % _MM_Q_MOD == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qvec"),
+        )
+        cand_mm = mat(
+            multiplied(
+                load_table(spark, args.sf, "embeddings"), args.mult,
+                ["vec_id"],
+            ),
+            "emb_marginmine",
+        )
+        run("margin_mining", margin_mine(quantize_embeddings(cand_mm), q_mm))
+
     # Portable-bloom decontamination probe (staged round 11 for round
     # 16): the eval set (and hence the bloom array) is FIXED while the
     # corpus multiplies — the real decontamination asymmetry. The probe
