@@ -143,36 +143,15 @@ def _tcl_oracle() -> str:
     """
 
 
-@stage(
-    "t_closeness_check",
-    _tcl_oracle(),
-    doc=f"t-closeness audit (t = {_TC_NUM}/{_TC_DEN}; Li, Li & "
-    "Venkatasubramanian 2007) — the disclosure k-anonymity AND "
-    "l-diversity both miss: a group whose sensitive-value "
-    "DISTRIBUTION skews far from the global one leaks through the "
-    "skew even when it is large and diverse. Ordered sensitive "
-    "attribute (order priority), so distance = Earth Mover's "
-    "Distance = sum over the cumulative |P - Q| gaps / (m-1), kept "
-    "in exact integers via the common-denominator form (gcnt*N - "
-    "n*G cumulatives; the tv_distance discipline applied to "
-    "privacy); ONE final decimal-route rounding and the alert an "
-    "exact cross-multiplied comparison, so the flag can never "
-    "disagree across engines on a tie. Same quasi-identifier grain "
-    "as l_diversity_check (nation, segment, balance bucket) — the "
-    "fixture yields both violating and compliant groups at every "
-    "checked scale factor. 100 TB shape: ONE fact-dim join feeding "
-    "ONE hash aggregate to (QI, sensitive) cells — everything "
-    "after is bounded by QI-domain x sensitive-domain (m=5), with "
-    "the cumulative window PARTITIONED by group, never global.",
-)
-def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
-    )
-    orders = t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderpriority"
-    )
-    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+def t_closeness_check_from(
+    orders: DataFrame, cust: DataFrame
+) -> DataFrame:
+    """The full t-closeness pipeline over (o_custkey,
+    o_orderpriority) x (c_custkey, c_nationkey, c_mktsegment,
+    c_acctbal) frames — shared with tools/stress_check.py's
+    ``t_closeness`` stage so the stress row always measures the
+    shipping shape."""
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / _TC_BAL_BUCKET)
@@ -252,6 +231,37 @@ def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@stage(
+    "t_closeness_check",
+    _tcl_oracle(),
+    doc=f"t-closeness audit (t = {_TC_NUM}/{_TC_DEN}; Li, Li & "
+    "Venkatasubramanian 2007) — the disclosure k-anonymity AND "
+    "l-diversity both miss: a group whose sensitive-value "
+    "DISTRIBUTION skews far from the global one leaks through the "
+    "skew even when it is large and diverse. Ordered sensitive "
+    "attribute (order priority), so distance = Earth Mover's "
+    "Distance = sum over the cumulative |P - Q| gaps / (m-1), kept "
+    "in exact integers via the common-denominator form (gcnt*N - "
+    "n*G cumulatives; the tv_distance discipline applied to "
+    "privacy); ONE final decimal-route rounding and the alert an "
+    "exact cross-multiplied comparison, so the flag can never "
+    "disagree across engines on a tie. Same quasi-identifier grain "
+    "as l_diversity_check (nation, segment, balance bucket) — the "
+    "fixture yields both violating and compliant groups at every "
+    "checked scale factor. 100 TB shape: ONE fact-dim join feeding "
+    "ONE hash aggregate to (QI, sensitive) cells — everything "
+    "after is bounded by QI-domain x sensitive-domain (m=5), with "
+    "the cumulative window PARTITIONED by group, never global.",
+)
+def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_closeness_check_from(
+        t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority"),
+        t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+        ),
+    )
+
+
 # --------------------------------------------------------------------
 # auc_quality_classifier
 # --------------------------------------------------------------------
@@ -292,29 +302,10 @@ def _auc_oracle() -> str:
     """
 
 
-@stage(
-    "auc_quality_classifier",
-    _auc_oracle(),
-    doc="exact tie-aware ROC-AUC of a quality score against binary "
-    "labels, PER LANGUAGE — the classifier-bias audit run before "
-    "trusting one quality threshold across languages (a score can "
-    "discriminate well on en and barely beat chance on zh; the "
-    "fixture's planted labels land AUC ~0.6-0.85 across langs at "
-    "every checked scale factor, never degenerate 0.5 or 1.0). "
-    "Identity: AUC = P(s_pos > s_neg) + P(tie)/2, computed from the "
-    "score HISTOGRAM — sum_s pos(s) * (2*neg_below(s) + neg(s)) over "
-    "2*n_pos*n_neg — never doc pairs and never a global rank; the "
-    "doubled numerator stays an exact integer until the single final "
-    "decimal-route division. Labels are the house planting idiom "
-    "(score + doc_id-residue noise >= threshold), so correlation is "
-    "real but imperfect. Complements quality_calibration_ece: ECE "
-    "audits calibration, this audits discrimination. 100 TB shape: "
-    "ONE corpus aggregate to (lang, score-bucket) cells, a "
-    "lang-PARTITIONED cumulative window over the bounded score "
-    "domain, one final per-lang fold — output is lang-domain rows.",
-)
-def auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+def auc_quality_classifier_from(docs: DataFrame) -> DataFrame:
+    """The full per-lang AUC pipeline over a (doc_id, lang, n_chars)
+    frame — shared with tools/stress_check.py's ``auc_per_lang`` stage
+    so the stress row always measures the shipping shape."""
     s = F.expr(f"n_chars div {_AUC_SBUCKET}")
     y = F.when(
         s + F.col("doc_id") % _AUC_NOISE >= _AUC_TH, F.lit(1)
@@ -352,6 +343,33 @@ def auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
         .orderBy("lang")
+    )
+
+
+@stage(
+    "auc_quality_classifier",
+    _auc_oracle(),
+    doc="exact tie-aware ROC-AUC of a quality score against binary "
+    "labels, PER LANGUAGE — the classifier-bias audit run before "
+    "trusting one quality threshold across languages (a score can "
+    "discriminate well on en and barely beat chance on zh; the "
+    "fixture's planted labels land AUC ~0.6-0.85 across langs at "
+    "every checked scale factor, never degenerate 0.5 or 1.0). "
+    "Identity: AUC = P(s_pos > s_neg) + P(tie)/2, computed from the "
+    "score HISTOGRAM — sum_s pos(s) * (2*neg_below(s) + neg(s)) over "
+    "2*n_pos*n_neg — never doc pairs and never a global rank; the "
+    "doubled numerator stays an exact integer until the single final "
+    "decimal-route division. Labels are the house planting idiom "
+    "(score + doc_id-residue noise >= threshold), so correlation is "
+    "real but imperfect. Complements quality_calibration_ece: ECE "
+    "audits calibration, this audits discrimination. 100 TB shape: "
+    "ONE corpus aggregate to (lang, score-bucket) cells, a "
+    "lang-PARTITIONED cumulative window over the bounded score "
+    "domain, one final per-lang fold — output is lang-domain rows.",
+)
+def auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return auc_quality_classifier_from(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     )
 
 
@@ -427,35 +445,10 @@ def _unimax_oracle() -> str:
     """
 
 
-@stage(
-    "unimax_epoch_cap_allocation",
-    _unimax_oracle(),
-    doc="UniMax source sampling (Chung et al. 2023): spread a token "
-    "budget across sources as uniformly as possible subject to "
-    "per-source repetition caps — the budget-constrained mixture "
-    "variant production training actually runs, completing the "
-    "mixture family (source_mixture_weights / temperature / DoReMi / "
-    "DSIR reweight proportions; this allocates an integer BUDGET). "
-    "Exact integer waterfill with NO window and no driver loop: "
-    "sources totally ordered by (cap, source) via a K-row broadcast "
-    "self-join (K = source count), a source is capped iff "
-    "prefix_i + cap_i*(K - rank_i) <= B — the per-row predicate "
-    "equals the sequential fill because that expression is monotone "
-    "non-decreasing in rank — and survivors split the remainder by "
-    "integer DIV with largest-remainder ties to the smallest caps. "
-    "Allocations sum to B EXACTLY (pytest pin; B and the caps derive "
-    "from the corpus itself so the fixture exercises both capped and "
-    "uncapped sources at every checked scale factor, 7-8 capped / "
-    "12-13 uncapped). The all-capped degenerate case (U = 0) takes a "
-    "guarded branch BEFORE any division is evaluated — the ANSI-mode "
-    "discipline from largest_remainder. 100 TB shape: ONE corpus "
-    "aggregate to per-source token counts; everything after runs on "
-    "a source-domain frame (tens of rows) with broadcast joins.",
-)
-def unimax_epoch_cap_allocation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("source", "text")
+def unimax_epoch_cap_allocation_from(docs: DataFrame) -> DataFrame:
+    """The full waterfill pipeline over a (source, text) frame —
+    shared with tools/stress_check.py's ``unimax_alloc`` stage so the
+    stress row always measures the shipping shape."""
     # the ONLY corpus-sized pass: per-source token totals
     src = docs.select(
         "source", F.size(F.split("text", " ")).alias("tk")
@@ -536,4 +529,37 @@ def unimax_epoch_cap_allocation(
             round_div(alloc, F.col("n_tokens")).alias("epochs_used"),
         )
         .orderBy("source")
+    )
+
+
+@stage(
+    "unimax_epoch_cap_allocation",
+    _unimax_oracle(),
+    doc="UniMax source sampling (Chung et al. 2023): spread a token "
+    "budget across sources as uniformly as possible subject to "
+    "per-source repetition caps — the budget-constrained mixture "
+    "variant production training actually runs, completing the "
+    "mixture family (source_mixture_weights / temperature / DoReMi / "
+    "DSIR reweight proportions; this allocates an integer BUDGET). "
+    "Exact integer waterfill with NO window and no driver loop: "
+    "sources totally ordered by (cap, source) via a K-row broadcast "
+    "self-join (K = source count), a source is capped iff "
+    "prefix_i + cap_i*(K - rank_i) <= B — the per-row predicate "
+    "equals the sequential fill because that expression is monotone "
+    "non-decreasing in rank — and survivors split the remainder by "
+    "integer DIV with largest-remainder ties to the smallest caps. "
+    "Allocations sum to B EXACTLY (pytest pin; B and the caps derive "
+    "from the corpus itself so the fixture exercises both capped and "
+    "uncapped sources at every checked scale factor, 7-8 capped / "
+    "12-13 uncapped). The all-capped degenerate case (U = 0) takes a "
+    "guarded branch BEFORE any division is evaluated — the ANSI-mode "
+    "discipline from largest_remainder. 100 TB shape: ONE corpus "
+    "aggregate to per-source token counts; everything after runs on "
+    "a source-domain frame (tens of rows) with broadcast joins.",
+)
+def unimax_epoch_cap_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return unimax_epoch_cap_allocation_from(
+        t(spark, sf_dir, "documents").select("source", "text")
     )

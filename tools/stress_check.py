@@ -2519,6 +2519,87 @@ def main() -> int:
             ),
         )
 
+    # t-closeness audit (staged r13 for round 15): fact and dim
+    # multiply with co-offset custkeys; the QI grain (nation, segment,
+    # balance bucket) does NOT multiply, so group count is constant
+    # while per-group counts grow — everything after the one corpus
+    # join+aggregate is QI-domain bounded and cost must be linear.
+    if only is None or "t_closeness" in only:
+        from market_pulse_data_pipeline_spark.queries.r23_staging import (
+            t_closeness_check_from,
+        )
+
+        ord_tc = mat(
+            multiplied(
+                load_table(spark, args.sf, "orders").select(
+                    "o_custkey", "o_orderpriority"
+                ),
+                args.mult,
+                ["o_custkey"],
+            ),
+            "orders_tclose",
+        )
+        cust_tc = mat(
+            multiplied(
+                load_table(spark, args.sf, "customer").select(
+                    "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+                ),
+                args.mult,
+                ["c_custkey"],
+            ),
+            "cust_tclose",
+        )
+        run("t_closeness", t_closeness_check_from(ord_tc, cust_tc))
+
+    # Per-lang AUC (staged r13 for round 15): langs and the score
+    # domain do not multiply, so the histogram and the lang-partitioned
+    # cumulative window stay bounded while the one corpus aggregate
+    # scales — cost must be linear in docs.
+    if only is None or "auc_per_lang" in only:
+        from market_pulse_data_pipeline_spark.queries.r23_staging import (
+            auc_quality_classifier_from,
+        )
+
+        run(
+            "auc_per_lang",
+            auc_quality_classifier_from(
+                mat(
+                    multiplied(
+                        load_table(spark, args.sf, "documents").select(
+                            "doc_id", "lang", "n_chars"
+                        ),
+                        args.mult,
+                        ["doc_id"],
+                    ),
+                    "docs_auc",
+                )
+            ),
+        )
+
+    # UniMax waterfill (staged r13 for round 15): sources do not
+    # multiply, so the K-row self-join frame is constant; only the one
+    # per-source token aggregate scales — cost must be linear in docs.
+    if only is None or "unimax_alloc" in only:
+        from market_pulse_data_pipeline_spark.queries.r23_staging import (
+            unimax_epoch_cap_allocation_from,
+        )
+
+        run(
+            "unimax_alloc",
+            unimax_epoch_cap_allocation_from(
+                mat(
+                    multiplied(
+                        load_table(spark, args.sf, "documents").select(
+                            "doc_id", "source", "text"
+                        ),
+                        args.mult,
+                        ["doc_id"],
+                    ).select("source", "text"),
+                    "docs_unimax",
+                )
+            ),
+        )
+
     # PII cluster contagion (staged r13 for round 16): token-tagged
     # multiplication so content prefixes differ per copy — cluster
     # COUNT scales, cluster SIZE stays constant (a real 300x corpus
