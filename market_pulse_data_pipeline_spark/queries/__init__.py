@@ -47,6 +47,9 @@ from market_pulse_data_pipeline_spark.queries import r16_staging  # noqa: F401, 
 from market_pulse_data_pipeline_spark.queries import r17_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r18_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r19_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r20_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r21_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r22_staging  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -58,89 +61,90 @@ from market_pulse_data_pipeline_spark.queries import r19_staging  # noqa: F401, 
 # list) go to the very head, so new operators get their first witness
 # exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R14_DEFER` — new operators land
+# never-witnessed registrations (`_R15_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
 #
-# Round-13 window (VERDICT.md round 12 "Next round" #1+#2: the
-# SECOND accelerated drain — all FOUR remaining round-11-staged
-# batches r16_staging .. r19_staging flip this round, backlog 21 → 9
-# with the remainder draining in round 14): the 12 round-13
-# registrations taking their FIRST driver witness at the head (they
-# landed BEFORE the window pin, so never-witnessed beats stale;
-# CORRECTNESS_r12 was 50/50 green, so no red row outranks the
-# rotation), then the 38 stalest green rows: the 27 remaining
-# CORRECTNESS_r07 rows (tpch_q18_large_volume_customers …
-# rolling_avg_7rows — VERDICT r12 item 3: the full r7-stale
-# remainder rotates in this round), then the 11-row r08 ledger head.
-# Pinned literally so any registry or ledger edit that would shift
-# the driver's snapshot fails tests/test_window_composition.py loudly.
-_R13_WINDOW = [
-    # first driver witness for the twelve round-13 registrations —
-    # the r16_staging batch, then r17, r18, r19 (registration order)
-    "bloom_decontaminate_portable", "html_tag_strip_extract",
-    "delta_join_view_maintenance",
-    "semdedup_scaled_prune", "tv_distance_source_drift",
-    "l_diversity_check",
-    "unicode_fold_normalize", "deletion_vector_scan",
-    "dynamic_partition_pruning_join",
-    "sentence_lang_mix_profile", "token_spans_offsets",
-    "user_erasure_cascade",
-    # then the 27 remaining r7 greens (CORRECTNESS_r07 tail in
-    # ledger-insertion order: the TPC-H stragglers, the text/dedup
-    # SURVEY block, then the r3-positioned rows re-witnessed in r7)
-    "tpch_q18_large_volume_customers", "tpch_q19_disjunctive_revenue",
-    "text_token_count", "text_quality_score", "text_lang_stats",
-    "lang_id_heuristic", "doc_fingerprint", "text_bpe_token_estimate",
-    "multimodal_meta", "text_repetition_stats", "text_pii_scan",
-    "contamination_ngram_overlap", "stratified_sample_per_lang",
-    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
-    "similarity_topk_cosine", "embedding_label_centroid_norm",
-    "embedding_quantization_error", "event_hourly_windows",
-    "event_sliding_windows", "dedup_cluster_assignment",
-    "market_pulse_end_to_end", "minhash_lsh_portable",
-    "asof_join_latest_anchor", "range_join_price_bands",
-    "rolling_avg_7rows",
-    # then the 11 stalest r8 greens (CORRECTNESS_r08 head in
-    # ledger-insertion order — the r3-positioned re-witnesses keep
-    # their original insertion positions)
-    "weekly_ohlc", "embedding_int8_quantize", "streaming_ingest_upsert",
-    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
-    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
-    "set_ops_nations", "except_user_event_pairs",
+# Round-14 window (VERDICT.md round 13 "Next round" #1+#3: the FULL
+# drain — the entire remaining staged backlog r20_staging +
+# r21_staging + r22_staging flips this round, backlog 9 → 0, two
+# rounds ahead of the original drain-by-round-16 schedule): the 9
+# round-14 registrations taking their FIRST driver witness at the
+# head (they landed BEFORE the window pin, so never-witnessed beats
+# stale; CORRECTNESS_r13 was 50/50 green, so no red row outranks the
+# rotation), then the 41 stalest green rows: the 39-row
+# CORRECTNESS_r08 ledger remainder (lag_lead_weekly …
+# array_functions_suite — VERDICT r13 item 3: the full r8-stale
+# remainder rotates in this round), then the first 2 rows of the r09
+# ledger head (sessionization, running_distinct_event_types). Pinned
+# literally so any registry or ledger edit that would shift the
+# driver's snapshot fails tests/test_window_composition.py loudly.
+_R14_WINDOW = [
+    # first driver witness for the nine round-14 registrations —
+    # the r20_staging batch, then r21, r22 (registration order)
+    "trigram_substring_index", "equi_depth_histogram_stats",
+    "incremental_sessionization",
+    "decayed_event_frequency", "json_schema_infer",
+    "categorical_dictionary_encode",
+    "grid_radius_join", "seasonal_naive_backtest",
+    "gazetteer_phrase_match",
+    # then the 39 remaining r8 greens (CORRECTNESS_r08 tail in
+    # ledger-insertion order: the 11 r3-positioned re-witnesses
+    # refreshed in r8, then the 28 rows entering at the r8 block)
+    "lag_lead_weekly", "regr_slope_by_event_type",
+    "value_histogram_by_event_type", "corr_quantity_price_by_flag",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue", "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_suppliers", "exact_substring_spans",
+    "label_centroid_pairwise_cosine", "session_window_native",
+    "retention_cohorts", "event_funnel_signup_purchase",
+    "media_frame_sample", "numeric_functions_suite", "zscore_outliers",
+    "bool_aggregates", "variance_by_event_type", "regex_extract_props",
+    "percentiles_by_event_type", "approx_distinct_parts",
+    "collect_sorted_event_types", "string_functions_suite",
+    "date_functions_suite", "approx_percentiles_events",
+    "full_outer_reconciliation", "array_functions_suite",
+    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
+    "kcenter_diversity_sample", "colbert_maxsim_topk",
+    "incremental_near_dup_lsh", "bpe_encode_corpus",
+    "quality_threshold_sweep", "bpe_fertility_by_lang",
+    # then the 2 stalest r9 greens (CORRECTNESS_r09 head in
+    # ledger-insertion order)
+    "sessionization", "running_distinct_event_types",
 ]
 
 # the window head: names taking their FIRST driver row this round —
-# they join _DRIVER_GREEN (round 13) at the next rotation
-_R13_FIRST_WITNESS = _R13_WINDOW[:12]
+# they join _DRIVER_GREEN (round 14) at the next rotation
+_R14_FIRST_WITNESS = _R14_WINDOW[:9]
 
-# Round-13 registrations awaiting deferral to the round-14 window per
+# Round-14 registrations awaiting deferral to the round-15 window per
 # the round-4 displacement rule (additions never displace a verified
-# window). The round-13 batches (r16_staging .. r19_staging)
+# window). The round-14 batches (r20_staging .. r22_staging)
 # registered BEFORE the window pin, so they head the window instead
-# of deferring; this list is for any later round-13 addition.
-_R14_DEFER: list[str] = []
+# of deferring; this list is for any later round-14 addition.
+_R15_DEFER: list[str] = []
 
 # stable alias for tools (check_oracle --staged, hostile_check): the
 # newest registrations still awaiting their first driver witness —
 # points at the current round's deferral list so the tools never need
 # a per-round rename again
-PENDING_FIRST_WITNESS = _R14_DEFER
+PENDING_FIRST_WITNESS = _R15_DEFER
 
 
 def staging_candidates():
     """Every staged-but-unregistered query (name -> QueryDef), merged
-    across staging modules. Round 13 executed VERDICT r12 item 2's
-    second accelerated drain (r16_staging .. r19_staging are now pure
-    @register modules like r9_staging), so the remaining round-11
-    staged backlog is the three batches r20_staging .. r22_staging —
-    9 queries on the published drain schedule: round 14 flips
-    r20+r21+r22 (backlog 0, two rounds ahead of the original
-    drain-by-round-16 plan). r23_staging and r24_staging are NEW
-    capability staged in round 13 with their own named flip rounds
-    (15 and 16 respectively) per the round-13 handoff rule — they are
-    not drain backlog.
+    across staging modules. Round 14 executed VERDICT r13 item 1's
+    FULL drain (r20_staging .. r22_staging are now pure @register
+    modules like r9_staging) — the round-11 staged backlog is 0, two
+    rounds ahead of the original drain-by-round-16 plan. The remaining
+    staged queries are the NEW capability batches from round 13 with
+    their own named flip rounds per the round-13 handoff rule:
+    r23_staging flips round 15 (t_closeness_check,
+    auc_quality_classifier, unimax_epoch_cap_allocation) and
+    r24_staging flips round 16 (pii_cluster_contagion,
+    intra_doc_line_dedup, cross_label_margin_mining).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -149,9 +153,6 @@ def staging_candidates():
 
     out = {}
     for modname in (
-        "r20_staging",
-        "r21_staging",
-        "r22_staging",
         "r23_staging",
         "r24_staging",
     ):
@@ -490,19 +491,51 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "tpch_q22_dormant_rich_customers", "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
 ], 12))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r13.json — 50/50 green (the round-13 window,
+    # verbatim order: the 12 round-13 registrations taking their
+    # first driver witness — the r16_staging .. r19_staging
+    # accelerated drain — then the 27-row r7 remainder and the 11-row
+    # r8 ledger head re-witnessed). dict.update keeps the 38
+    # re-witnesses at their original insertion positions and appends
+    # the 12 first-witness names at the end — exactly the shape
+    # round 13's r14_rotation() pre-computed.
+    "bloom_decontaminate_portable", "html_tag_strip_extract",
+    "delta_join_view_maintenance", "semdedup_scaled_prune",
+    "tv_distance_source_drift", "l_diversity_check",
+    "unicode_fold_normalize", "deletion_vector_scan",
+    "dynamic_partition_pruning_join", "sentence_lang_mix_profile",
+    "token_spans_offsets", "user_erasure_cascade",
+    "tpch_q18_large_volume_customers", "tpch_q19_disjunctive_revenue",
+    "text_token_count", "text_quality_score", "text_lang_stats",
+    "lang_id_heuristic", "doc_fingerprint", "text_bpe_token_estimate",
+    "multimodal_meta", "text_repetition_stats", "text_pii_scan",
+    "contamination_ngram_overlap", "stratified_sample_per_lang",
+    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
+    "similarity_topk_cosine", "embedding_label_centroid_norm",
+    "embedding_quantization_error", "event_hourly_windows",
+    "event_sliding_windows", "dedup_cluster_assignment",
+    "market_pulse_end_to_end", "minhash_lsh_portable",
+    "asof_join_latest_anchor", "range_join_price_bands",
+    "rolling_avg_7rows", "weekly_ohlc", "embedding_int8_quantize",
+    "streaming_ingest_upsert", "streaming_windowed_agg",
+    "pivot_lang_counts", "rollup_qty", "cube_counts",
+    "top3_per_supplier", "semi_join_big_spenders", "set_ops_nations",
+    "except_user_event_pairs",
+], 13))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R14_DEFER`` order — after the window, so new
+    registrations (``_R15_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R13_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R14_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R14_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R15_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -519,36 +552,33 @@ def all_queries():
 
 def stalest_green(window: int = 50) -> list[str]:
     """The stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R13_WINDOW``'s tail is
-    this round's pinned snapshot of exactly ``stalest_green(38)`` (a
-    regression test keeps them in lockstep; the window head is the 12
+    ledger-insertion order within a round. ``_R14_WINDOW``'s tail is
+    this round's pinned snapshot of exactly ``stalest_green(41)`` (a
+    regression test keeps them in lockstep; the window head is the 9
     first-witness names, which have no green row yet)."""
     order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
     stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
     return stale[:window]
 
 
-def r14_rotation(window: int = 50) -> list[str]:
-    """The proposed round-14 window under the steady-state cadence:
-    never-witnessed registrations at the head — the round-14 flip
-    batches (r20_staging: trigram_substring_index,
-    equi_depth_histogram_stats, incremental_sessionization;
-    r21_staging: decayed_event_frequency, json_schema_infer,
-    categorical_dictionary_encode; r22_staging: grid_radius_join,
-    seasonal_naive_backtest, gazetteer_phrase_match) once they flip to
-    @register, via ``_R14_DEFER`` or a pre-pin window head — then the
-    stalest greens assuming this round's window lands green (its 38
-    re-witnesses move to round 13 and its 12 first-witness names enter
-    the ledger at round 13): the r8 ledger remainder
-    (``lag_lead_weekly`` …) continues the rotation. Any r13 RED row
-    outranks all of this and goes to the very front instead (red beats
-    rotation)."""
-    never = [n for n in _R14_DEFER if n in QUERY_REGISTRY]
-    after_r13 = dict(_DRIVER_GREEN)
-    # update() keeps existing positions for the 38 re-witnesses and
-    # appends the 12 first-witness names at the end in window order —
+def r15_rotation(window: int = 50) -> list[str]:
+    """The proposed round-15 window under the steady-state cadence:
+    never-witnessed registrations at the head — the round-15 flip
+    batch (r23_staging: t_closeness_check, auc_quality_classifier,
+    unimax_epoch_cap_allocation, per the named-flip-round schedule)
+    once it flips to @register, via ``_R15_DEFER`` or a pre-pin window
+    head — then the stalest greens assuming this round's window lands
+    green (its 41 re-witnesses move to round 14 and its 9
+    first-witness names enter the ledger at round 14): the r9 ledger
+    remainder (``hourly_activity_bitmask`` …) continues the rotation.
+    Any r14 RED row outranks all of this and goes to the very front
+    instead (red beats rotation)."""
+    never = [n for n in _R15_DEFER if n in QUERY_REGISTRY]
+    after_r14 = dict(_DRIVER_GREEN)
+    # update() keeps existing positions for the 41 re-witnesses and
+    # appends the 9 first-witness names at the end in window order —
     # the same shape next round's literal ledger edit will produce
-    after_r13.update(dict.fromkeys(_R13_WINDOW, 13))
-    order = {n: i for i, n in enumerate(after_r13)}
-    stale = sorted(after_r13, key=lambda n: (after_r13[n], order[n]))
+    after_r14.update(dict.fromkeys(_R14_WINDOW, 14))
+    order = {n: i for i, n in enumerate(after_r14)}
+    stale = sorted(after_r14, key=lambda n: (after_r14[n], order[n]))
     return (never + stale)[:window]

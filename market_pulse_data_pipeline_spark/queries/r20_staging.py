@@ -1,10 +1,11 @@
-"""Round-20 staged queries — implemented, oracle-paired, NOT registered.
-
-Staged in round 11 (sixth batch of the round): with this module every
-remaining driver round (12 through 20) is a pure @stage → @register
-flip. ``staging_candidates()`` (queries/__init__.py) merges this
-module into the check_oracle --staging / hostile_check --staging
-sweeps.
+"""Round-14 registrations, first batch — staged and triple-gated in
+round 11 (implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r20_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed, re-gated
+on round-13 code before the flip), registered in round 14 under
+VERDICT round-13 item 1's full drain (the entire remaining backlog
+r20+r21+r22 flips this round — backlog 0, two rounds ahead of the
+original drain-by-round-16 schedule).
 
 The three close distinct holes:
 
@@ -39,17 +40,13 @@ The three close distinct holes:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
 
 # this sessionizer's gap parameter: 12 h (gap is a per-pipeline knob —
 # the registered 30-min `sessionization` models interactive sessions;
@@ -57,18 +54,6 @@ STAGED: dict[str, QueryDef] = {}
 # multi-event, boundary-SPANNING sessions the stitch must handle at
 # every checked scale factor)
 _IS_GAP_US = 12 * 3600 * 1_000_000
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-20 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -133,7 +118,7 @@ def _tg_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "trigram_substring_index",
     _tg_oracle(),
     doc="substring search through a character-trigram inverted index "
@@ -242,7 +227,7 @@ def _histo_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "equi_depth_histogram_stats",
     _histo_oracle(),
     doc="the optimizer-statistics artifact itself: per-group "
@@ -319,9 +304,10 @@ def _inc_sess_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "incremental_sessionization",
     _inc_sess_oracle(),
+    bench=True,
     doc="cross-batch session stitching — the boundary problem every "
     "incremental pipeline hits: sessionizing each arrival batch "
     "independently breaks the sessions that SPAN the batch boundary. "

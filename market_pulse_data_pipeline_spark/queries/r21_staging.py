@@ -1,12 +1,10 @@
-"""Reserve staged queries — implemented, oracle-paired, NOT registered.
-
-Staged in round 11 as the RESERVE batch: rounds 12-20 are already
-covered one-batch-each (r12_staging .. r20_staging), and round 10's
-verdict ordered a DOUBLE flip once — if a future verdict accelerates
-the drain the same way, this batch keeps the pipeline turn-key
-instead of forcing mid-round authoring. ``staging_candidates()``
-(queries/__init__.py) merges this module into the check_oracle
---staging / hostile_check --staging sweeps like every other batch.
+"""Round-14 registrations, second batch — staged and triple-gated in
+round 11 as the first RESERVE batch (implementations, DuckDB
+value-hash oracles, pytest pins in tests/test_r21_staging.py;
+check_oracle --staging matched at sf0.001/0.01/0.1 and
+hostile_check --chaos --staging passed, re-gated on round-13 code
+before the flip), registered in round 14 under VERDICT round-13
+item 1's full drain (r20+r21+r22 flip together — backlog 0).
 
 The three close distinct holes:
 
@@ -42,31 +40,15 @@ The three close distinct holes:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the reserve registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -102,7 +84,7 @@ def _decay_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "decayed_event_frequency",
     _decay_oracle(),
     doc="trending detection with EXACT exponential time decay: "
@@ -217,7 +199,7 @@ def _js_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "json_schema_infer",
     _js_oracle(),
     doc="semi-structured schema inference: per JSON path, the observed "
@@ -341,7 +323,7 @@ def _dict_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "categorical_dictionary_encode",
     _dict_oracle(),
     doc="dictionary / label encoding — the step every feature pipeline "

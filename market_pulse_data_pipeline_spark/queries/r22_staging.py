@@ -1,13 +1,11 @@
-"""Second reserve staged queries — implemented, oracle-paired, NOT
-registered.
-
-Staged in round 11 alongside r21_staging: rounds 12-20 are covered
-one-batch-each and r21 absorbs one verdict-ordered double flip; this
-batch absorbs a SECOND acceleration (at 6 flips/round from round 12
-the drain consumes two batches per round, reaching the reserves by
-round 16). ``staging_candidates()`` (queries/__init__.py) merges this
-module into the check_oracle --staging / hostile_check --staging
-sweeps like every other batch.
+"""Round-14 registrations, third batch — staged and triple-gated in
+round 11 as the second RESERVE batch (implementations, DuckDB
+value-hash oracles, pytest pins in tests/test_r22_staging.py;
+check_oracle --staging matched at sf0.001/0.01/0.1 and
+hostile_check --chaos --staging passed, re-gated on round-13 code
+before the flip), registered in round 14 under VERDICT round-13
+item 1's full drain (r20+r21+r22 flip together — backlog 0, two
+rounds ahead of the original drain-by-round-16 schedule).
 
 The three open capability families no registered query touches:
 
@@ -40,31 +38,15 @@ The three open capability families no registered query touches:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the reserve registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -108,7 +90,7 @@ def _grid_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "grid_radius_join",
     _grid_oracle(),
     doc="spatial radius join the scale-safe way: all point pairs "
@@ -223,7 +205,7 @@ def _backtest_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "seasonal_naive_backtest",
     _backtest_oracle(),
     doc="forecast backtesting — the evaluation loop every metrics "
@@ -364,9 +346,10 @@ def _gz_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "gazetteer_phrase_match",
     _gz_oracle(),
+    bench=True,
     doc="dictionary/gazetteer span matching — the Aho-Corasick "
     "workload (NER-by-dictionary, blocklist phrases, entity linking) "
     "done the scale-safe way: each multi-token phrase is located by "

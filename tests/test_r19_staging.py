@@ -40,14 +40,14 @@ def _docs(sf_dir: str) -> list[tuple[int, str]]:
 
 def test_r19_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        _R13_FIRST_WITNESS,
+        _DRIVER_GREEN,
         staging_candidates,
     )
 
-    # registered in round 13 (the second accelerated drain), heading
-    # the correctness window for their first driver witness
+    # registered in round 13 (the second accelerated drain), first
+    # driver witness green in CORRECTNESS_r13 (the ledger records it)
     assert set(R19_NAMES) <= set(QUERY_REGISTRY)
-    assert set(R19_NAMES) <= set(_R13_FIRST_WITNESS)
+    assert all(_DRIVER_GREEN.get(x) == 13 for x in R19_NAMES)
     # the flip dropped the batch out of the staging tools' view
     assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())

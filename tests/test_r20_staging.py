@@ -1,23 +1,23 @@
-"""Semantic pins for the round-20 staged operators
-(queries/r20_staging.py — staged in round 11, sixth batch of the
-round; with it every remaining driver round is a pure flip). Oracle
-parity is covered by check_oracle --staging at sf0.001/0.01/0.1 and
-hostile_check --chaos --staging; this file keeps the invariants the
-value-hash can't express: a pure-python replay of the trigram index
-(no-false-negative containment, cross-word patterns answered), the
-NTILE bucket algebra and boundary monotonicity, and the session
-stitch actually exercising boundary-spanning sessions (not vacuously
-passing on a quiet split)."""
+"""Semantic pins for the round-14 registrations, first batch
+(queries/r20_staging.py — staged in round 11, flipped to @register in
+round 14 under VERDICT round-13 item 1's full drain). Oracle parity
+is covered by the registry-wide tools/check_oracle.py sweep; this
+file keeps the invariants the value-hash can't express: a pure-python
+replay of the trigram index (no-false-negative containment,
+cross-word patterns answered), the NTILE bucket algebra and boundary
+monotonicity, and the session stitch actually exercising
+boundary-spanning sessions (not vacuously passing on a quiet
+split)."""
 
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r20_staging import (
     _EH_BUCKETS,
     _IS_GAP_US,
     _TG_PATTERNS,
     _trigrams,
-    STAGED,
 )
 
 R20_NAMES = [
@@ -26,17 +26,21 @@ R20_NAMES = [
     "incremental_sessionization",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R20_NAMES if n in QUERY_REGISTRY}
 
-def test_r20_staging_composition():
+
+def test_r20_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R14_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R20_NAMES
-    # staged, NOT registered: the addition budget is round 20's
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 14 (the full drain), heading the correctness
+    # window for their first driver witness
+    assert set(R20_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R20_NAMES) <= set(_R14_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

@@ -1,11 +1,11 @@
-"""Semantic pins for the RESERVE staged operators
-(queries/r21_staging.py — staged in round 11; rounds 12-20 are
-covered one-batch-each, this batch absorbs a future verdict-ordered
-double flip). Oracle parity is covered by check_oracle --staging at
-sf0.001/0.01/0.1 and hostile_check --chaos --staging; this file keeps
-the invariants the value-hash can't express: the exact dyadic decay
-algebra replayed in integers, the planted-shape class table for JSON
-inference, and the dictionary's frequency-rank/bijectivity replay."""
+"""Semantic pins for the round-14 registrations, second batch
+(queries/r21_staging.py — staged in round 11 as the first reserve,
+flipped to @register in round 14 under VERDICT round-13 item 1's full
+drain). Oracle parity is covered by the registry-wide
+tools/check_oracle.py sweep; this file keeps the invariants the
+value-hash can't express: the exact dyadic decay algebra replayed in
+integers, the planted-shape class table for JSON inference, and the
+dictionary's frequency-rank/bijectivity replay."""
 
 import hashlib
 from decimal import ROUND_HALF_UP, Decimal
@@ -13,11 +13,11 @@ from decimal import ROUND_HALF_UP, Decimal
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r21_staging import (
     _DF_CAP,
     _DF_DAY_US,
     _JS_PATHS,
-    STAGED,
 )
 
 R21_NAMES = [
@@ -25,6 +25,8 @@ R21_NAMES = [
     "json_schema_infer",
     "categorical_dictionary_encode",
 ]
+
+STAGED = {n: QUERY_REGISTRY[n] for n in R21_NAMES if n in QUERY_REGISTRY}
 
 
 def _round_div(n: int, d: int) -> float:
@@ -35,17 +37,18 @@ def _round_div(n: int, d: int) -> float:
     )
 
 
-def test_r21_staging_composition():
+def test_r21_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R14_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R21_NAMES
-    # staged, NOT registered: the reserve budget belongs to whichever
-    # round the judge accelerates
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 14 (the full drain), heading the correctness
+    # window for their first driver witness
+    assert set(R21_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R21_NAMES) <= set(_R14_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

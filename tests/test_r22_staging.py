@@ -1,18 +1,19 @@
-"""Semantic pins for the second-reserve staged operators
-(queries/r22_staging.py — staged in round 11; absorbs a second
-verdict-ordered drain acceleration). Oracle parity is covered by
-tools/stage_gate.py (check_oracle --staging at sf0.001/0.01/0.1 +
-hostile_check --chaos); this file keeps the invariants the value-hash
-can't express: the grid join's exactly-once/no-false-negative
-contract against a brute-force replay, the backtest's decimal algebra
-and coverage bounds, and the gazetteer's rarest-anchor choice and
-token-aligned match replay."""
+"""Semantic pins for the round-14 registrations, third batch
+(queries/r22_staging.py — staged in round 11 as the second reserve,
+flipped to @register in round 14 under VERDICT round-13 item 1's full
+drain). Oracle parity is covered by the registry-wide
+tools/check_oracle.py sweep; this file keeps the invariants the
+value-hash can't express: the grid join's exactly-once/no-false-
+negative contract against a brute-force replay, the backtest's
+decimal algebra and coverage bounds, and the gazetteer's
+rarest-anchor choice and token-aligned match replay."""
 
 from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r22_staging import (
     _GR_AX,
     _GR_AY,
@@ -22,7 +23,6 @@ from market_pulse_data_pipeline_spark.queries.r22_staging import (
     _GZ_PHRASES,
     _SN_DAY_US,
     _SN_LAG,
-    STAGED,
 )
 
 R22_NAMES = [
@@ -30,6 +30,8 @@ R22_NAMES = [
     "seasonal_naive_backtest",
     "gazetteer_phrase_match",
 ]
+
+STAGED = {n: QUERY_REGISTRY[n] for n in R22_NAMES if n in QUERY_REGISTRY}
 
 
 def _round_div(n, d) -> float:
@@ -40,15 +42,18 @@ def _round_div(n, d) -> float:
     )
 
 
-def test_r22_staging_composition():
+def test_r22_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R14_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R22_NAMES
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 14 (the full drain), heading the correctness
+    # window for their first driver witness
+    assert set(R22_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R22_NAMES) <= set(_R14_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 

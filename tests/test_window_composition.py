@@ -12,73 +12,75 @@ the same commit.
 
 from market_pulse_data_pipeline_spark.queries import (
     _DRIVER_GREEN,
-    _R13_FIRST_WITNESS,
-    _R13_WINDOW,
-    _R14_DEFER,
+    _R14_FIRST_WITNESS,
+    _R14_WINDOW,
+    _R15_DEFER,
     QUERY_REGISTRY,
     all_queries,
-    r14_rotation,
+    r15_rotation,
     stalest_green,
 )
 
-# Round-13 rotation (VERDICT round-12 items 1+2, the SECOND
-# accelerated drain): the twelve round-13 registrations (the
-# r16_staging through r19_staging batches, all flipped to @register
-# this round) taking their FIRST driver witness at the head — they
-# landed BEFORE the window pin, so never-witnessed beats stale — then
-# the 38 stalest greens: the 27 remaining CORRECTNESS_r07 rows
-# (VERDICT r12 item 3: the full r7-stale remainder rotates in this
-# round), then the 11-row r08 ledger head, stalest witness first,
-# ledger-insertion order within a round.
+# Round-14 rotation (VERDICT round-13 items 1+3, the FULL drain): the
+# nine round-14 registrations (the r20_staging through r22_staging
+# batches, all flipped to @register this round — staged backlog 0,
+# two rounds ahead of the original drain-by-round-16 schedule) taking
+# their FIRST driver witness at the head — they landed BEFORE the
+# window pin, so never-witnessed beats stale — then the 41 stalest
+# greens: the 39 remaining CORRECTNESS_r08 rows (VERDICT r13 item 3:
+# the full r8-stale remainder rotates in this round), then the 2-row
+# r09 ledger head, stalest witness first, ledger-insertion order
+# within a round.
 EXPECTED_WINDOW = [
-    "bloom_decontaminate_portable", "html_tag_strip_extract",
-    "delta_join_view_maintenance",
-    "semdedup_scaled_prune", "tv_distance_source_drift",
-    "l_diversity_check",
-    "unicode_fold_normalize", "deletion_vector_scan",
-    "dynamic_partition_pruning_join",
-    "sentence_lang_mix_profile", "token_spans_offsets",
-    "user_erasure_cascade",
-    "tpch_q18_large_volume_customers", "tpch_q19_disjunctive_revenue",
-    "text_token_count", "text_quality_score", "text_lang_stats",
-    "lang_id_heuristic", "doc_fingerprint", "text_bpe_token_estimate",
-    "multimodal_meta", "text_repetition_stats", "text_pii_scan",
-    "contamination_ngram_overlap", "stratified_sample_per_lang",
-    "token_budget_packing", "dedup_exact", "dedup_ngram_jaccard",
-    "similarity_topk_cosine", "embedding_label_centroid_norm",
-    "embedding_quantization_error", "event_hourly_windows",
-    "event_sliding_windows", "dedup_cluster_assignment",
-    "market_pulse_end_to_end", "minhash_lsh_portable",
-    "asof_join_latest_anchor", "range_join_price_bands",
-    "rolling_avg_7rows",
-    "weekly_ohlc", "embedding_int8_quantize", "streaming_ingest_upsert",
-    "streaming_windowed_agg", "pivot_lang_counts", "rollup_qty",
-    "cube_counts", "top3_per_supplier", "semi_join_big_spenders",
-    "set_ops_nations", "except_user_event_pairs",
+    "trigram_substring_index", "equi_depth_histogram_stats",
+    "incremental_sessionization",
+    "decayed_event_frequency", "json_schema_infer",
+    "categorical_dictionary_encode",
+    "grid_radius_join", "seasonal_naive_backtest",
+    "gazetteer_phrase_match",
+    "lag_lead_weekly", "regr_slope_by_event_type",
+    "value_histogram_by_event_type", "corr_quantity_price_by_flag",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue", "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_suppliers", "exact_substring_spans",
+    "label_centroid_pairwise_cosine", "session_window_native",
+    "retention_cohorts", "event_funnel_signup_purchase",
+    "media_frame_sample", "numeric_functions_suite", "zscore_outliers",
+    "bool_aggregates", "variance_by_event_type", "regex_extract_props",
+    "percentiles_by_event_type", "approx_distinct_parts",
+    "collect_sorted_event_types", "string_functions_suite",
+    "date_functions_suite", "approx_percentiles_events",
+    "full_outer_reconciliation", "array_functions_suite",
+    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
+    "kcenter_diversity_sample", "colbert_maxsim_topk",
+    "incremental_near_dup_lsh", "bpe_encode_corpus",
+    "quality_threshold_sweep", "bpe_fertility_by_lang",
+    "sessionization", "running_distinct_event_types",
 ]
 
 
 def test_window_is_the_verified_composition():
     assert list(all_queries())[:50] == EXPECTED_WINDOW
-    assert _R13_WINDOW == EXPECTED_WINDOW
+    assert _R14_WINDOW == EXPECTED_WINDOW
 
 
 def test_window_head_is_first_witness_then_stalest_green():
     # the pinned window and the cadence computation stay in lockstep:
     # a ledger edit that would shift the driver's snapshot fails here
-    assert _R13_FIRST_WITNESS == _R13_WINDOW[:12]
-    assert _R13_WINDOW[12:] == stalest_green(38)
+    assert _R14_FIRST_WITNESS == _R14_WINDOW[:9]
+    assert _R14_WINDOW[9:] == stalest_green(41)
     # the head takes its FIRST driver row this round — no prior witness
-    assert not set(_R13_FIRST_WITNESS) & set(_DRIVER_GREEN)
-    # the re-witness tail rotates stalest-first: the full 27-row r7
-    # remainder (VERDICT r12 item 3), then 11 r8 rows
-    assert all(_DRIVER_GREEN[n] == 7 for n in _R13_WINDOW[12:39])
-    assert all(_DRIVER_GREEN[n] == 8 for n in _R13_WINDOW[39:])
-    # after this round no green row's witness is older than round 8
+    assert not set(_R14_FIRST_WITNESS) & set(_DRIVER_GREEN)
+    # the re-witness tail rotates stalest-first: the full 39-row r8
+    # remainder (VERDICT r13 item 3), then 2 r9 rows
+    assert all(_DRIVER_GREEN[n] == 8 for n in _R14_WINDOW[9:48])
+    assert all(_DRIVER_GREEN[n] == 9 for n in _R14_WINDOW[48:])
+    # after this round no green row's witness is older than round 9
     assert all(
-        _DRIVER_GREEN[n] >= 8
+        _DRIVER_GREEN[n] >= 9
         for n in _DRIVER_GREEN
-        if n not in set(_R13_WINDOW)
+        if n not in set(_R14_WINDOW)
     )
 
 
@@ -93,30 +95,30 @@ def test_window_has_full_oracles():
 def test_ledger_is_closed_and_additions_defer():
     # Steady-state invariant: every registered query is driver-green,
     # in this round's first-witness head, or a deferred registration
-    # awaiting its first row. A registration missing from _R14_DEFER
-    # lands in tier 1 with rank len(_R14_DEFER) — caught here, not
+    # awaiting its first row. A registration missing from _R15_DEFER
+    # lands in tier 1 with rank len(_R15_DEFER) — caught here, not
     # silently shuffled into the window.
     assert set(QUERY_REGISTRY) == (
-        set(_DRIVER_GREEN) | set(_R13_FIRST_WITNESS) | set(_R14_DEFER)
+        set(_DRIVER_GREEN) | set(_R14_FIRST_WITNESS) | set(_R15_DEFER)
     )
-    assert not set(_R14_DEFER) & set(_DRIVER_GREEN)
-    assert not set(_R14_DEFER) & set(_R13_WINDOW)
-    # round-13 registry: the 277 round-12 names + the 12 round-13
-    # registrations (the r16_staging .. r19_staging accelerated drain)
-    assert len(QUERY_REGISTRY) == 289
+    assert not set(_R15_DEFER) & set(_DRIVER_GREEN)
+    assert not set(_R15_DEFER) & set(_R14_WINDOW)
+    # round-14 registry: the 289 round-13 names + the 9 round-14
+    # registrations (the r20_staging .. r22_staging full drain)
+    assert len(QUERY_REGISTRY) == 298
     # tier-1 names (positions 50..) are exactly the deferral list, in
     # order — new operators never displace a verified window slot
-    assert list(all_queries())[50:50 + len(_R14_DEFER)] == _R14_DEFER
+    assert list(all_queries())[50:50 + len(_R15_DEFER)] == _R15_DEFER
 
 
-def test_round13_ledger_arithmetic():
-    assert len(_R13_WINDOW) == 50
-    assert len(set(_R13_WINDOW)) == 50
-    # the 38 re-witnesses all have existing green rows
-    assert all(n in _DRIVER_GREEN for n in _R13_WINDOW[12:])
-    # the round-12 window landed in the ledger at round 12: 38
+def test_round14_ledger_arithmetic():
+    assert len(_R14_WINDOW) == 50
+    assert len(set(_R14_WINDOW)) == 50
+    # the 41 re-witnesses all have existing green rows
+    assert all(n in _DRIVER_GREEN for n in _R14_WINDOW[9:])
+    # the round-13 window landed in the ledger at round 13: 38
     # re-witnesses refreshed + 12 first-witness names entered
-    assert sum(1 for v in _DRIVER_GREEN.values() if v == 12) == 50
+    assert sum(1 for v in _DRIVER_GREEN.values() if v == 13) == 50
 
 
 def test_rows_only_floor():
@@ -126,22 +128,22 @@ def test_rows_only_floor():
     assert rows_only == set()
 
 
-def test_r14_rotation_defers_then_rotates():
-    # the proposed round-14 window: never-witnessed round-13
-    # registrations first (empty until the r20/r21/r22_staging batches
-    # flip to @register), then the stalest greens assuming this
-    # round's window lands green (the r8 ledger remainder continues
-    # the rotation).
-    rot = r14_rotation()
+def test_r15_rotation_defers_then_rotates():
+    # the proposed round-15 window: never-witnessed round-14
+    # registrations first (empty until the r23_staging batch flips to
+    # @register on its named round), then the stalest greens assuming
+    # this round's window lands green (the r9 ledger remainder
+    # continues the rotation).
+    rot = r15_rotation()
     assert len(rot) == 50
-    assert rot[: len(_R14_DEFER)] == _R14_DEFER
-    rest = rot[len(_R14_DEFER):]
-    after_r13 = dict(_DRIVER_GREEN)
-    after_r13.update(dict.fromkeys(_R13_WINDOW, 13))
-    # stalest-first: the remaining r8 rows head the remainder
-    rounds = [after_r13[n] for n in rest]
+    assert rot[: len(_R15_DEFER)] == _R15_DEFER
+    rest = rot[len(_R15_DEFER):]
+    after_r14 = dict(_DRIVER_GREEN)
+    after_r14.update(dict.fromkeys(_R14_WINDOW, 14))
+    # stalest-first: the remaining r9 rows head the remainder
+    rounds = [after_r14[n] for n in rest]
     assert rounds == sorted(rounds)
-    assert rounds[0] == 8
-    assert rest[0] == "lag_lead_weekly"
+    assert rounds[0] == 9
+    assert rest[0] == "hourly_activity_bitmask"
     # nothing in the proposal repeats this round's window
-    assert not set(rot) & set(_R13_WINDOW)
+    assert not set(rot) & set(_R14_WINDOW)

@@ -82,10 +82,11 @@ BOUNDED_WINDOW_FUNNELS = {
     "quota_largest_remainder": (
         "window over one quota row per key-domain value, not rows"
     ),
-    # staged (flips round 14 under the accelerated drain): rank window
-    # over the category VOCABULARY (one row per distinct category after
-    # the count aggregate), not data rows — bounded by the key domain
-    # like the quota window; the query doc states the cardinality bound
+    # registered in round 14 (the full drain): rank window over the
+    # category VOCABULARY (one row per distinct category after the
+    # count aggregate, 97 rows at sf0.01), not data rows — bounded by
+    # the key domain like the quota window; the query doc states the
+    # cardinality bound
     "categorical_dictionary_encode": (
         "window over one count row per distinct category, not rows"
     ),

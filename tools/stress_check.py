@@ -2817,7 +2817,7 @@ def main() -> int:
             ),
         )
 
-    # Trigram substring-index probe (staged round 11 for round 20):
+    # Trigram substring-index probe (registered round 14):
     # the doc-side trigram stream is filtered MAP-SIDE to the query
     # trigram set before the distinct/coverage join, so the shuffled
     # volume is (query-relevant trigram, doc) pairs only — cost must
@@ -2871,13 +2871,13 @@ def main() -> int:
             .select("pattern", "doc_id"),
         )
 
-    # Incremental sessionization (staged round 11 for round 20):
+    # Incremental sessionization (registered round 14):
     # per-batch sessionize + boundary stitch. Windows are per-user
     # (key-remapped multiplication grows the user domain, not the
     # per-user history), so the stage must scale linearly in events.
     if only is None or "inc_session" in only:
-        from market_pulse_data_pipeline_spark.queries.r20_staging import (
-            STAGED as _R20_STAGED,
+        from market_pulse_data_pipeline_spark.queries import (
+            QUERY_REGISTRY as _REG_IS,
         )
 
         ev_is = mat(
@@ -2915,7 +2915,7 @@ def main() -> int:
                 _shutil.copy(part, tbl)
         run(
             "inc_session",
-            _R20_STAGED["incremental_sessionization"].spark(
+            _REG_IS["incremental_sessionization"].spark(
                 spark, stage_dir
             ),
         )
