@@ -4,6 +4,22 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is fully materialized via the noop sink (forces every column
 to be computed without driver-side collect overhead).
+
+The JSON is self-evidencing against ambient host load (VERDICT r13
+item 4 — a noisy round must be distinguishable from a regression from
+the artifact alone):
+
+- ``queries``: the settled number per query — min over 3 interleaved
+  passes (interference only ever ADDS time, so the minimum estimates
+  achievable latency; the timeit argument).
+- ``samples``: all 3 raw per-pass timings per query, so a reader can
+  see WHICH pass a spike landed on (uniform pass-wide inflation =
+  host noise; a single query slow in all 3 passes = real).
+- ``load_probe_sec``: a fixed single-threaded spin loop timed before
+  each pass. The loop does constant work, so probe variance IS the
+  ambient-load measurement: if the probes disagree by >10-15% the
+  host was contended and cross-round ratios should be read against
+  the probe ratio, not taken at face value.
 """
 
 from __future__ import annotations
@@ -63,14 +79,25 @@ def main() -> None:
     # artifact, which reproduced at 0.3-0.4 s in every local
     # configuration. Interleaving spaces a query's runs ~30 s apart,
     # so one burst can inflate at most one of its three samples.
+    def load_probe() -> float:
+        # fixed single-threaded work (driver-side pure Python): the
+        # wall time of constant work measures ambient contention.
+        t0 = time.time()
+        acc = 0
+        for i in range(5_000_000):
+            acc += i * i & 0xFFFF
+        return round(time.time() - t0, 3)
+
     runs: dict[str, list[float]] = {n: [] for n in bench_queries}
+    probes: list[float] = []
     for _ in range(3):
+        probes.append(load_probe())
         for name in sorted(bench_queries):
             q = bench_queries[name]
             t0 = time.time()
             df = q.spark(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            runs[name].append(time.time() - t0)
+            runs[name].append(round(time.time() - t0, 3))
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -88,6 +115,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "samples": {n: runs[n] for n in sorted(runs)},
+                "load_probe_sec": probes,
             }
         )
     )
