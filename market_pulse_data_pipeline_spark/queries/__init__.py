@@ -144,7 +144,10 @@ def staging_candidates():
     r23_staging flips round 15 (t_closeness_check,
     auc_quality_classifier, unimax_epoch_cap_allocation) and
     r24_staging flips round 16 (pii_cluster_contagion,
-    intra_doc_line_dedup, cross_label_margin_mining).
+    intra_doc_line_dedup, cross_label_margin_mining), and r25_staging
+    — staged in round 14 — flips round 17
+    (harmonic_size_class_packing, flashtext_multi_replace,
+    prefix_sum_adaptive_switch).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -155,6 +158,7 @@ def staging_candidates():
     for modname in (
         "r23_staging",
         "r24_staging",
+        "r25_staging",
     ):
         try:
             mod = importlib.import_module(

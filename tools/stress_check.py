@@ -2920,6 +2920,78 @@ def main() -> int:
             ),
         )
 
+    # Harmonic size-class packing (staged r14 for round 17): plain
+    # multiplied copies — the lang x class key domain is FIXED (bounded
+    # by the capacity constant), so per-class populations multiply and
+    # the two partitioned windows must scale near-linearly (n log n
+    # within ~60 (lang, class) partitions).
+    if only is None or "harmonic_pack" in only:
+        from market_pulse_data_pipeline_spark.queries.r25_staging import (
+            harmonic_size_class_packing_from,
+        )
+
+        docs_hp = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "lang", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_harmonic",
+        )
+        run("harmonic_pack", harmonic_size_class_packing_from(docs_hp))
+
+    # FlashText multi-replace (staged r14 for round 17): plain
+    # multiplied copies (token tagging would break the phrase matches
+    # the stage exists to exercise) — the replace chain is map-only,
+    # so cost must be strictly linear in corpus characters.
+    if only is None or "flashtext_replace" in only:
+        from market_pulse_data_pipeline_spark.queries.r25_staging import (
+            flashtext_multi_replace_from,
+        )
+
+        docs_ft = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_flashtext",
+        )
+        run("flashtext_replace", flashtext_multi_replace_from(docs_ft))
+
+    # Adaptive prefix-sum switch (staged r14 for round 17): events
+    # multiply on event_id only, so the raw leg grows (two-phase path,
+    # range partition + local cumsums) while the (event_type, day)
+    # rollup leg stays FIXED at 150 rows — the model-sized serial case
+    # is corpus-size-independent by construction, which is the whole
+    # point of the crossover.
+    if only is None or "adaptive_prefix" in only:
+        from market_pulse_data_pipeline_spark.queries.r25_staging import (
+            _PS_DAY_US,
+            prefix_sum_adaptive_switch_from,
+        )
+
+        ev_ap = mat(
+            multiplied(
+                load_table(spark, args.sf, "events").select(
+                    "event_id",
+                    "event_type",
+                    "value",
+                    F.expr(f"unix_micros(ts) div {_PS_DAY_US}").alias(
+                        "day"
+                    ),
+                ),
+                args.mult,
+                ["event_id"],
+            ),
+            "events_adaptive",
+        )
+        run("adaptive_prefix", prefix_sum_adaptive_switch_from(ev_ap))
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
