@@ -406,6 +406,13 @@ def gazetteer_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plen",
             F.col("df").cast("long").alias("anchor_df"),
         )
+        # materialize-once discipline (round-12 sweep): anchor is
+        # consumed by the candidate join AND the final per-phrase
+        # select, and its lineage contains the corpus-wide token-df
+        # aggregate — without this the df pass runs twice. The frame
+        # is gazetteer-sized (one row per phrase), so the checkpoint
+        # is model-sized state; blocks release with the reference.
+        .localCheckpoint(eager=True)
     )
     toks = ws_docs.select(
         "doc_id", F.posexplode("ws").alias("pos", "tok")
