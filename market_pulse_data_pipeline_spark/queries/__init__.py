@@ -144,10 +144,12 @@ def staging_candidates():
     r23_staging flips round 15 (t_closeness_check,
     auc_quality_classifier, unimax_epoch_cap_allocation) and
     r24_staging flips round 16 (pii_cluster_contagion,
-    intra_doc_line_dedup, cross_label_margin_mining), and r25_staging
-    — staged in round 14 — flips round 17
-    (harmonic_size_class_packing, flashtext_multi_replace,
-    prefix_sum_adaptive_switch).
+    intra_doc_line_dedup, cross_label_margin_mining), r25_staging —
+    staged in round 14 — flips round 17 (harmonic_size_class_packing,
+    flashtext_multi_replace, prefix_sum_adaptive_switch), and
+    r26_staging — also staged in round 14 — flips round 18
+    (pmi_collocation_mining, cohens_kappa_agreement,
+    bootstrap_metric_ci).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -159,6 +161,7 @@ def staging_candidates():
         "r23_staging",
         "r24_staging",
         "r25_staging",
+        "r26_staging",
     ):
         try:
             mod = importlib.import_module(

@@ -2992,6 +2992,67 @@ def main() -> int:
         )
         run("adaptive_prefix", prefix_sum_adaptive_switch_from(ev_ap))
 
+    # PMI collocation mining (staged r14 for round 18): plain
+    # multiplied copies — the vocabulary is FIXED, so the unigram and
+    # bigram aggregates stay vocabulary-bounded while counts scale;
+    # cost must be linear in corpus tokens (one bigram explode + two
+    # bounded hash aggs + vocabulary-keyed joins).
+    if only is None or "pmi_mine" in only:
+        from market_pulse_data_pipeline_spark.queries.r26_staging import (
+            pmi_collocation_mining_from,
+        )
+
+        docs_pm = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_pmi",
+        )
+        run("pmi_mine", pmi_collocation_mining_from(docs_pm))
+
+    # Cohen's kappa (staged r14 for round 18): map-only labels + one
+    # per-lang aggregate — 5 counters per language, strictly linear.
+    if only is None or "kappa_agree" in only:
+        from market_pulse_data_pipeline_spark.queries.r26_staging import (
+            cohens_kappa_agreement_from,
+        )
+
+        docs_kp = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "lang", "n_chars"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_kappa",
+        )
+        run("kappa_agree", cohens_kappa_agreement_from(docs_kp))
+
+    # Bootstrap CI (staged r14 for round 18): the 40x replicate
+    # fan-out is a constant factor (the grid-join discipline), so the
+    # stage must scale linearly in docs x B.
+    if only is None or "bootstrap_ci" in only:
+        from market_pulse_data_pipeline_spark.queries.r26_staging import (
+            bootstrap_metric_ci_from,
+        )
+
+        docs_bs = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "lang", "doc_id", "n_chars"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_bootstrap",
+        )
+        run("bootstrap_ci", bootstrap_metric_ci_from(docs_bs))
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
