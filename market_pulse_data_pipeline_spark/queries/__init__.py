@@ -149,7 +149,9 @@ def staging_candidates():
     flashtext_multi_replace, prefix_sum_adaptive_switch), and
     r26_staging — also staged in round 14 — flips round 18
     (pmi_collocation_mining, cohens_kappa_agreement,
-    bootstrap_metric_ci).
+    bootstrap_metric_ci), and r27_staging — also staged in round 14 —
+    flips round 19 (group_kfold_leakage_audit, pii_redact_spans,
+    zipf_token_frequency_profile).
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -162,6 +164,7 @@ def staging_candidates():
         "r24_staging",
         "r25_staging",
         "r26_staging",
+        "r27_staging",
     ):
         try:
             mod = importlib.import_module(

@@ -3053,6 +3053,64 @@ def main() -> int:
         )
         run("bootstrap_ci", bootstrap_metric_ci_from(docs_bs))
 
+    # GroupKFold leakage audit (staged r14 for round 19): token-tagged
+    # multiplication so copies have distinct digests — duplicate
+    # CLUSTER SIZE stays constant (twins pair only within their copy)
+    # while cluster count scales; the digest self-join must stay
+    # linear in true duplication, never all-pairs.
+    if only is None or "kfold_audit" in only:
+        from market_pulse_data_pipeline_spark.queries.r27_staging import (
+            group_kfold_leakage_audit_from,
+        )
+
+        run(
+            "kfold_audit",
+            group_kfold_leakage_audit_from(
+                tagged_docs("docs_kfold").select("doc_id", "source", "text")
+            ),
+        )
+
+    # PII redaction (staged r14 for round 19): two regexp_replace
+    # passes + three count extractions, map-only — strictly linear in
+    # corpus characters.
+    if only is None or "pii_redact" in only:
+        from market_pulse_data_pipeline_spark.queries.r27_staging import (
+            pii_redact_spans_from,
+        )
+
+        docs_rd = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_redact",
+        )
+        run("pii_redact", pii_redact_spans_from(docs_rd))
+
+    # Zipf frequency profile (staged r14 for round 19): plain
+    # multiplied copies — the vocabulary is FIXED, so the (lang,
+    # token) aggregate state is constant while frequencies scale;
+    # cost must be linear in corpus tokens.
+    if only is None or "zipf_profile" in only:
+        from market_pulse_data_pipeline_spark.queries.r27_staging import (
+            zipf_token_frequency_profile_from,
+        )
+
+        docs_zp = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "lang", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ).select("lang", "text"),
+            "docs_zipf",
+        )
+        run("zipf_profile", zipf_token_frequency_profile_from(docs_zp))
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
