@@ -149,9 +149,12 @@ def staging_candidates():
     flashtext_multi_replace, prefix_sum_adaptive_switch), and
     r26_staging — also staged in round 14 — flips round 18
     (pmi_collocation_mining, cohens_kappa_agreement,
-    bootstrap_metric_ci), and r27_staging — also staged in round 14 —
+    bootstrap_metric_ci), r27_staging — also staged in round 14 —
     flips round 19 (group_kfold_leakage_audit, pii_redact_spans,
-    zipf_token_frequency_profile).
+    zipf_token_frequency_profile), and r28_staging — also staged in
+    round 14 — flips round 20 (heaps_vocab_growth_curve,
+    rouge_n_eval_overlap, span_match_f1); with it every remaining
+    driver round is a pure flip.
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -165,6 +168,7 @@ def staging_candidates():
         "r25_staging",
         "r26_staging",
         "r27_staging",
+        "r28_staging",
     ):
         try:
             mod = importlib.import_module(

@@ -3111,6 +3111,68 @@ def main() -> int:
         )
         run("zipf_profile", zipf_token_frequency_profile_from(docs_zp))
 
+    # Heaps vocabulary growth (staged r14 for round 20): multiplied
+    # copies carry copy-distinct planted uniq tokens (doc_id offsets
+    # change the plant names), so the first-occurrence aggregate's
+    # key domain grows — cost must stay linear in corpus tokens.
+    if only is None or "heaps_curve" in only:
+        from market_pulse_data_pipeline_spark.queries.r28_staging import (
+            heaps_vocab_growth_curve_from,
+        )
+
+        docs_hv = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_heaps",
+        )
+        run("heaps_curve", heaps_vocab_growth_curve_from(docs_hv))
+
+    # ROUGE eval overlap (staged r14 for round 20): the reference set
+    # multiplies, so per-pair cost must be linear (gram explodes +
+    # doc-keyed joins; pair volume IS the eval set).
+    if only is None or "rouge_eval" in only:
+        from market_pulse_data_pipeline_spark.queries.r28_staging import (
+            _RG_EVAL_MOD,
+            rouge_n_eval_overlap_from,
+        )
+
+        refs_rg = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents")
+                .filter(F.col("doc_id") % _RG_EVAL_MOD == 0)
+                .select("doc_id", "text"),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_rouge",
+        )
+        run("rouge_eval", rouge_n_eval_overlap_from(refs_rg))
+
+    # Span-match F1 (staged r14 for round 20): spans multiply with the
+    # corpus; the (doc, start) equi-join touches true spans only —
+    # cost must be linear in corpus tokens.
+    if only is None or "span_f1" in only:
+        from market_pulse_data_pipeline_spark.queries.r28_staging import (
+            span_match_f1_from,
+        )
+
+        docs_sp = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents").select(
+                    "doc_id", "text"
+                ),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_spanf1",
+        )
+        run("span_f1", span_match_f1_from(docs_sp))
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
