@@ -105,7 +105,8 @@ def _hp_oracle() -> str:
     ),
     cls AS (
       SELECT doc_id, lang, n_tokens,
-             CAST({_HP_CAP} // n_tokens AS BIGINT) AS size_class
+             CAST(GREATEST({_HP_CAP} // n_tokens, 1) AS BIGINT)
+               AS size_class
       FROM base
     ),
     ranked AS (
@@ -173,8 +174,17 @@ def harmonic_size_class_packing_from(docs: DataFrame) -> DataFrame:
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+    # GREATEST(.., 1): a document LONGER than the capacity computes
+    # k = 0 and would divide by zero in the bin assignment; the
+    # harmonic convention routes unpackable items to class 1 — each
+    # gets a dedicated bin whose negative bin_slack records the
+    # truncation debt honestly (the fixture never exercises this:
+    # max 100 tokens < cap 128 — the guard is the 100 TB contract)
     cls = base.withColumn(
-        "size_class", F.expr(f"{_HP_CAP} div n_tokens").cast("long")
+        "size_class",
+        F.greatest(
+            F.expr(f"{_HP_CAP} div n_tokens"), F.lit(1)
+        ).cast("long"),
     )
     w_rank = Window.partitionBy("lang", "size_class").orderBy(
         F.desc("n_tokens"), "doc_id"
@@ -210,10 +220,14 @@ def harmonic_size_class_packing_from(docs: DataFrame) -> DataFrame:
 # flashtext_multi_replace
 # --------------------------------------------------------------------
 
-# Applied in THIS order (longest first): nested phrases resolve to the
-# longest match — 'part window' only fires where 'merge part window'
-# did not already consume the tokens. All tokens occur in the fixture
-# vocabulary (the gazetteer family's phrase pool).
+# Applied in THIS order (priority order): nested phrases resolve to
+# the longest match because any phrase that CONTAINS another precedes
+# it — 'part window' only fires where 'merge part window' did not
+# already consume the tokens. All tokens occur in the fixture
+# vocabulary (the gazetteer family's phrase pool). The containment
+# rule is ENFORCED below, not just documented: a maintainer appending
+# a sub-phrase above its super-phrase would silently get
+# shortest-wins resolution otherwise.
 _FT_PHRASES = [
     "merge part window",
     "part window",
@@ -221,6 +235,16 @@ _FT_PHRASES = [
     "hash join",
     "sort merge",
 ]
+
+# priority sanity: no earlier-applied phrase may be a token-contiguous
+# sub-phrase of a LATER one (the later phrase could never match the
+# text the earlier already rewrote)
+for _i, _pi in enumerate(_FT_PHRASES):
+    for _pj in _FT_PHRASES[_i + 1 :]:
+        assert f" {_pi} " not in f" {_pj} ", (
+            f"phrase ordering violation: '{_pi}' must come after "
+            f"'{_pj}', which contains it"
+        )
 
 
 def _ft_pat(p: str) -> str:

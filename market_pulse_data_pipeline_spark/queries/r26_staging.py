@@ -56,6 +56,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from market_pulse_data_pipeline_spark.functions.dedup import (
+    portable_hash60,
+)
 from market_pulse_data_pipeline_spark.queries.common import (
     QueryDef,
     round_div,
@@ -272,12 +275,15 @@ def _kp_oracle() -> str:
       FROM lab GROUP BY lang
     )
     SELECT lang, n, n00, n01, n10, n11,
-           {sql_round_div(
+           CASE WHEN n * n = (n00 + n01) * (n00 + n10)
+                            + (n10 + n11) * (n01 + n11)
+                THEN CAST(1.0 AS DOUBLE)
+                ELSE {sql_round_div(
                "n * (n00 + n11) - ((n00 + n01) * (n00 + n10)"
                " + (n10 + n11) * (n01 + n11))",
                "n * n - ((n00 + n01) * (n00 + n10)"
                " + (n10 + n11) * (n01 + n11))",
-           )} AS kappa
+           )} END AS kappa
     FROM ct
     ORDER BY lang
     """
@@ -315,19 +321,9 @@ def cohens_kappa_agreement_from(docs: DataFrame) -> DataFrame:
     stress row always measures the shipping shape."""
     la = F.when(F.col("n_chars") >= _KP_THRESH, 1).otherwise(0)
     flip = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit(":ann")
-                    ).cast("binary")
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        portable_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":ann"))
+        )
         % _KP_FLIP_MOD
         < _KP_FLIP_LT
     )
@@ -358,10 +354,19 @@ def cohens_kappa_agreement_from(docs: DataFrame) -> DataFrame:
         "n01",
         "n10",
         "n11",
-        round_div(
-            F.col("n") * (F.col("n00") + F.col("n11")) - pe_num,
-            F.col("n") * F.col("n") - pe_num,
-        ).alias("kappa"),
+        # pe = 1 (denominator 0) only when BOTH annotators are fully
+        # concentrated in the same cell, i.e. po = 1 too — report the
+        # perfect-agreement convention kappa = 1.0 instead of 0/0
+        F.when(
+            F.col("n") * F.col("n") == pe_num, F.lit(1.0)
+        )
+        .otherwise(
+            round_div(
+                F.col("n") * (F.col("n00") + F.col("n11")) - pe_num,
+                F.col("n") * F.col("n") - pe_num,
+            )
+        )
+        .alias("kappa"),
     ).orderBy("lang")
 
 
@@ -389,7 +394,11 @@ def _bs_oracle() -> str:
         "(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || "
         f"CAST(r AS VARCHAR)), 1, 15))::BIGINT % {_BS_SCALE})"
     )
-    mean = sql_round_div("SUM(m * n_chars)", "SUM(m)")
+    # GREATEST(.., 1): a (lang, replicate) whose every doc drew
+    # multiplicity 0 (probability ~e^-n per replicate) reports
+    # n_eff = 0 and rep_mean = 0.0 instead of dividing by zero —
+    # the same defined-sentinel both engines compute
+    mean = sql_round_div("SUM(m * n_chars)", "GREATEST(SUM(m), 1)")
     return f"""
     WITH fan AS (
       SELECT d.lang, d.n_chars, u.r,
@@ -459,21 +468,13 @@ def bootstrap_metric_ci_from(docs: DataFrame) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(_BS_B - 1))).alias("r"),
     )
     u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"),
-                        F.lit("#"),
-                        F.col("r").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        portable_hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.col("r").cast("string"),
+            )
+        )
         % _BS_SCALE
     )
     m = (
@@ -489,7 +490,8 @@ def bootstrap_metric_ci_from(docs: DataFrame) -> DataFrame:
         .agg(
             F.sum("m").cast("long").alias("n_eff"),
             round_div(
-                F.sum(F.col("m") * F.col("n_chars")), F.sum("m")
+                F.sum(F.col("m") * F.col("n_chars")),
+                F.greatest(F.sum("m"), F.lit(1)),
             ).alias("rep_mean"),
         )
         .select(

@@ -54,6 +54,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from market_pulse_data_pipeline_spark.functions.dedup import (
+    portable_hash60,
+)
 from market_pulse_data_pipeline_spark.queries.common import (
     QueryDef,
     round_div,
@@ -193,11 +196,7 @@ def group_kfold_leakage_audit_from(docs: DataFrame) -> DataFrame:
     corpus = docs.unionByName(same_twins).unionByName(cross_twins)
 
     def h5(col):
-        return (
-            F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10)
-            .cast("long")
-            % _KF_K
-        )
+        return portable_hash60(col) % _KF_K
 
     folded = corpus.select(
         "doc_id",
@@ -208,42 +207,66 @@ def group_kfold_leakage_audit_from(docs: DataFrame) -> DataFrame:
         ),
         h5(F.concat(F.col("source"), F.lit(":fold"))).alias("f_grp"),
     )
-    assign = folded.select(
-        F.lit("by_doc").alias("strategy"),
-        "doc_id",
-        "digest",
-        F.col("f_doc").alias("fold"),
-    ).unionByName(
-        folded.select(
-            F.lit("by_group").alias("strategy"),
-            "doc_id",
-            "digest",
-            F.col("f_grp").alias("fold"),
-        )
-    )
-    b = assign.select(
-        F.col("strategy").alias("strategy_b"),
+    # materialize-once discipline: folded (one md5 digest + two fold
+    # hashes per corpus row) feeds both sides of the duplicate-pair
+    # self-join AND two per-fold aggregates — without this the corpus
+    # union and digest hashing recompute per consumer.
+    folded = folded.localCheckpoint(eager=True)
+    # ONE digest self-join serves BOTH strategies: the duplicate-pair
+    # set is strategy-independent (only the fold columns differ), so
+    # joining per strategy would double the join volume for identical
+    # pairs (round-14 self-review finding).
+    b = folded.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("digest").alias("digest_b"),
-        F.col("fold").alias("fold_b"),
+        F.col("f_doc").alias("f_doc_b"),
+        F.col("f_grp").alias("f_grp_b"),
     )
-    pairs = (
-        assign.join(
+    pair_counts = (
+        folded.join(
             b,
-            (F.col("strategy_b") == F.col("strategy"))
-            & (F.col("digest_b") == F.col("digest"))
+            (F.col("digest_b") == F.col("digest"))
             & (F.col("doc_id") < F.col("doc_id_b")),
         )
-        .groupBy("strategy")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum((F.col("fold") != F.col("fold_b")).cast("int"))
+            F.sum((F.col("f_doc") != F.col("f_doc_b")).cast("int"))
             .cast("long")
-            .alias("n_leaked"),
+            .alias("leak_doc"),
+            F.sum((F.col("f_grp") != F.col("f_grp_b")).cast("int"))
+            .cast("long")
+            .alias("leak_grp"),
         )
     )
-    per_fold = assign.groupBy("strategy", "fold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    pairs = pair_counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("by_doc").alias("strategy"),
+                    F.col("n_pairs"),
+                    F.col("leak_doc").alias("n_leaked"),
+                ),
+                F.struct(
+                    F.lit("by_group").alias("strategy"),
+                    F.col("n_pairs"),
+                    F.col("leak_grp").alias("n_leaked"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.strategy", "s.n_pairs", "s.n_leaked")
+    per_fold = (
+        folded.select(
+            F.lit("by_doc").alias("strategy"),
+            F.col("f_doc").alias("fold"),
+        )
+        .unionByName(
+            folded.select(
+                F.lit("by_group").alias("strategy"),
+                F.col("f_grp").alias("fold"),
+            )
+        )
+        .groupBy("strategy", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     return (
         per_fold.join(F.broadcast(pairs), "strategy")

@@ -50,6 +50,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from market_pulse_data_pipeline_spark.functions.dedup import (
+    portable_hash60,
+)
 from market_pulse_data_pipeline_spark.queries.common import (
     QueryDef,
     round_div,
@@ -350,10 +353,14 @@ def rouge_n_eval_overlap_from(refs: DataFrame) -> DataFrame:
     )
 
     def bigrams(col: str):
+        # zip_with over two slices is empty-safe for single-token docs
+        # (sequence(1, size-1) would DESCEND to [1, 0] at size==1 and
+        # ANSI element_at would throw — the span_match_f1 lookahead
+        # lesson applied here too)
         return F.expr(
-            f"transform(sequence(1, size({col}) - 1), "
-            f"i -> concat(element_at({col}, i), ' ', "
-            f"element_at({col}, i + 1)))"
+            f"zip_with(slice({col}, 1, greatest(size({col}) - 1, 0)), "
+            f"slice({col}, 2, greatest(size({col}) - 1, 0)), "
+            f"(a, b) -> concat(a, ' ', b))"
         )
 
     def bag(col, alias):
@@ -520,10 +527,7 @@ def span_match_f1_from(docs: DataFrame) -> DataFrame:
         .select("doc_id", (F.col("p0") + 1).cast("long").alias("start_pos"))
     )
 
-    def h60(col):
-        return F.conv(
-            F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
-        ).cast("long")
+    h60 = portable_hash60
 
     h_span = h60(
         F.concat(

@@ -76,7 +76,10 @@ def _harmonic_replay(docs):
     by_class: dict = {}
     for doc_id, lang, text in docs:
         n = len(text.split(" "))
-        k = _HP_CAP // n
+        # oversize docs (n > CAP) route to a dedicated class-1 bin
+        # (negative slack = truncation debt); fixture never exercises
+        # it, but the replay mirrors the shipping rule
+        k = max(_HP_CAP // n, 1)
         by_class.setdefault((lang, k), []).append((n, doc_id))
     out = {}
     for (lang, k), items in by_class.items():

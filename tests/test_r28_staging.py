@@ -165,6 +165,25 @@ def test_rouge_replay_matches_spark(spark, sf_dir):
         assert 0 < r.rouge1_r <= 1
 
 
+def test_rouge_single_token_reference_is_safe(spark):
+    # regression (round-14 self-review): sequence(1, size-1) DESCENDS
+    # to [1, 0] for a 1-token doc and ANSI element_at threw — the
+    # zip_with-of-slices bigram form must yield empty bigram bags and
+    # a well-defined row instead
+    from market_pulse_data_pipeline_spark.queries.r28_staging import (
+        rouge_n_eval_overlap_from,
+    )
+
+    refs = spark.createDataFrame([(0, "solo")], ["doc_id", "text"])
+    row = rouge_n_eval_overlap_from(refs).collect()
+    assert len(row) == 1
+    r = row[0]
+    # cand = [] (80% of 1 token) + [lead, zz9, zz8] → unigram match 1
+    assert (r.lr1, r.lc1, r.m1) == (1, 3, 1)
+    # no reference bigrams exist: lr2 = 0, m2 = 0 — and no crash
+    assert (r.lr2, r.m2) == (0, 0)
+
+
 def test_rouge_clip_refuses_to_double_count():
     # the duplicated lead token: candidate count 2, reference count 1
     # — clipped matching credits it ONCE (bag-min), where naive set
