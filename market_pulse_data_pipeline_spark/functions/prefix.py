@@ -14,6 +14,14 @@ rows), turn them into exclusive carry-in offsets on the driver, and
 broadcast-add them back. Wall-clock is two parallel passes + an
 O(partitions) driver step instead of one serial pass over all rows.
 
+`adaptive_prefix_sum` (round 14) adds the crossover: a MODEL-sized
+input (a histogram, a per-key daily rollup) should not pay the
+two-phase form's materialization + totals job + offset join, so at or
+below `PREFIX_SERIAL_MAX_ROWS` it runs the plain serial window and
+above it the two-phase form — both accumulate in decimal, so the
+result is bit-identical whichever branch runs. The rule itself is
+oracle-checked by the `prefix_sum_adaptive_switch` staged query.
+
 Exactness: summands are cast to decimal before any accumulation, so
 local sums, partition totals, and offsets are all order-independent
 and the result is bit-identical to the single-window form (pinned by
