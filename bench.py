@@ -1,6 +1,9 @@
 """Headline benchmark — runs the bench-flagged queries from the registry
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines: the noise-evidence
+detail first, then the compact summary LAST (the line the driver's
+tail capture parses — kept small so it always fits; see the inline
+note at the print site).
 
 Each query is fully materialized via the noop sink (forces every column
 to be computed without driver-side collect overhead).
@@ -107,6 +110,22 @@ def main() -> None:
         total += dt
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Two lines, detail FIRST, summary LAST. The driver's tail capture
+    # parses the LAST stdout line; round 14 proved the per-query
+    # `samples` dict (42x3 floats) pushes a single combined line past
+    # the capture window, which then starts mid-`samples` and cannot
+    # parse (BENCH_r14 "parsed": null — VERDICT r14 item 1). The
+    # self-evidencing detail stays machine-readable on its own line;
+    # the summary line is a few hundred bytes and always fits the tail.
+    print(
+        json.dumps(
+            {
+                "detail": "bench_noise_evidence",
+                "samples": {n: runs[n] for n in sorted(runs)},
+                "load_probe_sec": probes,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -115,8 +134,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
-                "samples": {n: runs[n] for n in sorted(runs)},
-                "load_probe_sec": probes,
             }
         )
     )
