@@ -50,6 +50,7 @@ from market_pulse_data_pipeline_spark.queries import r19_staging  # noqa: F401, 
 from market_pulse_data_pipeline_spark.queries import r20_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r21_staging  # noqa: F401, E402
 from market_pulse_data_pipeline_spark.queries import r22_staging  # noqa: F401, E402
+from market_pulse_data_pipeline_spark.queries import r23_staging  # noqa: F401, E402
 
 
 # The driver's correctness harness snapshots exactly the FIRST 50
@@ -61,100 +62,95 @@ from market_pulse_data_pipeline_spark.queries import r22_staging  # noqa: F401, 
 # list) go to the very head, so new operators get their first witness
 # exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R15_DEFER` — new operators land
+# never-witnessed registrations (`_R16_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
 #
-# Round-14 window (VERDICT.md round 13 "Next round" #1+#3: the FULL
-# drain — the entire remaining staged backlog r20_staging +
-# r21_staging + r22_staging flips this round, backlog 9 → 0, two
-# rounds ahead of the original drain-by-round-16 schedule): the 9
-# round-14 registrations taking their FIRST driver witness at the
-# head (they landed BEFORE the window pin, so never-witnessed beats
-# stale; CORRECTNESS_r13 was 50/50 green, so no red row outranks the
-# rotation), then the 41 stalest green rows: the 39-row
-# CORRECTNESS_r08 ledger remainder (lag_lead_weekly …
-# array_functions_suite — VERDICT r13 item 3: the full r8-stale
-# remainder rotates in this round), then the first 2 rows of the r09
-# ledger head (sessionization, running_distinct_event_types). Pinned
-# literally so any registry or ledger edit that would shift the
-# driver's snapshot fails tests/test_window_composition.py loudly.
-_R14_WINDOW = [
-    # first driver witness for the nine round-14 registrations —
-    # the r20_staging batch, then r21, r22 (registration order)
-    "trigram_substring_index", "equi_depth_histogram_stats",
-    "incremental_sessionization",
-    "decayed_event_frequency", "json_schema_infer",
-    "categorical_dictionary_encode",
-    "grid_radius_join", "seasonal_naive_backtest",
-    "gazetteer_phrase_match",
-    # then the 39 remaining r8 greens (CORRECTNESS_r08 tail in
-    # ledger-insertion order: the 11 r3-positioned re-witnesses
-    # refreshed in r8, then the 28 rows entering at the r8 block)
-    "lag_lead_weekly", "regr_slope_by_event_type",
-    "value_histogram_by_event_type", "corr_quantity_price_by_flag",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue", "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_suppliers", "exact_substring_spans",
-    "label_centroid_pairwise_cosine", "session_window_native",
-    "retention_cohorts", "event_funnel_signup_purchase",
-    "media_frame_sample", "numeric_functions_suite", "zscore_outliers",
-    "bool_aggregates", "variance_by_event_type", "regex_extract_props",
-    "percentiles_by_event_type", "approx_distinct_parts",
-    "collect_sorted_event_types", "string_functions_suite",
-    "date_functions_suite", "approx_percentiles_events",
-    "full_outer_reconciliation", "array_functions_suite",
-    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
-    "kcenter_diversity_sample", "colbert_maxsim_topk",
-    "incremental_near_dup_lsh", "bpe_encode_corpus",
-    "quality_threshold_sweep", "bpe_fertility_by_lang",
-    # then the 2 stalest r9 greens (CORRECTNESS_r09 head in
-    # ledger-insertion order)
-    "sessionization", "running_distinct_event_types",
+# Round-15 window (VERDICT.md round 14 "Next round" #2+#3): the 3
+# round-15 registrations — the r23_staging batch flipping on its
+# named round (registry 298 → 301) — taking their FIRST driver
+# witness at the head (they landed BEFORE the window pin, so
+# never-witnessed beats stale; CORRECTNESS_r14 was 50/50 green, so no
+# red row outranks the rotation), then the 47 stalest green rows: the
+# 47-row head of the 48-row CORRECTNESS_r09 ledger remainder
+# (hourly_activity_bitmask … winnowing_cluster_dedup — after this
+# round exactly ONE r9-witnessed row remains,
+# boilerplate_sentence_removal, absorbed by round 16 per VERDICT r14
+# item 3). Pinned literally so any registry or ledger edit that would
+# shift the driver's snapshot fails tests/test_window_composition.py
+# loudly.
+_R15_WINDOW = [
+    # first driver witness for the three round-15 registrations —
+    # the r23_staging batch in registration order
+    "t_closeness_check", "auc_quality_classifier",
+    "unimax_epoch_cap_allocation",
+    # then the 47 stalest r9 greens (CORRECTNESS_r09 remainder in
+    # ledger-insertion order: the 42 r4-positioned re-witnesses
+    # refreshed in r9, then 5 of the 6 rows that entered the ledger
+    # at the r9 block — boilerplate_sentence_removal stays for r16)
+    "hourly_activity_bitmask", "source_mixture_weights",
+    "table_fingerprint_orders", "cdc_version_diff", "cdc_apply_changes",
+    "streaming_cdc_apply", "kmv_distinct_partkeys", "countmin_user_freq",
+    "weighted_sample_per_lang", "kmv_join_cardinality_estimate",
+    "ewma_value_10tap", "rolling_drawdown", "range_frame_7day_revenue",
+    "vwap_per_part", "bollinger_bands_20d", "twap_value_per_user",
+    "rsi_14_daily_revenue", "max_drawdown_summary",
+    "ohlc_multi_granularity", "autocorr_lag1_daily_revenue",
+    "cusum_changepoint_by_supplier", "beta_vs_market_by_supplier",
+    "quantile_normalize_value", "kwic_concordance",
+    "dedup_survivor_policy", "dedup_prefix_filter_join",
+    "matryoshka_truncation_quality", "contrastive_negative_sampling",
+    "event_type_transition_matrix", "funnel_multi_step",
+    "dow_hour_seasonality", "cohort_ltv_curve", "debounce_dedup_events",
+    "rank_functions_suite", "grouping_sets_flags",
+    "profile_columns_lineitem", "skew_heavy_hitters",
+    "streaming_dedup_watermark", "streaming_interval_join_attribution",
+    "streaming_stateful_user_stats", "streaming_static_enrich",
+    "vocab_top_tokens",
+    "ccnet_perplexity_buckets", "mixture_temperature_weights",
+    "winnowing_fingerprint_pairs", "eval_decontaminate_exact_ngrams",
+    "winnowing_cluster_dedup",
 ]
 
 # the window head: names taking their FIRST driver row this round —
-# they join _DRIVER_GREEN (round 14) at the next rotation
-_R14_FIRST_WITNESS = _R14_WINDOW[:9]
+# they join _DRIVER_GREEN (round 15) at the next rotation
+_R15_FIRST_WITNESS = _R15_WINDOW[:3]
 
-# Round-14 registrations awaiting deferral to the round-15 window per
+# Round-15 registrations awaiting deferral to the round-16 window per
 # the round-4 displacement rule (additions never displace a verified
-# window). The round-14 batches (r20_staging .. r22_staging)
-# registered BEFORE the window pin, so they head the window instead
-# of deferring; this list is for any later round-14 addition.
-_R15_DEFER: list[str] = []
+# window). The round-15 batch (r23_staging) registered BEFORE the
+# window pin, so it heads the window instead of deferring; this list
+# is for any later round-15 addition.
+_R16_DEFER: list[str] = []
 
 # stable alias for tools (check_oracle --staged, hostile_check): the
 # newest registrations still awaiting their first driver witness —
 # points at the current round's deferral list so the tools never need
 # a per-round rename again
-PENDING_FIRST_WITNESS = _R15_DEFER
+PENDING_FIRST_WITNESS = _R16_DEFER
 
 
 def staging_candidates():
     """Every staged-but-unregistered query (name -> QueryDef), merged
-    across staging modules. Round 14 executed VERDICT r13 item 1's
-    FULL drain (r20_staging .. r22_staging are now pure @register
-    modules like r9_staging) — the round-11 staged backlog is 0, two
-    rounds ahead of the original drain-by-round-16 plan. The remaining
-    staged queries are the NEW capability batches from round 13 with
-    their own named flip rounds per the round-13 handoff rule:
-    r23_staging flips round 15 (t_closeness_check,
-    auc_quality_classifier, unimax_epoch_cap_allocation) and
-    r24_staging flips round 16 (pii_cluster_contagion,
-    intra_doc_line_dedup, cross_label_margin_mining), r25_staging —
-    staged in round 14 — flips round 17 (harmonic_size_class_packing,
-    flashtext_multi_replace, prefix_sum_adaptive_switch), and
-    r26_staging — also staged in round 14 — flips round 18
+    across staging modules. Round 15 flipped r23_staging on its named
+    round (t_closeness_check, auc_quality_classifier,
+    unimax_epoch_cap_allocation — now a pure @register module like
+    r9_staging; registry 298 → 301). The remaining staged queries are
+    the capability batches from rounds 13-14 with their own named
+    flip rounds per the round-13 handoff rule: r24_staging flips
+    round 16 (pii_cluster_contagion, intra_doc_line_dedup,
+    cross_label_margin_mining), r25_staging flips round 17
+    (harmonic_size_class_packing, flashtext_multi_replace,
+    prefix_sum_adaptive_switch), r26_staging flips round 18
     (pmi_collocation_mining, cohens_kappa_agreement,
-    bootstrap_metric_ci), r27_staging — also staged in round 14 —
-    flips round 19 (group_kfold_leakage_audit, pii_redact_spans,
-    zipf_token_frequency_profile), and r28_staging — also staged in
-    round 14 — flips round 20 (heaps_vocab_growth_curve,
-    rouge_n_eval_overlap, span_match_f1); with it every remaining
-    driver round is a pure flip.
+    bootstrap_metric_ci), r27_staging flips round 19
+    (group_kfold_leakage_audit, pii_redact_spans,
+    zipf_token_frequency_profile), r28_staging flips round 20
+    (heaps_vocab_growth_curve, rouge_n_eval_overlap, span_match_f1),
+    and r29_staging — staged in round 15, the streaming-state
+    recovery witness VERDICT r14 item 4 ordered — flips round 16
+    alongside r24.
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -163,12 +159,12 @@ def staging_candidates():
 
     out = {}
     for modname in (
-        "r23_staging",
         "r24_staging",
         "r25_staging",
         "r26_staging",
         "r27_staging",
         "r28_staging",
+        "r29_staging",
     ):
         try:
             mod = importlib.import_module(
@@ -537,19 +533,54 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "top3_per_supplier", "semi_join_big_spenders", "set_ops_nations",
     "except_user_event_pairs",
 ], 13))
+_DRIVER_GREEN.update(dict.fromkeys([
+    # CORRECTNESS_r14.json — 50/50 green (the round-14 window,
+    # verbatim order: the 9 round-14 registrations taking their first
+    # driver witness — the r20_staging .. r22_staging full drain —
+    # then the 39-row r8 remainder and the 2-row r9 ledger head
+    # re-witnessed). dict.update keeps the 41 re-witnesses at their
+    # original insertion positions and appends the 9 first-witness
+    # names at the end — exactly the shape round 14's r15_rotation()
+    # pre-computed.
+    "trigram_substring_index", "equi_depth_histogram_stats",
+    "incremental_sessionization",
+    "decayed_event_frequency", "json_schema_infer",
+    "categorical_dictionary_encode",
+    "grid_radius_join", "seasonal_naive_backtest",
+    "gazetteer_phrase_match",
+    "lag_lead_weekly", "regr_slope_by_event_type",
+    "value_histogram_by_event_type", "corr_quantity_price_by_flag",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue", "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_suppliers", "exact_substring_spans",
+    "label_centroid_pairwise_cosine", "session_window_native",
+    "retention_cohorts", "event_funnel_signup_purchase",
+    "media_frame_sample", "numeric_functions_suite", "zscore_outliers",
+    "bool_aggregates", "variance_by_event_type", "regex_extract_props",
+    "percentiles_by_event_type", "approx_distinct_parts",
+    "collect_sorted_event_types", "string_functions_suite",
+    "date_functions_suite", "approx_percentiles_events",
+    "full_outer_reconciliation", "array_functions_suite",
+    "semdedup_prune", "ngram_novelty_profile", "domain_frequency_cap",
+    "kcenter_diversity_sample", "colbert_maxsim_topk",
+    "incremental_near_dup_lsh", "bpe_encode_corpus",
+    "quality_threshold_sweep", "bpe_fertility_by_lang",
+    "sessionization", "running_distinct_event_types",
+], 14))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R15_DEFER`` order — after the window, so new
+    registrations (``_R16_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R14_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R15_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R15_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R16_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -566,33 +597,33 @@ def all_queries():
 
 def stalest_green(window: int = 50) -> list[str]:
     """The stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R14_WINDOW``'s tail is
-    this round's pinned snapshot of exactly ``stalest_green(41)`` (a
-    regression test keeps them in lockstep; the window head is the 9
+    ledger-insertion order within a round. ``_R15_WINDOW``'s tail is
+    this round's pinned snapshot of exactly ``stalest_green(47)`` (a
+    regression test keeps them in lockstep; the window head is the 3
     first-witness names, which have no green row yet)."""
     order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
     stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
     return stale[:window]
 
 
-def r15_rotation(window: int = 50) -> list[str]:
-    """The proposed round-15 window under the steady-state cadence:
-    never-witnessed registrations at the head — the round-15 flip
-    batch (r23_staging: t_closeness_check, auc_quality_classifier,
-    unimax_epoch_cap_allocation, per the named-flip-round schedule)
-    once it flips to @register, via ``_R15_DEFER`` or a pre-pin window
+def r16_rotation(window: int = 50) -> list[str]:
+    """The proposed round-16 window under the steady-state cadence:
+    never-witnessed registrations at the head — the round-16 flip
+    batch (r24_staging: pii_cluster_contagion, intra_doc_line_dedup,
+    cross_label_margin_mining, per the named-flip-round schedule)
+    once it flips to @register, via ``_R16_DEFER`` or a pre-pin window
     head — then the stalest greens assuming this round's window lands
-    green (its 41 re-witnesses move to round 14 and its 9
-    first-witness names enter the ledger at round 14): the r9 ledger
-    remainder (``hourly_activity_bitmask`` …) continues the rotation.
-    Any r14 RED row outranks all of this and goes to the very front
-    instead (red beats rotation)."""
-    never = [n for n in _R15_DEFER if n in QUERY_REGISTRY]
-    after_r14 = dict(_DRIVER_GREEN)
-    # update() keeps existing positions for the 41 re-witnesses and
-    # appends the 9 first-witness names at the end in window order —
+    green (its 47 re-witnesses move to round 15 and its 3
+    first-witness names enter the ledger at round 15): the last r9
+    row (``boilerplate_sentence_removal``), then the r10 ledger head,
+    continues the rotation. Any r15 RED row outranks all of this and
+    goes to the very front instead (red beats rotation)."""
+    never = [n for n in _R16_DEFER if n in QUERY_REGISTRY]
+    after_r15 = dict(_DRIVER_GREEN)
+    # update() keeps existing positions for the 47 re-witnesses and
+    # appends the 3 first-witness names at the end in window order —
     # the same shape next round's literal ledger edit will produce
-    after_r14.update(dict.fromkeys(_R14_WINDOW, 14))
-    order = {n: i for i, n in enumerate(after_r14)}
-    stale = sorted(after_r14, key=lambda n: (after_r14[n], order[n]))
+    after_r15.update(dict.fromkeys(_R15_WINDOW, 15))
+    order = {n: i for i, n in enumerate(after_r15)}
+    stale = sorted(after_r15, key=lambda n: (after_r15[n], order[n]))
     return (never + stale)[:window]

@@ -1,14 +1,10 @@
-"""Round-23-batch staged queries — implemented, oracle-paired, NOT
-registered.
-
-Staged in round 13 (the round that executed VERDICT r12's second
-accelerated drain, flipping r16–r19). The published drain schedule
-(round 14 flips r20+r21+r22, backlog 0) is untouched — this batch is
-NEW capability with its own named flip round per the round-13 handoff
-rule ("any new capability batch gets its own named flip round"):
-**round 15**, the first round after the backlog drains.
-``staging_candidates()`` (queries/__init__.py) merges this module into
-the check_oracle --staging / hostile_check --staging sweeps.
+"""Round-15 registrations — staged and triple-gated in round 13
+(implementations, DuckDB value-hash oracles, pytest pins in
+tests/test_r23_staging.py; check_oracle --staging matched at
+sf0.001/0.01/0.1 and hostile_check --chaos --staging passed, re-gated
+on round-14 code end-of-round and again by the round-14 judge),
+registered in round 15 on this batch's named flip round per the
+round-13 handoff rule (registry 298 → 301; VERDICT round-14 item 2).
 
 The three close real gaps:
 
@@ -54,31 +50,15 @@ The three close real gaps:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_pulse_data_pipeline_spark.queries.common import (
-    QueryDef,
+    register,
     round_div,
     sql_round_div,
     t,
 )
-
-STAGED: dict[str, QueryDef] = {}
-
-
-def stage(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    """register()'s twin that fills STAGED instead of QUERY_REGISTRY —
-    the round-15 registration budget stays untouched while the
-    implementations, oracles, and tests land."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        STAGED[name] = QueryDef(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------
@@ -231,9 +211,10 @@ def t_closeness_check_from(
     )
 
 
-@stage(
+@register(
     "t_closeness_check",
     _tcl_oracle(),
+    bench=True,
     doc=f"t-closeness audit (t = {_TC_NUM}/{_TC_DEN}; Li, Li & "
     "Venkatasubramanian 2007) — the disclosure k-anonymity AND "
     "l-diversity both miss: a group whose sensitive-value "
@@ -346,7 +327,7 @@ def auc_quality_classifier_from(docs: DataFrame) -> DataFrame:
     )
 
 
-@stage(
+@register(
     "auc_quality_classifier",
     _auc_oracle(),
     doc="exact tie-aware ROC-AUC of a quality score against binary "
@@ -532,7 +513,7 @@ def unimax_epoch_cap_allocation_from(docs: DataFrame) -> DataFrame:
     )
 
 
-@stage(
+@register(
     "unimax_epoch_cap_allocation",
     _unimax_oracle(),
     doc="UniMax source sampling (Chung et al. 2023): spread a token "

@@ -39,14 +39,14 @@ def _round_div(n: int, d: int) -> float:
 
 def test_r21_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        _R14_FIRST_WITNESS,
+        _DRIVER_GREEN,
         staging_candidates,
     )
 
-    # registered in round 14 (the full drain), heading the correctness
-    # window for their first driver witness
+    # registered in round 14 (the full drain), first driver witness
+    # green in CORRECTNESS_r14 (the ledger records it)
     assert set(R21_NAMES) <= set(QUERY_REGISTRY)
-    assert set(R21_NAMES) <= set(_R14_FIRST_WITNESS)
+    assert all(_DRIVER_GREEN.get(x) == 14 for x in R21_NAMES)
     # the flip dropped the batch out of the staging tools' view
     assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())

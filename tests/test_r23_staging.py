@@ -1,14 +1,14 @@
-"""Semantic pins for the round-23-batch staged operators
-(queries/r23_staging.py — staged in round 13 as NEW capability with
-its own named flip round, round 15, after the r20-r22 drain). Oracle
-parity is covered by check_oracle --staging at sf0.001/0.01/0.1 and
-hostile_check --chaos --staging; this file keeps the invariants the
-value-hash can't express: a pure-python EMD replay with the
-violating-AND-compliant non-vacuousness pin, a pure-python sort-based
-tie-aware AUC replay against the histogram-form result (plus the
-non-degenerate 0.5 < AUC < 1 band), and the UniMax waterfill's
-exact-budget / cap-respect / max-min-fairness contracts against a
-sequential-fill replay."""
+"""Semantic pins for the round-15 registrations
+(queries/r23_staging.py — staged in round 13 as NEW capability,
+flipped to @register in round 15 on its named flip round under
+VERDICT round-14 item 2). Oracle parity is covered by the
+registry-wide tools/check_oracle.py sweep; this file keeps the
+invariants the value-hash can't express: a pure-python EMD replay
+with the violating-AND-compliant non-vacuousness pin, a pure-python
+sort-based tie-aware AUC replay against the histogram-form result
+(plus the non-degenerate 0.5 < AUC < 1 band), and the UniMax
+waterfill's exact-budget / cap-respect / max-min-fairness contracts
+against a sequential-fill replay."""
 
 from decimal import ROUND_HALF_UP, Decimal
 from fractions import Fraction
@@ -16,6 +16,7 @@ from fractions import Fraction
 import duckdb
 import pytest
 
+from market_pulse_data_pipeline_spark.queries import QUERY_REGISTRY
 from market_pulse_data_pipeline_spark.queries.r23_staging import (
     _AUC_NOISE,
     _AUC_SBUCKET,
@@ -26,7 +27,6 @@ from market_pulse_data_pipeline_spark.queries.r23_staging import (
     _UX_B_DEN,
     _UX_B_NUM,
     _UX_CAP_DEN,
-    STAGED,
 )
 
 R23_NAMES = [
@@ -35,17 +35,21 @@ R23_NAMES = [
     "unimax_epoch_cap_allocation",
 ]
 
+STAGED = {n: QUERY_REGISTRY[n] for n in R23_NAMES if n in QUERY_REGISTRY}
 
-def test_r23_staging_composition():
+
+def test_r23_registration_composition():
     from market_pulse_data_pipeline_spark.queries import (
-        QUERY_REGISTRY,
+        _R15_FIRST_WITNESS,
         staging_candidates,
     )
 
-    assert list(STAGED) == R23_NAMES
-    # staged, NOT registered: the round-15 flip owns the registration
-    assert not set(STAGED) & set(QUERY_REGISTRY)
-    assert set(STAGED) <= staging_candidates().keys()
+    # registered in round 15 (the named flip round), heading the
+    # correctness window for their first driver witness
+    assert set(R23_NAMES) <= set(QUERY_REGISTRY)
+    assert set(R23_NAMES) <= set(_R15_FIRST_WITNESS)
+    # the flip dropped the batch out of the staging tools' view
+    assert not set(STAGED) & staging_candidates().keys()
     assert all(d.oracle is not None for d in STAGED.values())
 
 
