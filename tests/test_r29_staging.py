@@ -1,0 +1,201 @@
+"""Semantic pins for the round-29-batch staged operators
+(queries/r29_staging.py — the streaming-state recovery witnesses
+VERDICT round-14 item 4 ordered; staged in round 15, named flip round
+16 alongside r24_staging). Oracle parity is covered by
+check_oracle --staging at sf0.001/0.01/0.1 and
+hostile_check --chaos --staging; this file keeps the invariants the
+value-hash can't express: that the dedup witness's cross-run key
+overlap is genuinely non-empty (state recovery MATTERED, the run was
+not vacuously split), that the recovered output equals an
+UNINTERRUPTED single run literally, that checkpointed state actually
+reached disk, that the planted crash fired and its batch replayed
+exactly once, and that per-user counts are cumulative ACROSS the
+crash boundary (continuation, not restart-from-zero)."""
+
+import os
+
+import duckdb
+import pytest
+
+from market_pulse_data_pipeline_spark.queries.r29_staging import (
+    _CRASH_BATCH,
+    _DD_MOD,
+    _R29_ROOT,
+    _SS_MOD,
+    _SS_REM,
+    STAGED,
+)
+
+R29_NAMES = [
+    "streaming_dedup_state_recovery",
+    "streaming_stateful_crash_recovery",
+]
+
+
+def test_r29_staging_composition():
+    from market_pulse_data_pipeline_spark.queries import (
+        QUERY_REGISTRY,
+        staging_candidates,
+    )
+
+    assert list(STAGED) == R29_NAMES
+    # staged, NOT registered: the round-16 flip owns the registration
+    assert not set(STAGED) & set(QUERY_REGISTRY)
+    assert set(STAGED) <= staging_candidates().keys()
+    assert all(d.oracle is not None for d in STAGED.values())
+
+
+@pytest.mark.parametrize("name", R29_NAMES)
+def test_r29_plan_antipatterns(spark, sf_dir, name):
+    df = STAGED[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+
+
+# --------------------------------------------------------------------
+# streaming_dedup_state_recovery
+# --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dedup_rows(spark, sf_dir):
+    df = STAGED["streaming_dedup_state_recovery"].spark(spark, sf_dir)
+    return [(r.user_id, r.event_type) for r in df.collect()]
+
+
+def test_dedup_recovery_multiplicity_and_set(dedup_rows, sf_dir):
+    # one row per key: lost dedup state would re-emit run-1 keys in
+    # run 2 and duplicate rows here
+    assert len(dedup_rows) == len(set(dedup_rows))
+    expected = duckdb.sql(
+        f"SELECT DISTINCT user_id, event_type FROM "
+        f"read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE user_id % {_DD_MOD} = 0"
+    ).fetchall()
+    assert sorted(dedup_rows) == sorted(expected)
+
+
+def test_dedup_recovery_nonvacuous_and_state_on_disk(
+    spark, dedup_rows
+):
+    root = os.path.join(_R29_ROOT, "dedup")
+    src = os.path.join(root, "src")
+    files = sorted(
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    half = (len(files) + 1) // 2
+    assert half >= 1 and len(files) > half  # both tranches non-empty
+
+    def keys(paths):
+        return {
+            (r.user_id, r.event_type)
+            for r in spark.read.parquet(*paths)
+            .select("user_id", "event_type")
+            .distinct()
+            .collect()
+        }
+
+    # run 2 re-presented keys run 1 already emitted: the suppression
+    # of exactly these keys is what the recovered state buys — empty
+    # overlap would make the witness vacuous
+    overlap = keys(files[:half]) & keys(files[half:])
+    assert overlap
+    # the dedup state store actually persisted under the checkpoint
+    # (what run 2 reloaded)
+    state_dir = os.path.join(root, "ckpt", "state")
+    assert os.path.isdir(state_dir)
+    assert any(fs for _, _, fs in os.walk(state_dir))
+
+
+def test_dedup_recovery_equals_uninterrupted_run(
+    spark, dedup_rows, tmp_path
+):
+    # VERDICT r14 item 4 verbatim: the recovered output must equal
+    # the uninterrupted run — same feed, ONE query, fresh checkpoint
+    root = os.path.join(_R29_ROOT, "dedup")
+    src = os.path.join(root, "src")
+    schema = spark.read.parquet(src).schema
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    uninterrupted = [
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(sink).collect()
+    ]
+    assert sorted(dedup_rows) == sorted(uninterrupted)
+
+
+# --------------------------------------------------------------------
+# streaming_stateful_crash_recovery
+# --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def crash_result(spark, sf_dir):
+    df = STAGED["streaming_stateful_crash_recovery"].spark(spark, sf_dir)
+    final = {r.user_id: r.n_events for r in df.collect()}
+    capture = spark.read.parquet(os.path.join(_R29_ROOT, "stateful", "capture"))
+    updates = [
+        (r.user_id, r.batch_id, r.n_events) for r in capture.collect()
+    ]
+    return final, updates
+
+
+def test_crash_fired_and_batch_replayed_exactly_once(crash_result):
+    final, updates = crash_result
+    batches = {b for _, b, _ in updates}
+    # the planted crash fired mid-stream: batches exist on BOTH sides
+    # of the crash point, and the crashed batch itself was replayed
+    # (present in the capture exactly once per touched user)
+    assert any(b < _CRASH_BATCH for b in batches)
+    assert _CRASH_BATCH in batches
+    assert any(b > _CRASH_BATCH for b in batches)
+    seen = [(u, b) for u, b, _ in updates]
+    assert len(seen) == len(set(seen))  # no double-committed update
+
+
+def test_crash_recovery_counts_are_cumulative(crash_result):
+    final, updates = crash_result
+    # per user, n_events ordered by batch_id strictly increases —
+    # the state CONTINUED across the crash; a restart-from-zero would
+    # break monotonicity (or undershoot the final count below)
+    per_user: dict = {}
+    for u, b, n in updates:
+        per_user.setdefault(u, []).append((b, n))
+    crossing = 0
+    for u, seq in per_user.items():
+        seq.sort()
+        counts = [n for _, n in seq]
+        assert counts == sorted(set(counts)), f"user {u} not cumulative"
+        if seq[0][0] < _CRASH_BATCH <= seq[-1][0]:
+            crossing += 1
+    # non-vacuous: at least one user's state genuinely crossed the
+    # crash boundary (had updates before AND at-or-after it)
+    assert crossing >= 1
+
+
+def test_crash_recovery_final_counts_match_batch(crash_result, sf_dir):
+    final, _ = crash_result
+    expected = dict(
+        duckdb.sql(
+            f"SELECT user_id, COUNT(*) FROM "
+            f"read_parquet('{sf_dir}/events.parquet') "
+            f"WHERE user_id % {_SS_MOD} = {_SS_REM} GROUP BY user_id"
+        ).fetchall()
+    )
+    assert final == expected

@@ -3173,6 +3173,74 @@ def main() -> int:
         )
         run("span_f1", span_match_f1_from(docs_sp))
 
+    # Streaming dedup-state recovery (staged r15 for round 16): keys
+    # multiply (user offset), so the dropDuplicatesWithinWatermark
+    # state store grows linearly with the multiplier — the honest
+    # worst case for recovery, which must reload state, never
+    # reprocess history. Timed around the WHOLE two-run protocol
+    # (feed write + run 1 + restart + run 2), since the streaming work
+    # is eager inside the call.
+    if only is None or "dedup_recovery" in only:
+        from market_pulse_data_pipeline_spark.queries.r29_staging import (
+            _DD_MOD,
+            streaming_dedup_state_recovery_from,
+        )
+
+        ev_dd = mat(
+            multiplied(
+                load_table(spark, args.sf, "events")
+                .filter(F.col("user_id") % _DD_MOD == 0)
+                .select("user_id", "event_type", "ts"),
+                args.mult,
+                ["user_id"],
+            ),
+            "events_dedup_rec",
+        )
+        t0_dd = time.time()
+        out_dd = streaming_dedup_state_recovery_from(
+            ev_dd, f"/tmp/stress_r29_dedup_mult{args.mult}"
+        )
+        rows["dedup_recovery"] = out_dd.count()
+        timings["dedup_recovery"] = round(time.time() - t0_dd, 2)
+        print(
+            f"  dedup_recovery               rows={rows['dedup_recovery']:>10}"
+            f" [{timings['dedup_recovery']:.1f}s]",
+            file=sys.stderr,
+        )
+
+    # Streaming stateful crash recovery (staged r15 for round 16):
+    # users (= GroupState entries) multiply; the crash/WAL-replay
+    # protocol must stay linear in events with per-batch state
+    # commits. Timed around the whole crash + restart sequence.
+    if only is None or "crash_recovery" in only:
+        from market_pulse_data_pipeline_spark.queries.r29_staging import (
+            _SS_MOD,
+            _SS_REM,
+            streaming_stateful_crash_recovery_from,
+        )
+
+        ev_ss = mat(
+            multiplied(
+                load_table(spark, args.sf, "events")
+                .filter(F.col("user_id") % _SS_MOD == _SS_REM)
+                .select("user_id", "ts", "value"),
+                args.mult,
+                ["user_id"],
+            ),
+            "events_crash_rec",
+        )
+        t0_ss = time.time()
+        out_ss = streaming_stateful_crash_recovery_from(
+            ev_ss, f"/tmp/stress_r29_stateful_mult{args.mult}"
+        )
+        rows["crash_recovery"] = out_ss.count()
+        timings["crash_recovery"] = round(time.time() - t0_ss, 2)
+        print(
+            f"  crash_recovery               rows={rows['crash_recovery']:>10}"
+            f" [{timings['crash_recovery']:.1f}s]",
+            file=sys.stderr,
+        )
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
