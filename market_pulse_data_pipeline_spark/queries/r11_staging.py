@@ -210,12 +210,20 @@ def paragraph_simhash_near_dups(
             F.lit(0).cast("long")
         )
         bit_terms = term if bit_terms is None else bit_terms + term
+    # cache: both sides of the pigeonhole self-join below consume the
+    # signature table, and the 60 per-bit md5 vote folds are by far
+    # the dominant cost — uncached, each join side re-runs the whole
+    # signature pipeline (audited 6→3 scans — docs + the two plant
+    # branches now scan once; same-session A/B 3.9→2.2 s min-of-4 at
+    # sf0.1). Spill-able MEMORY_AND_DISK at
+    # ~24 bytes/paragraph, the same discipline as the MinHash
+    # signature cache (functions/dedup.py:242-247).
     sig = paras.select("doc_id", "para_id", hs.alias("hs")).select(
         "doc_id",
         "para_id",
         (F.col("doc_id") * 1000 + F.col("para_id")).alias("pkey"),
         bit_terms.alias("sim"),
-    )
+    ).cache()
     cw = _PH_BITS // _PH_CHUNKS
     chunks = sig.select(
         "doc_id",

@@ -140,10 +140,19 @@ def t_closeness_check_from(
         F.col("o_orderpriority").alias("pr"),
     )
     # the ONLY corpus-sized aggregate; every later frame is bounded by
-    # QI-domain x sensitive-domain
-    grp = j.groupBy(
-        "c_nationkey", "c_mktsegment", "bal_bucket", "pr"
-    ).agg(F.count(F.lit(1)).alias("gcnt"))
+    # QI-domain x sensitive-domain. localCheckpoint folds the plan so
+    # the customer⋈orders join + aggregate runs ONCE — grp feeds three
+    # consumers (gl, gsz, dense's left join) and without the fold each
+    # re-derives it from the base scans (audited 11→9 exchanges,
+    # 8→2 scans, 6→3 broadcasts; the survivors are all QI-bounded
+    # post-checkpoint frames). The frame is QI×sensitive-domain bounded
+    # (~6.5k rows at sf0.1), so the checkpoint is model-sized state;
+    # blocks release with the reference.
+    grp = (
+        j.groupBy("c_nationkey", "c_mktsegment", "bal_bucket", "pr")
+        .agg(F.count(F.lit(1)).alias("gcnt"))
+        .localCheckpoint(eager=True)
+    )
     gl = grp.groupBy("pr").agg(F.sum("gcnt").alias("n"))
     gtot = gl.agg(
         F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("m")
