@@ -8,7 +8,9 @@ value-hash can't express: that the dedup witness's cross-run key
 overlap is genuinely non-empty (state recovery MATTERED, the run was
 not vacuously split), that the recovered output equals an
 UNINTERRUPTED single run literally, that checkpointed state actually
-reached disk, that the planted crash fired and its batch replayed
+reached disk, that the FINAL recovered state store holds exactly one
+entry per emitted key (read back directly via Spark 4's `statestore`
+data source), that the planted crash fired and its batch replayed
 exactly once, and that per-user counts are cumulative ACROSS the
 crash boundary (continuation, not restart-from-zero)."""
 
@@ -108,6 +110,24 @@ def test_dedup_recovery_nonvacuous_and_state_on_disk(
     state_dir = os.path.join(root, "ckpt", "state")
     assert os.path.isdir(state_dir)
     assert any(fs for _, _, fs in os.walk(state_dir))
+
+
+def test_dedup_recovery_state_store_is_one_entry_per_key(
+    spark, dedup_rows
+):
+    # Direct introspection via Spark 4's state-store reader: the FINAL
+    # recovered-and-drained dedup state must hold exactly one entry
+    # per emitted key — the run-2 query wrote into the SAME store run
+    # 1 built, so a reload failure would show here as missing run-1
+    # keys (state rebuilt from scratch) or as divergence from the sink.
+    ckpt = os.path.join(_R29_ROOT, "dedup", "ckpt")
+    state = spark.read.format("statestore").load(ckpt)
+    keys = [
+        (r.user_id, r.event_type)
+        for r in state.select("key.*").collect()
+    ]
+    assert len(keys) == len(set(keys))
+    assert sorted(keys) == sorted(dedup_rows)
 
 
 def test_dedup_recovery_equals_uninterrupted_run(
