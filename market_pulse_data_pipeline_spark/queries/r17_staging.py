@@ -167,6 +167,11 @@ def semdedup_scaled_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
+    # materialize the assignment once for its three consumers (pair
+    # join sides + final left join) — see semdedup_prune; at scaled k
+    # the per-row k x dim argmin is the dominant cost, so re-running
+    # it per consumer triples the query's compute
+    qv = qv.localCheckpoint(eager=True)
     a = qv.select(
         F.col("vec_id").alias("id_a"),
         F.col("cluster").alias("cl_a"),

@@ -174,6 +174,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
+    # qv feeds BOTH sides of the within-cluster pair join AND the
+    # final left join; un-materialized, each of the three consumers
+    # re-runs the Arrow-batched centroid assignment over the
+    # checkpointed quantized vectors. Materialize the assignment once
+    # (the kmeans_snapped_fit src discipline — localCheckpoint, so the
+    # blocks release on GC); footprint = one (cluster, v, n2) row per
+    # vector, the same order as the src checkpoint the fit already
+    # holds.
+    qv = qv.localCheckpoint(eager=True)
     a = qv.select(
         F.col("vec_id").alias("id_a"),
         F.col("cluster").alias("cl_a"),
