@@ -32,8 +32,12 @@ ANN-quality witness the registry previously lacked).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from market_pulse_data_pipeline_spark.queries.common import (
     register,
@@ -124,12 +128,14 @@ def _esem_oracle() -> str:
     "(MUST flag — cosine is scale-free, so a dot threshold would "
     "miss them), negated copies (dot < 0, MUST NOT flag). 100 TB "
     "shape: the eval set is bounded by definition, so its quantized "
-    "vectors ship as a LITERAL array inside the expression (the "
-    "colbert_maxsim broadcast discipline) — the corpus side is ONE "
-    "map-only pass (explode literal + zip_with fold), zero shuffle, "
-    "nothing collected but the eval set itself; for eval suites past "
-    "~10k vectors, pre-block with the registered ann_lsh/ann_ivf "
-    "machinery exactly as README documents for SemDeDup.",
+    "(E x dim) int64 matrix ships inside the Arrow-batched dot UDF "
+    "closure (the brute_cosine broadcast-matmul discipline; numpy "
+    "int64 matmul is exact, |dot| <= 64e12 << 2^63) — the corpus "
+    "side is ONE map-only pass, zero shuffle, nothing collected but "
+    "the eval set itself; the decimal(38) threshold filter stays "
+    "JVM-side. For eval suites past ~10k vectors, pre-block with the "
+    "registered ann_lsh/ann_ivf machinery exactly as README "
+    "documents for SemDeDup.",
 )
 def eval_decontaminate_semantic(
     spark: SparkSession, sf_dir: str
@@ -168,22 +174,32 @@ def eval_decontaminate_semantic(
         col, lambda x: F.round(x.cast("double") * _ES_SCALE).cast("long")
     )
     # the eval side is bounded by definition: collect its quantized
-    # vectors and ship them as ONE literal array of structs — the
-    # corpus never joins, it folds map-side against the literal
+    # vectors and ship the (E x dim) int64 matrix inside the Arrow UDF
+    # closure — the corpus never joins, it folds map-side against the
+    # broadcast matrix. numpy int64 matmul is exact modular integer
+    # arithmetic and |dot| <= dim * scale^2 = 64e12 << 2^63, so the
+    # exact-integer contract holds bit-for-bit; the decimal(38)
+    # threshold square stays JVM-side below. (This replaced a literal
+    # array-of-structs expression whose E x dim F.lit tree cost more
+    # in py4j construction + interpreted zip_with evaluation than the
+    # whole data pass: isolated min-of-4 at sf0.1 4.28 -> 1.41 s.)
     ev_rows = sorted(
         evs.select("vec_id", quant(F.col("embedding")).alias("q")).collect(),
         key=lambda r: r["vec_id"],
     )
-    ev_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["vec_id"])).alias("eid"),
-                F.array(*[F.lit(int(c)) for c in r["q"]]).alias("ev"),
-                F.lit(int(sum(c * c for c in r["q"]))).alias("en2"),
-            )
-            for r in ev_rows
-        ]
+    ev_mat = np.array([[int(c) for c in r["q"]] for r in ev_rows], np.int64)
+    eid_lit = F.array(*[F.lit(int(r["vec_id"])) for r in ev_rows])
+    en2_lit = F.array(
+        *[F.lit(int(v)) for v in (ev_mat * ev_mat).sum(axis=1)]
     )
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _eval_dots(tv: pd.Series) -> pd.Series:
+        if len(tv) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(tv.to_numpy()).astype(np.int64)
+        return pd.Series(list(x @ ev_mat.T))
+
     tq = fan_out(
         train.select("vec_id", quant(F.col("embedding")).alias("tv"))
     ).withColumn(
@@ -195,17 +211,13 @@ def eval_decontaminate_semantic(
         ),
     )
     pairs = tq.select(
-        "vec_id", "tv", "tn2", F.explode(ev_lit).alias("e")
+        "vec_id", "tn2", F.posexplode(_eval_dots("tv")).alias("pos", "dot")
     ).select(
         "vec_id",
-        F.col("e.eid").alias("eval_vec_id"),
-        F.aggregate(
-            F.zip_with("tv", F.col("e.ev"), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dot"),
+        F.element_at(eid_lit, F.col("pos") + 1).alias("eval_vec_id"),
+        "dot",
         "tn2",
-        F.col("e.en2").alias("en2"),
+        F.element_at(en2_lit, F.col("pos") + 1).alias("en2"),
     )
     dec = "decimal(38,0)"
     flagged = pairs.filter(
