@@ -178,8 +178,12 @@ def minhash_signatures_from_hashes(
     minhash_lsh_near_dups). Arithmetic
     is bit-identical — h ∈ [0, M), a < M = 2^31 - 1 keeps every
     product below 2^62, inside exact int64 on both engines. Null or
-    empty shingle arrays yield null signatures (``array_min``
-    semantics). The kernel processes each Arrow batch in row chunks
+    empty shingle arrays yield a null signature (the JVM expression
+    produced an array of per-permutation nulls; no pipeline consumer
+    sees either, because shingling filters ``size(ws) >= n`` —
+    equivalence pinned in tests/test_scale_paths.py::
+    test_signature_kernel_matches_jvm_expression). The kernel
+    processes each Arrow batch in row chunks
     bounded by ``_SIG_CHUNK_ELEMS`` projected elements, so peak
     memory per task is ~64 MB regardless of batch size."""
     params = _perm_params(num_perm, seed)

@@ -182,3 +182,57 @@ def test_lsh_query_sig_matches_executor_sigs(spark, sf_dir):
         assert query_sig([float(x) for x in r.embedding]) == r.lsh_sig, (
             f"driver/executor sig divergence at vec_id={r.vec_id}"
         )
+
+
+def test_signature_kernel_matches_jvm_expression(spark, monkeypatch):
+    # the Arrow-batched permutation-min kernel replaced a JVM
+    # per-permutation array_min(transform(...)) projection on the
+    # bit-identical-arithmetic argument (products < 2^62 with
+    # M = 2^31 - 1); this pins the equivalence on fuzzed hash arrays —
+    # including null rows, empty arrays, singletons, and rows larger
+    # than a kernel chunk — under BOTH chunking extremes
+    import random as pyrandom
+
+    from market_pulse_data_pipeline_spark.functions import dedup as dd
+
+    rng = pyrandom.Random(20260816)
+    rows = [(0, None), (1, []), (2, [rng.randrange(dd._MERSENNE)])]
+    rows += [
+        (i, [rng.randrange(dd._MERSENNE) for _ in range(rng.randrange(1, 9))])
+        for i in range(3, 40)
+    ]
+    rows.append((40, [rng.randrange(dd._MERSENNE) for _ in range(300)]))
+    df = spark.createDataFrame(rows, "doc_id long, hs array<long>")
+
+    jvm_sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hs",
+                    lambda h: F.pmod(
+                        F.lit(a) * h + F.lit(b), F.lit(dd._MERSENNE)
+                    ),
+                )
+            )
+            for (a, b) in dd._perm_params(64, 42)
+        ]
+    )
+    expected = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", jvm_sig.alias("sig")).collect()
+    }
+    # JVM array_min([]) is null per element; the kernel yields a null
+    # SIGNATURE for empty/null inputs — normalize the all-null case
+    expected = {
+        k: (None if v is not None and all(x is None for x in v) else v)
+        for k, v in expected.items()
+    }
+
+    for chunk_elems in (1, 1 << 23):
+        monkeypatch.setattr(dd, "_SIG_CHUNK_ELEMS", chunk_elems)
+        got = {
+            r["doc_id"]: (None if r["sig"] is None else list(r["sig"]))
+            for r in dd.minhash_signatures_from_hashes(df, "hs", 64, 42)
+            .collect()
+        }
+        assert got == expected, f"divergence at chunk_elems={chunk_elems}"
