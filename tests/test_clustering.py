@@ -199,3 +199,32 @@ def test_pq_adc_recall(spark, emb, emb_np):
     assert recall >= 0.5, (recall, got, list(exact))
     # the probe vector itself (distance 0) must always be recalled
     assert exact[0] in got
+
+
+def test_pq_snapped_fused_equals_sequential_subspace_fits(spark, emb):
+    # pq_train_snapped fuses the m per-subspace Lloyd fits into one
+    # loop; the books must stay BIT-IDENTICAL to m sequential
+    # kmeans_snapped_fit calls over the subvector slices (the form the
+    # DuckDB oracle unrolls) — int64 sums are combination-order-
+    # independent and each subspace's init/argmin inputs are unchanged,
+    # so any divergence is a bug in the fusion
+    from pyspark.sql import functions as F
+
+    from market_pulse_data_pipeline_spark.functions.clustering import (
+        kmeans_snapped_fit,
+        pq_train_snapped,
+    )
+
+    m, k, iters = 8, 16, 3
+    fused = pq_train_snapped(emb, m=m, k=k, iters=iters)
+    first = emb.select("embedding").head()
+    sub = len(first[0]) // m
+    for j in range(m):
+        sl = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), j * sub + 1, sub).alias("subvec"),
+        )
+        _, cent = kmeans_snapped_fit(
+            sl, k, iters, id_col="vec_id", vec_col="subvec"
+        )
+        assert (fused[j] == cent).all(), f"subspace {j} diverged"
