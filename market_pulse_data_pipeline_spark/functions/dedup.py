@@ -138,7 +138,7 @@ def hashed_shingle_arrays(
 ) -> DataFrame:
     """(doc_id, hs array<bigint>) — word n-gram shingles hashed to
     int64 in one map-only pass. The int arrays are the shareable
-    intermediate: signatures (array_min over permutations) AND exact
+    intermediate: signatures (the Arrow permutation-min kernel) AND exact
     set verification (array_intersect / array_distinct) both consume
     them, so a caller caches ~8 bytes per shingle instead of the
     shingle strings, and the string shingles are materialized exactly
@@ -235,8 +235,8 @@ def minhash_signatures_maponly(
     seed: int = 42,
 ) -> DataFrame:
     """Shuffle-FREE signatures: the whole doc→signature computation is one
-    projection — shingle array → hash array → per-permutation
-    array_min(transform(...)). Identical output to minhash_signatures
+    map-only projection — shingle array → hash array (JVM) → the Arrow
+    permutation-min kernel. Identical output to minhash_signatures
     (min over a multiset == min over its set), but map-only: at 100 TB
     there is no exploded shingle shuffle at all."""
     return minhash_signatures_from_hashes(

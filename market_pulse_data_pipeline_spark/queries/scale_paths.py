@@ -134,7 +134,8 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection runs on all cores, not the single-split scan's tasks
     hsh = hashed_shingle_arrays(fan_out(docs), "text", 3).cache()
     # sig cached too: the banded self-join consumes it on both sides,
-    # and the 64-permutation projection is the expensive stage
+    # and the 64-permutation kernel pass is the next-most-expensive
+    # stage after shingle hashing
     sig = minhash_signatures_from_hashes(hsh, "hs", 64, 42).cache()
     cand = lsh_candidate_pairs(sig, num_perm=64, bands=16)
     # exact verification over candidate pairs only: JVM-side array
