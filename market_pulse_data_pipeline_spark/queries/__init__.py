@@ -148,9 +148,12 @@ def staging_candidates():
     (group_kfold_leakage_audit, pii_redact_spans,
     zipf_token_frequency_profile), r28_staging flips round 20
     (heaps_vocab_growth_curve, rouge_n_eval_overlap, span_match_f1),
-    and r29_staging — staged in round 15, the streaming-state
+    r29_staging — staged in round 15, the streaming-state
     recovery witness VERDICT r14 item 4 ordered — flips round 16
-    alongside r24.
+    alongside r24, and r30_staging — staged in the round-15 surplus
+    session, closing VERDICT r14 "What's missing" 5 (ROUGE-L/LCS with
+    a FULL value-hash oracle via a DuckDB recursive CTE, so the
+    zero-rows-only invariant holds) — flips round 17 alongside r25.
     Filtering on QUERY_REGISTRY makes the per-round @stage ->
     @register flip drop a batch out of this view automatically.
     Stable entry point for check_oracle --staging /
@@ -165,6 +168,7 @@ def staging_candidates():
         "r27_staging",
         "r28_staging",
         "r29_staging",
+        "r30_staging",
     ):
         try:
             mod = importlib.import_module(

@@ -3241,6 +3241,27 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # ROUGE-L / LCS (staged r15-surplus for round 17): per-pair O(n*m)
+    # int64 DP inside one map-only Arrow pass — cost must be linear in
+    # PAIRS (document lengths are bounded), never corpus-quadratic.
+    if only is None or "rouge_l_eval" in only:
+        from market_pulse_data_pipeline_spark.queries.r30_staging import (
+            _RL_EVAL_MOD,
+            rouge_l_eval_overlap_from,
+        )
+
+        refs_rl = mat(
+            multiplied(
+                load_table(spark, args.sf, "documents")
+                .filter(F.col("doc_id") % _RL_EVAL_MOD == 0)
+                .select("doc_id", "text"),
+                args.mult,
+                ["doc_id"],
+            ),
+            "docs_rouge_l",
+        )
+        run("rouge_l_eval", rouge_l_eval_overlap_from(refs_rl))
+
     print(json.dumps({"mult": args.mult, "rows": rows, "seconds": timings}))
     return 0
 
