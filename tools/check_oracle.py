@@ -17,6 +17,10 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: the warm-up pandas_udf's string
+# annotations (PEP 563) are resolved against module globals by
+# pyspark's type-hint inference (the bench.py discipline)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
@@ -183,6 +187,35 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
     if args.window:
         only = set(list(qs)[:50]) | (only or set())
+
+    # Warm-up (not timed, bench.py's discipline): JVM codegen + parquet
+    # footer caches via a relational pass, and the Python worker pool +
+    # Arrow path via a trivial pandas_udf — otherwise whichever query
+    # runs FIRST absorbs the whole session cold start and its printed
+    # time reads several times its true cost (t_closeness_check read
+    # 6.9 s at the head of a full gate vs 1.07 s warm).
+    try:
+        from pyspark.sql import functions as _F  # noqa: PLC0415
+        from pyspark.sql.functions import pandas_udf as _pudf  # noqa: PLC0415
+
+        spark.read.parquet(f"{args.sf}/orders.parquet").groupBy(
+            "o_orderstatus"
+        ).count().write.mode("overwrite").format("noop").save()
+
+        @_pudf("double")
+        def _warm_py(s: pd.Series) -> pd.Series:
+            return s * 1.0
+
+        (
+            spark.range(32_000)
+            .repartition(32)
+            .select(_warm_py(_F.col("id").cast("double")).alias("v"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+    except Exception:
+        pass  # warm-up is best-effort; the gate itself must not break
 
     failures = []
     for name, fn in qs.items():
