@@ -83,6 +83,30 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Keyed twin of ``fan_out`` for aggregation/window inputs: when the
+    input arrived under-partitioned, hash-repartition on ``cols`` instead
+    of round-robin. Two wins over round-robin (guide §2.4/§2.5, measured
+    on the sf0.1 single-split fixture): the map side skips the
+    determinism sort every keyless ``repartition(n)`` pays
+    (``spark.sql.execution.sortBeforeRepartition``), and when ``cols``
+    is a subset of the downstream groupBy/window/join keys the ONE
+    exchange satisfies that operator's required distribution, so the
+    plan keeps a single Exchange (weekly_rollup 2.26 -> 0.76 s min-of-3).
+
+    Same no-op contract as ``fan_out``: already-wide inputs (a real
+    many-split corpus) and probe-less sessions pass through unchanged,
+    so at scale the normal partial-aggregate-before-shuffle plan is
+    untouched. Results are partitioning-invariant by construction
+    (hash partitioning is deterministic per row — no RDD-order
+    dependence at all, unlike round-robin)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = _probe_partitions(df)
+    if n_parts is not None and n_parts < target:
+        return df.repartition(target, *cols)
+    return df
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [

@@ -43,7 +43,15 @@ _LANGS = ["de", "en", "es", "fr", "zh"]
     "pre-aggregated to daily so the frame ordering is unique → deterministic",
 )
 def rolling_avg_7rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out_by,
+    )
+
+    # fan_out_by(l_suppkey): parallelizes the single-split fixture scan's
+    # daily aggregate AND satisfies both the groupBy and the window's
+    # required distribution — one Exchange total. No-op on a many-split
+    # corpus (see fan_out_by).
+    li = fan_out_by(t(spark, sf_dir, "lineitem"), "l_suppkey")
     daily = li.groupBy(
         "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
     ).agg(
@@ -206,9 +214,16 @@ def except_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grid, plus high/low/total — all one hash-aggregate pass",
 )
 def weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out_by,
+    )
     from market_pulse_data_pipeline_spark.functions.scalars import week_start  # noqa: PLC0415
 
-    li = t(spark, sf_dir, "lineitem")
+    # fan_out_by(l_suppkey): one exchange serves both aggregates (daily
+    # and weekly group keys each contain l_suppkey); the single-split
+    # fixture scan otherwise aggregates on one core. No-op when the
+    # input arrives many-split.
+    li = fan_out_by(t(spark, sf_dir, "lineitem"), "l_suppkey")
     daily = li.groupBy(
         "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
     ).agg(
@@ -1249,7 +1264,14 @@ def hourly_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_avg_7rows.",
 )
 def range_frame_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out_by,
+    )
+
+    # fan_out_by(l_suppkey): one exchange serves the daily aggregate and
+    # the supplier-partitioned RANGE window (see fan_out_by; no-op on a
+    # many-split corpus).
+    li = fan_out_by(t(spark, sf_dir, "lineitem"), "l_suppkey")
     daily = (
         li.groupBy(
             "l_suppkey",

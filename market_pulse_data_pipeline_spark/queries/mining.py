@@ -77,18 +77,32 @@ _MIN_SUPPORT = 5
     "engines emit identical doubles.",
 )
 def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out_by,
+    )
+
+    # fan_out_by(l_orderkey): the exchange both spreads the single-split
+    # fixture scan AND satisfies the basket groupBy's distribution, so
+    # the collect_set aggregate runs parallel after ONE exchange (no-op
+    # on a many-split corpus).
+    li = fan_out_by(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # ONE shuffle total: collect each basket's distinct sorted brand set
     # (collect_set dedups in the aggregate), then generate the C(k,2)
     # pairs as a map-side array expression — no items self-join. The
     # oracle keeps the self-join formulation; results are identical.
+    # localCheckpoint rather than cache(): consumed 3x (pair gen,
+    # marginals, basket total) — the blocks release when the DataFrame
+    # is garbage-collected instead of pinning executor storage for the
+    # session lifetime (the r15 kmeans-fit discipline).
     baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-        .cache()  # consumed 3x (pair gen, marginals, basket total):
-        # without it each consumer re-runs the join+collect_set shuffle
+        .localCheckpoint(eager=True)
     )
     bs = F.col("bs")
     pair_arr = F.flatten(

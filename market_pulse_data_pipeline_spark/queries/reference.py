@@ -43,7 +43,15 @@ from market_pulse_data_pipeline_spark.queries.common import (
     "(agg_weekly_prices.sql:3-9)",
 )
 def weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out_by,
+    )
+
+    # fan_out_by on the group key: the single-split fixture scan
+    # otherwise runs the whole partial aggregate on one core, and the
+    # suppkey exchange doubles as the groupBy's required distribution
+    # (ONE Exchange in the plan). No-op on a many-split corpus.
+    li = fan_out_by(t(spark, sf_dir, "lineitem"), "l_suppkey")
     return li.groupBy(
         F.col("l_suppkey").alias("supp_key"),
         week_start(F.col("l_shipdate")).alias("week_start"),

@@ -40,7 +40,16 @@ _REVENUE = "l_extendedprice * (1 - l_discount)"
     doc="full-scan groupBy-agg with derived expressions (TPC-H Q1 shape)",
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out_by,
+    )
+
+    # fan_out_by: the group key is too coarse (R/F x O/F) to spread, so
+    # the key is l_orderkey — the single-split fixture scan otherwise
+    # runs the 8-function decimal partial aggregate on one core; the
+    # hash exchange skips round-robin's determinism sort. No-op on a
+    # many-split corpus.
+    li = fan_out_by(t(spark, sf_dir, "lineitem"), "l_orderkey")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
@@ -214,6 +223,10 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
     )
+    # fan_out_by was A/B-rejected here (r16): the returnflag filter cuts
+    # the scan to ~150k rows and every join side broadcasts, so the
+    # exchange cost exceeded the parallelism win (0.32 -> 0.62 s
+    # interleaved min-of-5).
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = t(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -287,6 +300,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
+    # fan_out_by was A/B-rejected here (r16): every dim broadcasts, so
+    # the single-split map side is just scan + codegen'd hash probes —
+    # the added exchange measured 0.51 -> 0.73 s interleaved min-of-5.
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
@@ -1047,6 +1063,11 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correlations, so both engines count identical multiplicities.",
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out_by and a late-set localCheckpoint were both A/B-rejected
+    # here (r16): the EXISTS probe side broadcasts (64 MB threshold), so
+    # the plain plan has no orderkey exchange for a keyed repartition to
+    # absorb — fan_out_by measured 1.23 -> 2.11 s, the checkpoint a
+    # wash (1.19 vs 1.23 s), interleaved min-of-5.
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = t(spark, sf_dir, "supplier")

@@ -54,3 +54,37 @@ def test_fan_out_degrades_to_noop_without_a_probe(spark, monkeypatch):
     monkeypatch.setattr(d, "_probe_partitions", lambda df: None)
     narrow = spark.range(100).coalesce(1)
     assert d.fan_out(narrow) is narrow
+
+
+def test_fan_out_by_widens_on_the_key(spark):
+    from market_pulse_data_pipeline_spark.functions.dedup import fan_out_by
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).withColumn("k", F.col("id") % 50).coalesce(1)
+    wide = fan_out_by(narrow, "k")
+    assert wide.rdd.getNumPartitions() == target
+    # hash partitioning: same rows, nothing lost or duplicated
+    assert wide.count() == 1000
+    assert wide.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+    # co-location contract (what lets the downstream groupBy/window
+    # reuse the exchange): all rows of one key land in one partition
+    per_part = wide.select(
+        F.spark_partition_id().alias("p"), "k"
+    ).distinct().groupBy("k").count()
+    assert per_part.agg(F.max("count")).first()[0] == 1
+
+
+def test_fan_out_by_is_a_noop_on_a_wide_input(spark):
+    from market_pulse_data_pipeline_spark.functions.dedup import fan_out_by
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 4)
+    assert fan_out_by(wide, "id") is wide
+
+
+def test_fan_out_by_degrades_to_noop_without_a_probe(spark, monkeypatch):
+    import market_pulse_data_pipeline_spark.functions.dedup as d
+
+    monkeypatch.setattr(d, "_probe_partitions", lambda df: None)
+    narrow = spark.range(100).coalesce(1)
+    assert d.fan_out_by(narrow, "id") is narrow
