@@ -284,6 +284,48 @@ def kmeans_snapped(
     return assigned.select(id_col, "cluster")
 
 
+def _snapped_partial_sums(centroids: "np.ndarray"):
+    """Fused Lloyd update step: ONE Arrow pass per iteration assigns
+    every row (the exact ``_assign_udf_snapped`` int64 arithmetic) and
+    emits per-partition partial sums ``(cluster, pos, s, n)`` — at most
+    k x dim rows per partition, never row-level data. Replaces the
+    r15-era ``assign UDF + posexplode + groupBy`` iteration, whose
+    N x dim exploded exchange and second pass over the rows were pure
+    overhead (guide §2.3 aggregate-before-shuffle / §4.2: the partial
+    aggregation moves INTO the same numpy pass that already holds the
+    batch). Sums are int64 (same domain as the JVM ``sum(long)`` it
+    replaces); empty clusters emit nothing, so the caller's
+    keep-previous-centroid rule is untouched — bit-identical fits,
+    pinned by tests/test_clustering_kernels.py."""
+    c = centroids
+    k, dim = c.shape
+    cc = (c * c).sum(axis=1)[None, :]
+
+    def fn(pdfs):
+        acc = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            d2 = -2 * (x @ c.T) + cc
+            cl = np.argmin(d2, axis=1)
+            np.add.at(acc, cl, x)
+            cnt += np.bincount(cl, minlength=k)
+        idx = np.nonzero(cnt)[0]
+        if idx.size:
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(idx, dim).astype(np.int32),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), idx.size),
+                    "s": acc[idx].ravel(),
+                    "n": np.repeat(cnt[idx], dim),
+                }
+            )
+
+    return fn
+
+
 def kmeans_snapped_fit(
     emb: DataFrame,
     k: int = 10,
@@ -291,11 +333,19 @@ def kmeans_snapped_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = SNAP_SCALE,
+    k_from_count=None,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """The fit behind kmeans_snapped, additionally exposing the final
     int64 centroid matrix (k × dim) — the coarse codebook IVF-ANN
     probes against. Returns (assignments under the final centroids
-    with the quantized vector column ``v`` retained, centroids)."""
+    with the quantized vector column ``v`` retained, centroids).
+
+    ``k_from_count``: optional ``n_rows -> k`` rule, evaluated against
+    the materialized quantized table (row count identical to ``emb``'s
+    by construction) — lets a k ∝ N caller (semdedup_scaled_prune)
+    derive k from the cheap post-checkpoint count instead of paying a
+    separate full scan of its planted-union plan. ``k`` is ignored
+    when it is given."""
     from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
         fan_out,
     )
@@ -323,16 +373,21 @@ def kmeans_snapped_fit(
     # a long session running many registered queries cannot accumulate
     # pinned storage.
     src = src.localCheckpoint(eager=True)
+    if k_from_count is not None:
+        k = int(k_from_count(src.count()))  # cheap: checkpointed blocks
     init = src.orderBy(id_col).limit(k).collect()  # bounded: k vectors
     centroids = np.array([r["v"] for r in init], dtype=np.int64)
+    partial_schema = "cluster int, pos int, s long, n long"
     for _ in range(iters):
-        assigned = src.withColumn(
-            "cluster", _assign_udf_snapped(centroids)("v")
-        )
+        # fused update (see _snapped_partial_sums): one Arrow pass
+        # assigns AND partially aggregates; the exchange then carries
+        # <= partitions x k x dim partial cells instead of N x dim
+        # exploded rows
         sums = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            src.select("v")
+            .mapInPandas(_snapped_partial_sums(centroids), partial_schema)
             .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )  # bounded: k*dim rows
         new_c = centroids.copy()
@@ -345,6 +400,83 @@ def kmeans_snapped_fit(
         src.withColumn("cluster", _assign_udf_snapped(centroids)("v")),
         centroids,
     )
+
+
+def within_cluster_pair_dots(
+    qv: DataFrame,
+    num: int,
+    den: int,
+    block_rows: int = 256,
+) -> DataFrame:
+    """Within-cluster candidate pairs for the SemDeDup cosine contract
+    ``den * dot² >= num * |a|² * |b|²`` over ``qv(cluster, vec_id, v,
+    n2)`` rows: one grouped Arrow pass per cluster computes every
+    pairwise int64 dot as a numpy matmul and emits ``(id_a, id_b, dot,
+    na, nb)`` for the pairs that can possibly satisfy the contract
+    (``dot >= 0`` and a float64 screen with relative slack 1e-12 —
+    ~3 orders of magnitude wider than the worst accumulated float64
+    error of the two products, so the emitted set is a guaranteed
+    SUPERSET). Callers re-apply the exact decimal(38) threshold
+    unchanged, so results are bit-identical to the r15 self-join —
+    what changes is the cost: the join evaluated an interpreted
+    ``aggregate(zip_with(...))`` fold per pair (dim multiplies + folds
+    OUTSIDE whole-stage codegen, the VERDICT r15 item 5 pattern) and
+    shuffled both join sides; the kernel shuffles qv once (groupBy
+    cluster) and runs the quadratic as one int64 matmul per cluster,
+    blocked at ``block_rows`` rows so peak memory is block x cluster
+    cells regardless of cluster population. Ordering contract
+    preserved: pairs are emitted with ``id_a > id_b`` exactly like the
+    join condition. Superset + exact-filter equivalence pinned by
+    tests/test_clustering_kernels.py."""
+    out_schema = "id_a long, id_b long, dot long, na long, nb long"
+
+    empty = pd.DataFrame(
+        {
+            c: pd.Series([], dtype="int64")
+            for c in ["id_a", "id_b", "dot", "na", "nb"]
+        }
+    )
+
+    def fn(key, pdf):
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        n2 = pdf["n2"].to_numpy().astype(np.int64)
+        x = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        s = len(ids)
+        if s < 2:
+            return empty.copy()
+        outs = []
+        rhs_f = float(num) * (1.0 - 1e-12)
+        for lo in range(1, s, block_rows):
+            hi = min(lo + block_rows, s)
+            g = x[lo:hi] @ x.T  # (block, s) exact int64
+            for bi in range(hi - lo):
+                i = lo + bi
+                d = g[bi, :i]
+                screen = (d >= 0) & (
+                    float(den) * d.astype(np.float64) ** 2
+                    >= rhs_f * n2[:i].astype(np.float64) * float(n2[i])
+                )
+                (js,) = np.nonzero(screen)
+                if js.size:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.full(js.size, ids[i]),
+                                "id_b": ids[js],
+                                "dot": d[js],
+                                "na": np.full(js.size, n2[i]),
+                                "nb": n2[js],
+                            }
+                        )
+                    )
+        if not outs:
+            return empty.copy()
+        return pd.concat(outs, ignore_index=True)
+
+    return qv.select("cluster", "vec_id", "v", "n2").groupBy(
+        "cluster"
+    ).applyInPandas(fn, out_schema)
 
 
 def pq_train(

@@ -127,8 +127,9 @@ def _semdedup_scaled_oracle() -> str:
     "the algorithm's one super-linear term) stays FIXED as the corpus "
     "grows, where the registered semdedup_prune's constant k=10 is "
     "the paper's small-scale setup. Both engines derive k from the "
-    "same planted-union count: Spark via a bounded 1-row action "
-    "before the fit, the DuckDB twin via a scalar subquery in the "
+    "same planted-union count: Spark via a bounded 1-row count of "
+    "the fit's materialized quantized table (row-identical to the "
+    "union), the DuckDB twin via a scalar subquery in the "
     "shared unrolled-Lloyd generator's init LIMIT (kmeans_oracle_sql "
     "k-as-expression) — the value hash therefore covers the scaling "
     "RULE, not just one k. Within-cluster pairwise cosine >= 0.95 as "
@@ -144,6 +145,7 @@ def _semdedup_scaled_oracle() -> str:
 def semdedup_scaled_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.clustering import (  # noqa: PLC0415
         kmeans_snapped_fit,
+        within_cluster_pair_dots,
     )
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -154,11 +156,16 @@ def semdedup_scaled_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     both = emb.unionByName(planted)
-    # bounded collect: ONE count row — k must be data-derived for the
-    # population-pinned scaling rule (the point of this query)
-    n_total = both.count()
-    k = (n_total + _SS_POP - 1) // _SS_POP
-    assigned, _ = kmeans_snapped_fit(both, k=k, iters=_SS_ITERS)
+    # k is data-derived (the population-pinned scaling rule — the point
+    # of this query): the fit evaluates the rule against its OWN
+    # materialized quantized table (row-for-row the same frame, so the
+    # same N the oracle's scalar subquery counts) instead of paying a
+    # separate full scan of the planted-union plan for one count (r16).
+    assigned, _ = kmeans_snapped_fit(
+        both,
+        iters=_SS_ITERS,
+        k_from_count=lambda n: (n + _SS_POP - 1) // _SS_POP,
+    )
     qv = assigned.withColumn(
         "n2",
         F.aggregate(
@@ -172,27 +179,11 @@ def semdedup_scaled_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-row k x dim argmin is the dominant cost, so re-running
     # it per consumer triples the query's compute
     qv = qv.localCheckpoint(eager=True)
-    a = qv.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cluster").alias("cl_a"),
-        F.col("v").alias("v_a"),
-        F.col("n2").alias("na"),
-    )
-    b = qv.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cluster").alias("cl_b"),
-        F.col("v").alias("v_b"),
-        F.col("n2").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # grouped int64-matmul pair kernel (r16, see semdedup_prune): a
+    # guaranteed superset of the threshold pairs; the exact decimal(38)
+    # contract below is unchanged, so the dup set is bit-identical.
+    pairs = within_cluster_pair_dots(qv, _SS_NUM, _SS_DEN)
     dec = "decimal(38,0)"
-    pairs = a.join(
-        b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") > F.col("id_b"))
-    ).withColumn("dot", dot)
     d = F.col("dot").cast(dec)
     dup = (
         pairs.filter(

@@ -60,6 +60,7 @@ from market_pulse_data_pipeline_spark.functions.clustering import (
     SNAP_SCALE,
     kmeans_oracle_sql,
     kmeans_snapped_fit,
+    within_cluster_pair_dots,
 )
 from market_pulse_data_pipeline_spark.queries.common import (
     register,
@@ -183,27 +184,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector, the same order as the src checkpoint the fit already
     # holds.
     qv = qv.localCheckpoint(eager=True)
-    a = qv.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cluster").alias("cl_a"),
-        F.col("v").alias("v_a"),
-        F.col("n2").alias("na"),
-    )
-    b = qv.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cluster").alias("cl_b"),
-        F.col("v").alias("v_b"),
-        F.col("n2").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # within-cluster pairwise dots as ONE grouped int64 matmul kernel
+    # (r16): the former cluster self-join evaluated an interpreted
+    # zip_with/aggregate fold per pair — the VERDICT r15 item 5
+    # pattern — and shuffled qv twice. The kernel emits a guaranteed
+    # SUPERSET of the threshold pairs (float64 screen, 1e-12 relative
+    # slack); the exact decimal(38) contract below is unchanged, so
+    # the dup set is bit-identical (kernel-equivalence pinned in
+    # tests/test_clustering_kernels.py; oracle re-gated).
+    pairs = within_cluster_pair_dots(qv, _SD_NUM, _SD_DEN)
     dec = "decimal(38,0)"
-    pairs = a.join(
-        b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") > F.col("id_b"))
-    ).withColumn("dot", dot)
     d = F.col("dot").cast(dec)
     dup = (
         pairs.filter(
