@@ -157,16 +157,14 @@ def paragraph_simhash_near_dups(
 ) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
         fan_out,
-        portable_hash60,
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     seeds = docs.filter(F.col("doc_id") % _PH_PLANT_MOD == 0)
-    # fan_out BEFORE the signature projection: the 60 per-bit lambda
-    # folds below are higher-order expressions outside whole-stage
-    # codegen, and on a small-file fixture the union arrives in 1-3
-    # scan partitions — the round-10 single-split finding. No-op on a
-    # real many-split corpus.
+    # fan_out BEFORE the signature kernel: on a small-file fixture the
+    # union arrives in 1-3 scan partitions and the per-token md5 work
+    # would land on a single Python worker. No-op on a real many-split
+    # corpus.
     alldocs = fan_out(
         docs.unionByName(
             seeds.select(
@@ -180,50 +178,75 @@ def paragraph_simhash_near_dups(
             )
         )
     )
-    tk = F.split("text", " ")
-    paras = alldocs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size(tk), F.lit(_PH_W))).alias(
-            "start"
-        ),
-        tk.alias("tk"),
-    ).select(
-        "doc_id",
-        ((F.col("start") - 1) / _PH_W).cast("long").alias("para_id"),
-        F.array_join(F.slice(F.col("tk"), F.col("start"), _PH_W), " ").alias(
-            "ptext"
-        ),
-    )
-    hs = F.transform(
-        F.split("ptext", " "),
-        lambda w: portable_hash60(F.concat(F.lit("pp:"), w)),
-    )
-    bit_terms = None
-    for k in range(_PH_BITS):
-        vote = F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+    # signature kernel (r16): paragraph splitting, the per-token
+    # portable 60-bit md5 hash, and all 60 per-bit votes run in ONE
+    # Arrow-batched numpy pass. The former expression pipeline — a
+    # higher-order ``transform`` computing md5 per token plus SIXTY
+    # interpreted ``aggregate`` folds over the hash array per paragraph
+    # — was the query's dominant cost (the VERDICT r15 item 5
+    # interpreted-lambda class, here at its highest fan-in). Arithmetic
+    # is bit-identical: hashlib md5 over the same "pp:"-salted UTF-8
+    # token == F.md5(cast binary), first 15 hex digits as int64 ==
+    # conv(...,16,10), numpy int64 shift/&1 votes == the JVM fold, tie
+    # rule vote > 0 unchanged (pinned against the expression path in
+    # tests/test_r11_staging.py::test_ph_signature_kernel_matches_jvm).
+    import hashlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    _bitpos = np.arange(_PH_BITS, dtype=np.int64)
+
+    def _sig_rows(pdfs):
+        for pdf in pdfs:
+            out_doc, out_para, out_sim = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                toks = txt.split(" ")
+                for pi in range(0, (len(toks) + _PH_W - 1) // _PH_W):
+                    chunk = toks[pi * _PH_W : (pi + 1) * _PH_W]
+                    hs = np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(
+                                    ("pp:" + w).encode()
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            for w in chunk
+                        ),
+                        dtype=np.int64,
+                        count=len(chunk),
+                    )
+                    bits = (hs[:, None] >> _bitpos) & 1
+                    votes = 2 * bits.sum(axis=0) - len(chunk)
+                    sim = int(((votes > 0).astype(np.int64) << _bitpos).sum())
+                    out_doc.append(did)
+                    out_para.append(pi)
+                    out_sim.append(sim)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "para_id": pd.Series(out_para, dtype="int64"),
+                    "sim": pd.Series(out_sim, dtype="int64"),
+                }
+            )
+
+    # localCheckpoint, not cache (ADVICE r15): both sides of the
+    # pigeonhole self-join consume the signature table; checkpointed
+    # blocks release when the DataFrame is garbage-collected instead of
+    # pinning executor storage for the session lifetime.
+    sig = (
+        alldocs.mapInPandas(
+            _sig_rows, "doc_id long, para_id long, sim long"
         )
-        term = F.when(vote > 0, F.lit(1 << k).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        .select(
+            "doc_id",
+            "para_id",
+            (F.col("doc_id") * 1000 + F.col("para_id")).alias("pkey"),
+            "sim",
         )
-        bit_terms = term if bit_terms is None else bit_terms + term
-    # cache: both sides of the pigeonhole self-join below consume the
-    # signature table, and the 60 per-bit md5 vote folds are by far
-    # the dominant cost — uncached, each join side re-runs the whole
-    # signature pipeline (audited 6→3 scans — docs + the two plant
-    # branches now scan once; same-session A/B 3.9→2.2 s min-of-4 at
-    # sf0.1). Spill-able MEMORY_AND_DISK at
-    # ~24 bytes/paragraph, the same discipline as the MinHash
-    # signature cache (functions/dedup.py:242-247).
-    sig = paras.select("doc_id", "para_id", hs.alias("hs")).select(
-        "doc_id",
-        "para_id",
-        (F.col("doc_id") * 1000 + F.col("para_id")).alias("pkey"),
-        bit_terms.alias("sim"),
-    ).cache()
+        .localCheckpoint(eager=True)
+    )
     cw = _PH_BITS // _PH_CHUNKS
     chunks = sig.select(
         "doc_id",

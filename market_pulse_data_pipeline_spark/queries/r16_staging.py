@@ -214,11 +214,15 @@ def bloom_decontaminate_portable(
         )
     )
 
-    def grams(df: DataFrame) -> DataFrame:
+    def grams(df: DataFrame, spread: bool = True) -> DataFrame:
         # fan_out BEFORE the md5-per-window projection (round-10
-        # single-split finding); no-op on a many-split corpus
+        # single-split finding); no-op on a many-split corpus. The
+        # EVAL side skips it (r16): ~1/59 of the docs produce a few
+        # thousand windows — single-digit ms of md5 — so spreading
+        # them over defaultParallelism tasks was pure exchange and
+        # task-overhead cost on both eval passes.
         toks = (
-            fan_out(df)
+            (fan_out(df) if spread else df)
             .select("doc_id", F.split("text", " ").alias("ws"))
             .filter(F.size("ws") >= _BL_N)
         )
@@ -234,10 +238,15 @@ def bloom_decontaminate_portable(
             ).alias("g"),
         )
 
+    # materialize the distinct eval grams ONCE (bounded: the eval set
+    # is tiny by definition — ~3.3k longs at sf0.1): both consumers
+    # (the bloom bits fold below and the exact-membership broadcast)
+    # otherwise re-run the eval scan + md5 pipeline (r16)
     eval_grams = (
-        grams(docs.filter(F.col("doc_id") % _BL_EVAL_MOD == 0))
+        grams(docs.filter(F.col("doc_id") % _BL_EVAL_MOD == 0), spread=False)
         .select("g")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bits = eval_grams.select(
         F.explode(F.array(*_bl_positions_col(F.col("g")))).alias("pos")
@@ -259,7 +268,12 @@ def bloom_decontaminate_portable(
     arr = [0] * _BL_NWORDS
     for row in words.collect():
         arr[row["widx"]] = row["w"]
-    ba = F.lit(arr)
+    # array literal via ONE parsed SQL expression: F.lit(list) walks the
+    # list element-by-element over py4j (measured 0.56 s for 1041 longs
+    # at construction time — r16); the parser ingests the same array in
+    # milliseconds and constant folding collapses it to the identical
+    # single Literal before execution
+    ba = F.expr(f"array({','.join(f'{w}L' for w in arr)})")
 
     # materialize the k probe positions as named columns so the
     # column-shift masks can ride F.expr (same wrapper limitation)

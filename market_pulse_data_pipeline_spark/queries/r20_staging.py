@@ -338,30 +338,40 @@ def incremental_sessionization(
     lo, hi = ev.agg(F.min(us), F.max(us)).first()
     split_us = (lo + hi) // 2
 
-    def sessionize(batch: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        b_us = F.unix_micros(F.col("ts"))
-        prev = F.lag(b_us).over(w)
-        flagged = batch.withColumn(
-            "is_new",
-            F.when(
-                prev.isNull() | ((b_us - prev) > _IS_GAP_US), 1
-            ).otherwise(0),
-        )
-        w2 = (
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        sess = flagged.withColumn("sid", F.sum("is_new").over(w2))
-        return sess.groupBy("user_id", "sid").agg(
+    # per-batch sessionization in ONE pass (r16): every window is keyed
+    # by (user_id, batch), so each batch is still sessionized strictly
+    # independently — identical sessions to the former two separate
+    # sessionize() branches (pinned byte-for-byte in
+    # tests/test_r20_staging.py and by the monolithic oracle) — but the
+    # events are scanned, exchanged and windowed once instead of twice,
+    # and the session table is materialized once for its four
+    # consumers (last/first state rows + both keep anti-joins) instead
+    # of re-running a window pipeline per consumer.
+    tagged = ev.withColumn("batch", (us >= split_us).cast("int"))
+    w = Window.partitionBy("user_id", "batch").orderBy("ts", "event_id")
+    b_us = F.unix_micros(F.col("ts"))
+    prev = F.lag(b_us).over(w)
+    flagged = tagged.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((b_us - prev) > _IS_GAP_US), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "batch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("sid", F.sum("is_new").over(w2))
+    sessions = (
+        sess.groupBy("user_id", "batch", "sid")
+        .agg(
             F.min(F.unix_micros("ts")).alias("session_start_us"),
             F.max(F.unix_micros("ts")).alias("session_end_us"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
-
-    sa = sessionize(ev.filter(us < split_us))
-    sb = sessionize(ev.filter(us >= split_us))
+        .localCheckpoint(eager=True)
+    )
+    sa = sessions.filter(F.col("batch") == 0).drop("batch", "sid")
+    sb = sessions.filter(F.col("batch") == 1).drop("batch", "sid")
     # per-user boundary state: A's LAST session, B's FIRST session
     last_a = sa.groupBy("user_id").agg(
         F.max(

@@ -180,3 +180,108 @@ def test_curriculum_replay_and_easy_first_order(spark, sf_dir):
         # difficulty order, so early packs hold the easiest docs
         packs = [r.pack_id for r in rs]
         assert packs == sorted(packs)
+
+
+# --------------------------------------------------------------------
+# r16 signature-kernel equivalence
+# --------------------------------------------------------------------
+
+
+def test_ph_signature_kernel_matches_jvm(spark, sf_dir):
+    """The r16 Arrow signature kernel must reproduce the r15 expression
+    pipeline (md5-per-token transform + 60 interpreted vote folds)
+    bit-for-bit on real fixture text plus the planted paragraphs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from market_pulse_data_pipeline_spark.queries.common import t
+    from market_pulse_data_pipeline_spark.queries.r11_staging import (
+        _PH_BITS,
+        _PH_PROMO,
+        _PH_PROMO_MUT,
+        _PH_W,
+    )
+    from market_pulse_data_pipeline_spark.functions.dedup import (
+        portable_hash60,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(40)
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_000, _PH_PROMO), (20_000_000, _PH_PROMO_MUT)],
+                "doc_id long, text string",
+            )
+        )
+    )
+    # the r15 expression path, verbatim
+    tk = F.split("text", " ")
+    paras = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size(tk), F.lit(_PH_W))).alias(
+            "start"
+        ),
+        tk.alias("tk"),
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / _PH_W).cast("long").alias("para_id"),
+        F.array_join(
+            F.slice(F.col("tk"), F.col("start"), _PH_W), " "
+        ).alias("ptext"),
+    )
+    hs = F.transform(
+        F.split("ptext", " "),
+        lambda w: portable_hash60(F.concat(F.lit("pp:"), w)),
+    )
+    bit_terms = None
+    for k in range(_PH_BITS):
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1).cast(
+                "long"
+            ),
+        )
+        term = F.when(vote > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bit_terms = term if bit_terms is None else bit_terms + term
+    jvm = sorted(
+        (r["doc_id"], r["para_id"], r["sim"])
+        for r in paras.select(
+            "doc_id", "para_id", hs.alias("hs")
+        )
+        .select("doc_id", "para_id", bit_terms.alias("sim"))
+        .collect()
+    )
+
+    # the r16 kernel: replay via hashlib/numpy exactly as the query does
+    import numpy as np
+
+    bitpos = np.arange(_PH_BITS, dtype=np.int64)
+    kern = []
+    for r in docs.collect():
+        toks = r["text"].split(" ")
+        for pi in range(0, (len(toks) + _PH_W - 1) // _PH_W):
+            chunk = toks[pi * _PH_W : (pi + 1) * _PH_W]
+            hvals = np.fromiter(
+                (
+                    int(
+                        hashlib.md5(("pp:" + w).encode()).hexdigest()[:15],
+                        16,
+                    )
+                    for w in chunk
+                ),
+                dtype=np.int64,
+                count=len(chunk),
+            )
+            bits = (hvals[:, None] >> bitpos) & 1
+            votes = 2 * bits.sum(axis=0) - len(chunk)
+            sim = int(((votes > 0).astype(np.int64) << bitpos).sum())
+            kern.append((r["doc_id"], pi, sim))
+    assert jvm == sorted(kern)
+    assert len(jvm) > 40  # non-vacuous: multiple paragraphs per doc
