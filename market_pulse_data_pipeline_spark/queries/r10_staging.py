@@ -164,6 +164,11 @@ def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i", "h"),
     )
+    # materialize the shingle rows once (r16): both the ownership
+    # aggregate and the cut join consume sh, and uncheckpointed each
+    # re-ran the whole scan -> window-md5 pipeline (32 bytes/shingle,
+    # the documented shuffle-width cap, bounds the footprint)
+    sh = sh.localCheckpoint(eager=True)
     own = sh.groupBy("h").agg(
         F.count_distinct("doc_id").alias("nd"),
         F.min("doc_id").alias("owner"),
@@ -179,39 +184,62 @@ def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("i"), F.col("i") + (_TR_W - 1))
             ).alias("p"),
         )
-        .distinct()
     )
-    tpos = tokd.select(
-        "doc_id", F.posexplode("toks").alias("p", "tok")
+    # reassembly as ONE doc-keyed pass (r16): the former shape exploded
+    # every token (posexplode), anti-joined the cut positions at TOKEN
+    # granularity, and rebuilt each doc with a collect_list +
+    # array_sort + interpreted transform — three exchanges carrying
+    # token-level rows. Cut positions are instead folded to one array
+    # per affected doc (bounded by true duplication), attached with a
+    # doc-keyed left join, and the surviving stream is re-joined and
+    # md5'd in an Arrow kernel — token bytes now cross an exchange only
+    # inside per-doc arrays, once. hashlib md5 over the UTF-8 joined
+    # stream is the same digest as F.md5(F.encode(...)); position
+    # semantics (0-based split order) are unchanged, so the output is
+    # byte-identical (oracle re-gated at sf0.01 + sf0.1).
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    # collect_set replaces the former explode-side distinct + a list
+    # fold: one doc-keyed exchange dedups AND folds the positions (the
+    # kernel tests membership, so set order is irrelevant)
+    percut = cuts.groupBy("doc_id").agg(
+        F.collect_set("p").alias("cut_ps")
     )
-    kept = tpos.join(cuts, ["doc_id", "p"], "left_anti")
-    keptagg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.encode(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("p", "tok"))
-                        ),
-                        lambda s: s["tok"],
-                    ),
-                    " ",
-                ),
-                "utf-8",
+
+    def _reassemble(pdfs):
+        for pdf in pdfs:
+            ids, ntok, nrem, digests = [], [], [], []
+            for did, toks, cut_ps in zip(
+                pdf["doc_id"], pdf["toks"], pdf["cut_ps"]
+            ):
+                cut = set() if cut_ps is None else set(cut_ps)
+                kept = (
+                    [tk for p, tk in enumerate(toks) if p not in cut]
+                    if cut
+                    else list(toks)
+                )
+                ids.append(did)
+                ntok.append(len(toks))
+                nrem.append(len(toks) - len(kept))
+                digests.append(
+                    hashlib.md5(" ".join(kept).encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(ntok, dtype="int64"),
+                    "n_removed": pd.Series(nrem, dtype="int64"),
+                    "clean_md5": pd.Series(digests, dtype="object"),
+                }
             )
-        ).alias("clean_md5"),
-    )
-    empty_md5 = F.md5(F.encode(F.lit(""), "utf-8"))
+
     return (
-        tokd.join(keptagg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("clean_md5"), empty_md5).alias("clean_md5"),
+        tokd.join(percut, "doc_id", "left")
+        .mapInPandas(
+            _reassemble,
+            "doc_id long, n_tokens long, n_removed long, clean_md5 string",
         )
         .orderBy("doc_id")
     )
