@@ -192,6 +192,13 @@ def minhash_signatures_from_hashes(
     array) rows: per-permutation min over the universal hashes
     (a*h + b) mod _MERSENNE.
 
+    PRECONDITION (ADVICE r15): hash arrays must be NON-EMPTY. A null
+    or empty array yields a NULL signature here, where the old JVM
+    expression produced a non-null array of 64 nulls — in-repo callers
+    all guarantee non-emptiness via the ``size(ws) >= n`` shingling
+    filter; an external caller that feeds empties would see its LSH
+    banding behavior change, so filter or assert first.
+
     The min fold is an Arrow-batched numpy kernel rather than
     per-permutation ``array_min(transform(...))`` columns: JVM
     higher-order lambdas evaluate INTERPRETED (outside whole-stage
@@ -241,6 +248,16 @@ def minhash_signatures_from_hashes(
         for i, a in enumerate(arrs):
             if a is None or a.size == 0:
                 continue  # null signature, array_min([]) semantics
+            # flush BEFORE appending a row that would push the chunk
+            # past the cap (ADVICE r15): an oversized hash array then
+            # runs as its OWN chunk, so peak memory is
+            # max(cap, largest_row * num_perm) with no other rows
+            # riding along — previously one huge row appended to a
+            # near-full chunk could overshoot the documented cap
+            if chunk and (chunk_elems + a.size) * len(params) >= (
+                _SIG_CHUNK_ELEMS
+            ):
+                flush()
             chunk.append(i)
             chunk_elems += a.size
             if chunk_elems * len(params) >= _SIG_CHUNK_ELEMS:
@@ -262,7 +279,10 @@ def minhash_signatures_maponly(
     map-only projection — shingle array → hash array (JVM) → the Arrow
     permutation-min kernel. Identical output to minhash_signatures
     (min over a multiset == min over its set), but map-only: at 100 TB
-    there is no exploded shingle shuffle at all."""
+    there is no exploded shingle shuffle at all. Docs shorter than
+    ``n`` tokens are dropped by the shingling filter, which is also
+    what guarantees the kernel's non-empty-input precondition (see
+    ``minhash_signatures_from_hashes``)."""
     return minhash_signatures_from_hashes(
         hashed_shingle_arrays(docs, text_col, n), "hs", num_perm, seed
     )

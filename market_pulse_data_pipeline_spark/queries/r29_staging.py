@@ -195,8 +195,12 @@ def streaming_dedup_state_recovery_from(
     run_once()  # run 2: NEW query, same checkpoint — state must reload
 
     # no distinct: multiplicity is the witness (the file-sink metadata
-    # log scopes the read to committed files across both runs)
-    return spark.read.parquet(sink)
+    # log scopes the read to committed files across both runs).
+    # Eagerly materialized (ADVICE r15): the query wipes and rewrites
+    # its scratch root at entry, so a LAZY frame held from a previous
+    # same-session invocation would silently re-read the new run's
+    # files — the checkpoint pins this invocation's rows.
+    return spark.read.parquet(sink).localCheckpoint(eager=True)
 
 
 @stage(
@@ -290,7 +294,10 @@ def streaming_stateful_crash_recovery_from(
     run_once()  # run 2: replays batch 2 from the WAL, then drains
 
     # update mode emits one row per user per batch that touched it;
-    # the FINAL recovered state per user is the largest n_events
+    # the FINAL recovered state per user is the largest n_events.
+    # Eagerly materialized (ADVICE r15) — see
+    # streaming_dedup_state_recovery_from: the scratch wipe at entry
+    # would otherwise invalidate a lazy frame from a prior invocation.
     return (
         spark.read.parquet(capture)
         .groupBy("user_id")
@@ -298,4 +305,5 @@ def streaming_stateful_crash_recovery_from(
             F.max("n_events").alias("n_events"),
             F.unix_micros(F.max("last_ts")).alias("last_ts_us"),
         )
+        .localCheckpoint(eager=True)
     )

@@ -708,7 +708,8 @@ def _inc_neardup_oracle() -> str:
 def incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_pulse_data_pipeline_spark.functions.dedup import (
         _MERSENNE,
-        _perm_params,
+        fan_out,
+        minhash_signatures_from_hashes,
         portable_hash60,
     )
 
@@ -728,7 +729,18 @@ def incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rpb = _INC_PERM // _INC_BANDS
 
     def sigs_of(side: DataFrame) -> DataFrame:
-        toks = side.select(
+        # fan_out BEFORE the md5 shingle hashing (round-10 single-split
+        # finding: each side otherwise computes its whole signature
+        # table on one core); no-op on a many-split corpus. The
+        # 16-permutation min fold runs through the shared Arrow int64
+        # kernel — identical (a*h+b) % M arithmetic with the same
+        # _perm_params(seed=42) stream, bit-equivalence pinned by
+        # tests/test_scale_paths.py::
+        # test_signature_kernel_matches_jvm_expression — instead of 16
+        # interpreted array_min(transform(...)) folds per doc (the
+        # VERDICT r15 item 5 class; this query was the last benched
+        # signature pipeline still on the expression path, r16).
+        toks = fan_out(side).select(
             "doc_id", F.split("text", " ").alias("ws")
         ).filter(F.size("ws") >= 3)
         shingle_arr = F.transform(
@@ -744,20 +756,7 @@ def incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
             ).alias("hs"),
         )
-        sig = F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        "hs",
-                        lambda h: F.pmod(
-                            F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)
-                        ),
-                    )
-                )
-                for (a, b) in _perm_params(_INC_PERM)
-            ]
-        )
-        return hashes.select("doc_id", sig.alias("sig"))
+        return minhash_signatures_from_hashes(hashes, "hs", _INC_PERM)
 
     def bands_of(sigs: DataFrame) -> DataFrame:
         return sigs.select(

@@ -3198,7 +3198,11 @@ def main() -> int:
         )
         t0_dd = time.time()
         out_dd = streaming_dedup_state_recovery_from(
-            ev_dd, f"/tmp/stress_r29_dedup_mult{args.mult}"
+            ev_dd,
+            # PID-scoped like _R29_ROOT (ADVICE r15): two concurrent
+            # stress runs with the same --mult must not collide on
+            # checkpoint/sink state
+            f"/tmp/stress_r29_dedup_mult{args.mult}_{os.getpid()}"
         )
         rows["dedup_recovery"] = out_dd.count()
         timings["dedup_recovery"] = round(time.time() - t0_dd, 2)
@@ -3231,7 +3235,7 @@ def main() -> int:
         )
         t0_ss = time.time()
         out_ss = streaming_stateful_crash_recovery_from(
-            ev_ss, f"/tmp/stress_r29_stateful_mult{args.mult}"
+            ev_ss, f"/tmp/stress_r29_stateful_mult{args.mult}_{os.getpid()}"
         )
         rows["crash_recovery"] = out_ss.count()
         timings["crash_recovery"] = round(time.time() - t0_ss, 2)
