@@ -95,6 +95,16 @@ def main() -> None:
     probes: list[float] = []
     for _ in range(3):
         probes.append(load_probe())
+        # Measurement-hygiene fix (round 17, VERDICT r16 item 2,
+        # additions-only): clear every cached intermediate between the
+        # interleaved passes. Spark's CacheManager matches a freshly
+        # re-built plan against blocks a previous pass materialized via
+        # .cache() inside a query, so without this, passes 2-3 of any
+        # cache-bearing query report a partially WARM minimum (the
+        # basket_lift_pairs r15 artifact). Each pass now computes every
+        # query from the parquet inputs alone; cache-bearing queries
+        # step UP once against r16 numbers — that step is honest.
+        spark.catalog.clearCache()
         for name in sorted(bench_queries):
             q = bench_queries[name]
             t0 = time.time()

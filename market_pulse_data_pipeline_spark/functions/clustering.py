@@ -326,6 +326,36 @@ def _snapped_partial_sums(centroids: "np.ndarray"):
     return fn
 
 
+def _assign_n2_fn(centroids: "np.ndarray"):
+    """Fused final-assignment pass for the SemDeDup consumers: ONE
+    Arrow pass emits (vec_id, v, cluster, n2) — the exact
+    ``_assign_udf_snapped`` argmin arithmetic plus the exact int64
+    squared norm Σv², replacing a separate ArrowEvalPython assignment
+    AND the interpreted per-row ``aggregate(transform(v, x*x))`` fold
+    the callers used to stack on top (r17; bit-equivalence pinned in
+    tests/test_clustering_kernels.py). n2 is exact: dim · scale² =
+    64e12 « 2^63."""
+    c = centroids
+    cc = (c * c).sum(axis=1)[None, :]
+
+    def fn(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            d2 = -2 * (x @ c.T) + cc
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cluster": np.argmin(d2, axis=1).astype(np.int32),
+                    "n2": (x * x).sum(axis=1),
+                }
+            )
+
+    return fn
+
+
 def kmeans_snapped_fit(
     emb: DataFrame,
     k: int = 10,
@@ -334,6 +364,7 @@ def kmeans_snapped_fit(
     vec_col: str = "embedding",
     scale: int = SNAP_SCALE,
     k_from_count=None,
+    emit_n2: bool = False,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """The fit behind kmeans_snapped, additionally exposing the final
     int64 centroid matrix (k × dim) — the coarse codebook IVF-ANN
@@ -345,7 +376,13 @@ def kmeans_snapped_fit(
     by construction) — lets a k ∝ N caller (semdedup_scaled_prune)
     derive k from the cheap post-checkpoint count instead of paying a
     separate full scan of its planted-union plan. ``k`` is ignored
-    when it is given."""
+    when it is given.
+
+    ``emit_n2``: additionally emit the exact int64 squared norm ``n2``
+    per row, fused into the same Arrow pass as the final assignment
+    (``_assign_n2_fn``) — the SemDeDup consumers otherwise pay a
+    second Python pass plus an interpreted JVM fold for it. The
+    assignment column is bit-identical either way."""
     from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
         fan_out,
     )
@@ -396,6 +433,14 @@ def kmeans_snapped_fit(
                 int(r["s"]), int(r["n"])
             )
         centroids = new_c
+    if emit_n2:
+        return (
+            src.select(id_col, "v").mapInPandas(
+                _assign_n2_fn(centroids),
+                schema=f"{id_col} long, v array<long>, cluster int, n2 long",
+            ),
+            centroids,
+        )
     return (
         src.withColumn("cluster", _assign_udf_snapped(centroids)("v")),
         centroids,

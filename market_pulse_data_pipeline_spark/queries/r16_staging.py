@@ -220,9 +220,11 @@ def bloom_decontaminate_portable(
         # EVAL side skips it (r16): ~1/59 of the docs produce a few
         # thousand windows — single-digit ms of md5 — so spreading
         # them over defaultParallelism tasks was pure exchange and
-        # task-overhead cost on both eval passes.
+        # task-overhead cost on both eval passes. dense=True (r17):
+        # the md5-per-window projection is compute-dense, so the
+        # size-aware byte floor starved it (A/B: floor lost 0.78x).
         toks = (
-            (fan_out(df) if spread else df)
+            (fan_out(df, dense=True) if spread else df)
             .select("doc_id", F.split("text", " ").alias("ws"))
             .filter(F.size("ws") >= _BL_N)
         )

@@ -161,23 +161,20 @@ def semdedup_scaled_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized quantized table (row-for-row the same frame, so the
     # same N the oracle's scalar subquery counts) instead of paying a
     # separate full scan of the planted-union plan for one count (r16).
-    assigned, _ = kmeans_snapped_fit(
+    # emit_n2 (r17): assignment + exact int64 n2 in ONE fused Arrow
+    # pass inside the fit (see semdedup_prune) — replaces the
+    # interpreted per-row JVM fold this query stacked on a separate
+    # ArrowEvalPython assignment.
+    qv, _ = kmeans_snapped_fit(
         both,
         iters=_SS_ITERS,
         k_from_count=lambda n: (n + _SS_POP - 1) // _SS_POP,
+        emit_n2=True,
     )
-    qv = assigned.withColumn(
-        "n2",
-        F.aggregate(
-            F.transform("v", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    # materialize the assignment once for its three consumers (pair
-    # join sides + final left join) — see semdedup_prune; at scaled k
+    # materialize the assignment once for its two consumers (pair
+    # kernel + final left join) — see semdedup_prune; at scaled k
     # the per-row k x dim argmin is the dominant cost, so re-running
-    # it per consumer triples the query's compute
+    # it per consumer doubles the query's compute
     qv = qv.localCheckpoint(eager=True)
     # grouped int64-matmul pair kernel (r16, see semdedup_prune): a
     # guaranteed superset of the threshold pairs; the exact decimal(38)

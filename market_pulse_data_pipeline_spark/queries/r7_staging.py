@@ -166,23 +166,21 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     both = emb.unionByName(planted)
-    assigned, _ = kmeans_snapped_fit(both, k=_SD_K, iters=_SD_ITERS)
-    qv = assigned.withColumn(
-        "n2",
-        F.aggregate(
-            F.transform("v", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
+    # emit_n2 (r17): the final assignment AND the exact int64 squared
+    # norm come out of ONE fused Arrow pass inside the fit — the n2
+    # withColumn here used to run as an interpreted per-row JVM fold
+    # on top of a separate ArrowEvalPython assignment (two passes'
+    # worth of work in the qv materialization job).
+    qv, _ = kmeans_snapped_fit(
+        both, k=_SD_K, iters=_SD_ITERS, emit_n2=True
     )
-    # qv feeds BOTH sides of the within-cluster pair join AND the
-    # final left join; un-materialized, each of the three consumers
-    # re-runs the Arrow-batched centroid assignment over the
-    # checkpointed quantized vectors. Materialize the assignment once
-    # (the kmeans_snapped_fit src discipline — localCheckpoint, so the
-    # blocks release on GC); footprint = one (cluster, v, n2) row per
-    # vector, the same order as the src checkpoint the fit already
-    # holds.
+    # qv feeds the within-cluster pair kernel AND the final left join;
+    # un-materialized, each consumer re-runs the Arrow-batched centroid
+    # assignment over the checkpointed quantized vectors. Materialize
+    # the assignment once (the kmeans_snapped_fit src discipline —
+    # localCheckpoint, so the blocks release on GC); footprint = one
+    # (cluster, v, n2) row per vector, the same order as the src
+    # checkpoint the fit already holds.
     qv = qv.localCheckpoint(eager=True)
     # within-cluster pairwise dots as ONE grouped int64 matmul kernel
     # (r16): the former cluster self-join evaluated an interpreted

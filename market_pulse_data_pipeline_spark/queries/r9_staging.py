@@ -181,8 +181,10 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture corpus arrives as one small parquet split: without
     # fan_out the whole per-doc fold pipeline runs on a single core
     # (measured 3.3 s -> sub-second at sf0.1). No-op on a real
-    # many-split corpus.
-    alldocs = fan_out(docs.unionByName(plants))
+    # many-split corpus. dense=True (r17): the per-doc fold pipeline
+    # does orders of magnitude more CPU per input byte than the
+    # size-aware byte floor assumes (interleaved A/B: floor lost 0.43x).
+    alldocs = fan_out(docs.unionByName(plants), dense=True)
     toks = alldocs.select("doc_id", F.split("text", " ").alias("ws"))
     lines = F.expr(_GR_LINES_SPARK.format(w=_GR_LINE_W))
     paras = F.expr(_GR_LINES_SPARK.format(w=_GR_PARA_W))
@@ -402,7 +404,11 @@ def eval_decontaminate_fuzzy_minhash(
     # 13-gram hash projection on the handful of pre-exchange tasks the
     # single-split fixture scan provides (round-10 fix; no-op on a
     # real many-split corpus).
-    th = hashed_shingle_arrays(fan_out(train), "text", _FZ_N).cache()
+    # dense=True (r17): the 13-gram build + xxhash is compute-dense
+    # (A/B: the size-aware byte floor lost 0.62x on this query)
+    th = hashed_shingle_arrays(
+        fan_out(train, dense=True), "text", _FZ_N
+    ).cache()
     eh = hashed_shingle_arrays(evald, "text", _FZ_N).cache()
     tsig = minhash_signatures_from_hashes(th, "hs", _FZ_PERM)
     esig = minhash_signatures_from_hashes(eh, "hs", _FZ_PERM)

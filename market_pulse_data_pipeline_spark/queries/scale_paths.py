@@ -131,8 +131,10 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sets (P ≈ k²/2⁶², negligible; the oracle gate witnesses the
     # fixed corpus at every SF, so equality is deterministic here).
     # fan_out BEFORE the shingle hashing so the expensive 3-gram hash
-    # projection runs on all cores, not the single-split scan's tasks
-    hsh = hashed_shingle_arrays(fan_out(docs), "text", 3).cache()
+    # projection runs on all cores, not the single-split scan's tasks.
+    # dense=True (r17): shingle hashing is compute-dense — the byte
+    # floor starved it (A/B: floor lost 0.67x on this query)
+    hsh = hashed_shingle_arrays(fan_out(docs, dense=True), "text", 3).cache()
     # sig cached too: the banded self-join consumes it on both sides,
     # and the 64-permutation kernel pass is the next-most-expensive
     # stage after shingle hashing

@@ -77,6 +77,35 @@ def test_fused_lloyd_update_matches_explode_groupby(spark):
     assert old == new
 
 
+def test_emit_n2_matches_assign_udf_plus_fold(spark):
+    # r17 pin: the fused (assignment + n2) Arrow pass behind
+    # kmeans_snapped_fit(emit_n2=True) must reproduce, row for row,
+    # the separate _assign_udf_snapped withColumn plus the interpreted
+    # aggregate(transform(v, x*x)) fold the SemDeDup queries stacked
+    # on it before r17.
+    emb = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    fused, cents = kmeans_snapped_fit(emb, k=7, iters=2, emit_n2=True)
+    legacy, cents2 = kmeans_snapped_fit(emb, k=7, iters=2)
+    assert np.array_equal(cents, cents2)
+    legacy = legacy.withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    want = {
+        r["vec_id"]: (list(r["v"]), r["cluster"], r["n2"])
+        for r in legacy.collect()
+    }
+    got = {
+        r["vec_id"]: (list(r["v"]), r["cluster"], r["n2"])
+        for r in fused.collect()
+    }
+    assert got == want
+
+
 def test_k_from_count_matches_explicit_k(spark):
     emb = t(spark, SF, "embeddings").select("vec_id", "embedding")
     n = emb.count()

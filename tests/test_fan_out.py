@@ -13,14 +13,47 @@ from market_pulse_data_pipeline_spark.functions.dedup import (
 
 
 def test_fan_out_widens_a_narrow_input(spark):
+    # 4M longs -> a ~32 MB optimizer size estimate, far past the
+    # per-partition size floor at any realistic core count, so the
+    # fan-out reaches the full parallelism target
     target = spark.sparkContext.defaultParallelism
-    narrow = spark.range(1000).coalesce(1)
+    n = 4_000_000
+    narrow = spark.range(n).coalesce(1)
     assert narrow.rdd.getNumPartitions() == 1
     wide = fan_out(narrow)
     assert wide.rdd.getNumPartitions() == target
     # same rows, nothing lost or duplicated
-    assert wide.count() == 1000
-    assert wide.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+    assert wide.count() == n
+    assert wide.agg(F.sum("id")).first()[0] == (n - 1) * n // 2
+
+
+def test_fan_out_caps_target_by_input_size(spark):
+    # r17 (VERDICT r16 item 4): a tiny input must NOT spread to the
+    # full parallelism — per-partition Arrow/task fixed costs would
+    # exceed its compute. Target = ceil(size / chunk), floor 1.
+    from market_pulse_data_pipeline_spark.functions import dedup as d
+
+    narrow = spark.range(1000).coalesce(1)  # ~8 KB estimate
+    est = d._plan_size_bytes(narrow)
+    assert est is not None and 0 < est < d._FAN_CHUNK_BYTES
+    out = fan_out(narrow)
+    # size floor says 1 partition; input already has 1 -> untouched
+    assert out is narrow
+
+
+def test_fan_out_keeps_full_target_without_a_size_estimate(
+    spark, monkeypatch
+):
+    # degrade-gracefully contract: if the size probe fails (Connect,
+    # Spark upgrade), fan_out keeps the pre-r17 full-parallelism
+    # target rather than silently disabling the spread
+    import market_pulse_data_pipeline_spark.functions.dedup as d
+
+    monkeypatch.setattr(d, "_plan_size_bytes", lambda df: None)
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = d.fan_out(narrow)
+    assert wide.rdd.getNumPartitions() == target
 
 
 def test_fan_out_is_a_noop_on_a_wide_input(spark):
@@ -60,12 +93,15 @@ def test_fan_out_by_widens_on_the_key(spark):
     from market_pulse_data_pipeline_spark.functions.dedup import fan_out_by
 
     target = spark.sparkContext.defaultParallelism
-    narrow = spark.range(1000).withColumn("k", F.col("id") % 50).coalesce(1)
+    n = 4_000_000  # past the size floor (see test_fan_out_widens_...)
+    narrow = (
+        spark.range(n).withColumn("k", F.col("id") % 997).coalesce(1)
+    )
     wide = fan_out_by(narrow, "k")
     assert wide.rdd.getNumPartitions() == target
     # hash partitioning: same rows, nothing lost or duplicated
-    assert wide.count() == 1000
-    assert wide.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+    assert wide.count() == n
+    assert wide.agg(F.sum("id")).first()[0] == (n - 1) * n // 2
     # co-location contract (what lets the downstream groupBy/window
     # reuse the exchange): all rows of one key land in one partition
     per_part = wide.select(

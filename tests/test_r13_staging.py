@@ -150,6 +150,106 @@ def test_esem_flags_satisfy_the_integer_threshold(esem_rows, sf_dir):
         assert 400 * dot * dot >= 361 * n2a * n2b
 
 
+def test_esem_candidate_kernel_matches_explode_path(spark, sf_dir, esem_rows):
+    # r17 equivalence pin: the screened-candidate mapInPandas kernel
+    # (superset screen + unchanged exact decimal(38) filter) must be
+    # row-for-row identical to the verbatim r16 expression path
+    # (pandas_udf all-dots + posexplode + element_at + interpreted tn2
+    # fold), which this test rebuilds literally.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from market_pulse_data_pipeline_spark.queries.common import t
+    from market_pulse_data_pipeline_spark.queries.r13_staging import (
+        _ES_DEN,
+        _ES_NUM,
+        _ES_SCALE,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    evs = emb.filter(F.col("vec_id") % _ES_EVAL_MOD == 0)
+    train = (
+        emb.filter(F.col("vec_id") % _ES_EVAL_MOD != 0)
+        .unionByName(
+            evs.select(
+                (F.col("vec_id") + _ES_V_OFFSET).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            evs.select(
+                (F.col("vec_id") + _ES_H_OFFSET).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x * 0.5).cast("float")
+                ).alias("embedding"),
+            )
+        )
+        .unionByName(
+            evs.select(
+                (F.col("vec_id") + _ES_N_OFFSET).alias("vec_id"),
+                F.transform("embedding", lambda x: (-x).cast("float")).alias(
+                    "embedding"
+                ),
+            )
+        )
+    )
+    quant = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.round(x.cast("double") * _ES_SCALE).cast("long")
+    )
+    ev_rows = sorted(
+        evs.select("vec_id", quant(F.col("embedding")).alias("q")).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ev_mat = np.array([[int(c) for c in r["q"]] for r in ev_rows], np.int64)
+    eid_lit = F.array(*[F.lit(int(r["vec_id"])) for r in ev_rows])
+    en2_lit = F.array(
+        *[F.lit(int(v)) for v in (ev_mat * ev_mat).sum(axis=1)]
+    )
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _eval_dots(tv: pd.Series) -> pd.Series:
+        if len(tv) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(tv.to_numpy()).astype(np.int64)
+        return pd.Series(list(x @ ev_mat.T))
+
+    tq = train.select("vec_id", quant(F.col("embedding")).alias("tv")).withColumn(
+        "tn2",
+        F.aggregate(
+            F.transform("tv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    pairs = tq.select(
+        "vec_id", "tn2", F.posexplode(_eval_dots("tv")).alias("pos", "dot")
+    ).select(
+        "vec_id",
+        F.element_at(eid_lit, F.col("pos") + 1).alias("eval_vec_id"),
+        "dot",
+        "tn2",
+        F.element_at(en2_lit, F.col("pos") + 1).alias("en2"),
+    )
+    dec = "decimal(38,0)"
+    legacy = (
+        pairs.filter(
+            (F.col("dot") >= 0)
+            & (
+                F.col("dot").cast(dec) * F.col("dot").cast(dec) * _ES_DEN
+                >= F.col("tn2").cast(dec) * F.col("en2").cast(dec) * _ES_NUM
+            )
+        )
+        .select("vec_id", "eval_vec_id", "dot")
+        .orderBy("vec_id", "eval_vec_id")
+        .collect()
+    )
+    got = [(r.vec_id, r.eval_vec_id, r.dot) for r in esem_rows]
+    want = [(r.vec_id, r.eval_vec_id, r.dot) for r in legacy]
+    assert got == want
+
+
 # --------------------------------------------------------------------
 # rendezvous_shard_assignment
 # --------------------------------------------------------------------

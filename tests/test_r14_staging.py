@@ -187,6 +187,111 @@ def test_containment_threshold_is_integer_exact(ce_rows):
         assert 0.0 < r.jaccard <= r.containment <= 1.0
 
 
+def test_containment_pair_gen_matches_self_join(spark, sf_dir):
+    # r17 equivalence pin: the bounded per-shingle doc-set pair
+    # generator (window df-cap -> collect_set -> map-side C(k,2)) must
+    # produce exactly the (doc_a, doc_b, inter) and (doc_id, n_sh)
+    # multisets of the verbatim r14 keptsh self-join it replaced.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from market_pulse_data_pipeline_spark.queries.common import t
+    from market_pulse_data_pipeline_spark.queries.r14_staging import (
+        _CE_MAX_DF,
+        _CE_MIN_PLANT_TOKS,
+        _CE_N,
+        _CE_PLANT_MOD,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= _CE_N)
+    ex_len = F.greatest(
+        F.lit(_CE_N + 2), F.floor(F.size("ws") * 2 / 5).cast("int")
+    )
+    plants = src.filter(
+        (F.col("doc_id") % _CE_PLANT_MOD == 0)
+        & (F.size("ws") >= _CE_MIN_PLANT_TOKS)
+    ).select(
+        (F.col("doc_id") + _CE_OFFSET).alias("doc_id"),
+        F.slice("ws", F.lit(1), ex_len).alias("ws"),
+    )
+    corpus = src.unionByName(plants)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - _CE_N),
+        lambda i: F.md5(
+            F.encode(F.concat_ws(" ", F.slice("ws", i + 1, _CE_N)), "utf-8")
+        ),
+    )
+    sh = corpus.select("doc_id", F.explode(grams).alias("h")).distinct()
+    df_w = Window.partitionBy("h")
+    keptsh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("_df") <= _CE_MAX_DF)
+        .drop("_df")
+        .localCheckpoint()
+    )
+    legacy_sizes = sorted(
+        (r.doc_id, r["count"])
+        for r in keptsh.groupBy("doc_id").count().collect()
+    )
+    a, b = keptsh.alias("a"), keptsh.alias("b")
+    legacy_pairs = sorted(
+        (r.doc_a, r.doc_b, r.inter)
+        for r in a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .collect()
+    )
+
+    grp = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("_df") <= _CE_MAX_DF)
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .localCheckpoint()
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    new_sizes = sorted(
+        (r.doc_id, r["count"])
+        for r in grp.select(F.explode(ds).alias("doc_id"))
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    new_pairs = sorted(
+        (r.doc_a, r.doc_b, r.inter)
+        for r in grp.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(
+            F.col("pr.a").alias("doc_a"),
+            F.col("pr.b").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .collect()
+    )
+    assert new_sizes == legacy_sizes
+    assert new_pairs == legacy_pairs
+    # every per-shingle buffer is bounded by the df-cap
+    assert grp.agg(F.max(F.size("ds"))).first()[0] <= _CE_MAX_DF
+
+
 # --------------------------------------------------------------------
 # quality_calibration_ece
 # --------------------------------------------------------------------
