@@ -62,7 +62,7 @@ from market_pulse_data_pipeline_spark.queries import r23_staging  # noqa: F401, 
 # list) go to the very head, so new operators get their first witness
 # exactly one round after they register.
 # all_queries() orders: (0) this round's rotation window, (1)
-# never-witnessed registrations (`_R16_DEFER` — new operators land
+# never-witnessed registrations (`_R17_DEFER` — new operators land
 # AFTER the window so they can never displace a verified slot; they
 # head the NEXT round's window), (2) remaining driver-green rows,
 # stalest first.
@@ -76,8 +76,11 @@ from market_pulse_data_pipeline_spark.queries import r23_staging  # noqa: F401, 
 # 47-row head of the 48-row CORRECTNESS_r09 ledger remainder
 # (hourly_activity_bitmask … winnowing_cluster_dedup — after this
 # round exactly ONE r9-witnessed row remains,
-# boilerplate_sentence_removal, absorbed by round 16 per VERDICT r14
-# item 3). Pinned literally so any registry or ledger edit that would
+# boilerplate_sentence_removal, absorbed by round 17's tail).
+# Round 16 (an optimization round) froze the rotation, so this same
+# window ran twice: CORRECTNESS_r15 AND CORRECTNESS_r16, both 50/50
+# green. Kept for the r16 ledger block below; the live window is
+# _R17_WINDOW. Pinned literally so any registry or ledger edit that would
 # shift the driver's snapshot fails tests/test_window_composition.py
 # loudly.
 _R15_WINDOW = [
@@ -113,22 +116,64 @@ _R15_WINDOW = [
     "winnowing_cluster_dedup",
 ]
 
-# the window head: names taking their FIRST driver row this round —
-# they join _DRIVER_GREEN (round 15) at the next rotation
+# the round-15/16 window head: names that took their FIRST driver row
+# in those rounds (now in the ledger at round 16)
 _R15_FIRST_WITNESS = _R15_WINDOW[:3]
 
-# Round-15 registrations awaiting deferral to the round-16 window per
-# the round-4 displacement rule (additions never displace a verified
-# window). The round-15 batch (r23_staging) registered BEFORE the
-# window pin, so it heads the window instead of deferring; this list
-# is for any later round-15 addition.
-_R16_DEFER: list[str] = []
+# Round-17 window (VERDICT r16 "Next round" item 3): an optimization
+# round rewrote ~19 query paths in rounds 16-17 while the rotation was
+# frozen, so the cadence is overridden once — the window LEADS with
+# the touched-but-unwitnessed benched queries (every r16/r17 rewrite
+# plus one kmeans_snapped_fit consumer for the fused-fit family),
+# then resumes stalest-first (the last r9 row, then the r10 ledger
+# head). The two r29 recovery queries VERDICT names are still staged,
+# not registered (their flip is BUILD work, out of scope for an
+# optimization round), so they cannot take a window slot.
+_R17_TOUCHED = [
+    "semdedup_prune", "semdedup_scaled_prune", "basket_lift_pairs",
+    "weekly_rollup", "rolling_avg_7rows", "weekly_ohlc",
+    "tpch_q1_pricing_summary", "paragraph_simhash_near_dups",
+    "incremental_sessionization", "bloom_decontaminate_portable",
+    "exact_substring_trim", "incremental_near_dup_lsh",
+    "eval_decontaminate_semantic", "containment_excerpt_dups",
+    "minhash_lsh_near_dups", "eval_decontaminate_fuzzy_minhash",
+    "gopher_repetition_filters", "embedding_kmeans_clusters",
+    "tpch_q9_product_profit",
+]
+_R17_WINDOW = _R17_TOUCHED + [
+    # stalest greens, oldest witness round first, ledger-insertion
+    # order within a round (computed from the post-r16 ledger,
+    # skipping the touched head; pinned by
+    # tests/test_window_composition.py)
+    "boilerplate_sentence_removal",
+    "cross_corpus_dedup_exact", "doc_chunking",
+    "mixture_rebalanced_sample", "bernoulli_sample_hash",
+    "corpus_pipeline_end_to_end", "corpus_quality_filter",
+    "text_pii_redact", "char_class_profile", "sentence_dedup_profile",
+    "scd2_user_event_type_history", "dedup_fuzzy_blocked",
+    "k_anonymity_check", "benford_first_digit_audit",
+    "chi2_independence_lang_source", "format_roundtrip_orc",
+    "format_roundtrip_csv", "format_roundtrip_jsonl",
+    "partitioned_write_readback", "schema_evolution_read",
+    "pagerank_user_event_graph", "centroid_classifier_confusion",
+    "embedding_mean_pool_by_label", "sql_text_shared_dialect",
+    "sql_registered_udf", "sql_lateral_top2_orders",
+    "udtf_split_sentences", "incremental_agg_maintenance",
+    "calendar_gapfill_ffill", "pointer_swap_time_travel",
+    "join_strategy_independence",
+]
+
+# Round-16/17 registrations awaiting deferral per the round-4
+# displacement rule (additions never displace a verified window).
+# Empty: rounds 16-17 are optimization rounds, the registry is frozen
+# at 301.
+_R17_DEFER: list[str] = []
 
 # stable alias for tools (check_oracle --staged, hostile_check): the
 # newest registrations still awaiting their first driver witness —
 # points at the current round's deferral list so the tools never need
 # a per-round rename again
-PENDING_FIRST_WITNESS = _R16_DEFER
+PENDING_FIRST_WITNESS = _R17_DEFER
 
 
 def staging_candidates():
@@ -572,19 +617,25 @@ _DRIVER_GREEN.update(dict.fromkeys([
     "quality_threshold_sweep", "bpe_fertility_by_lang",
     "sessionization", "running_distinct_event_types",
 ], 14))
+# CORRECTNESS_r16.json — 50/50 green: the round-15 window verbatim
+# (the round-16 optimization round froze the rotation, so the same 50
+# names re-witnessed; CORRECTNESS_r15 was also 50/50 on them).
+# dict.update keeps the 47 re-witnesses at their original insertion
+# positions and appends the 3 r15 first-witness names at the end.
+_DRIVER_GREEN.update(dict.fromkeys(_R15_WINDOW, 16))
 
 
 def all_queries():
     """Registry ordered for the driver's 50-row correctness window.
 
     Tiers: (0) this round's rotation window, (1) never-driver-witnessed
-    registrations (``_R16_DEFER`` order — after the window, so new
+    registrations (``_R17_DEFER`` order — after the window, so new
     operators never displace a verified slot), (2) remaining
     driver-green rows, stalest witness first.
     """
-    window_rank = {n: i for i, n in enumerate(_R15_WINDOW)}
+    window_rank = {n: i for i, n in enumerate(_R17_WINDOW)}
     green_rank = {n: i for i, n in enumerate(_DRIVER_GREEN)}
-    defer_rank = {n: i for i, n in enumerate(_R16_DEFER)}
+    defer_rank = {n: i for i, n in enumerate(_R17_DEFER)}
 
     def tier(n: str) -> tuple:
         if n in window_rank:
@@ -601,33 +652,30 @@ def all_queries():
 
 def stalest_green(window: int = 50) -> list[str]:
     """The stalest driver-green rows — oldest witness round first,
-    ledger-insertion order within a round. ``_R15_WINDOW``'s tail is
-    this round's pinned snapshot of exactly ``stalest_green(47)`` (a
-    regression test keeps them in lockstep; the window head is the 3
-    first-witness names, which have no green row yet)."""
+    ledger-insertion order within a round. ``_R17_WINDOW``'s tail is
+    this round's pinned snapshot of exactly the stalest greens minus
+    the touched head (a regression test keeps them in lockstep)."""
     order = {n: i for i, n in enumerate(_DRIVER_GREEN)}
     stale = sorted(_DRIVER_GREEN, key=lambda n: (_DRIVER_GREEN[n], order[n]))
     return stale[:window]
 
 
-def r16_rotation(window: int = 50) -> list[str]:
-    """The proposed round-16 window under the steady-state cadence:
-    never-witnessed registrations at the head — the round-16 flip
-    batch (r24_staging: pii_cluster_contagion, intra_doc_line_dedup,
-    cross_label_margin_mining, per the named-flip-round schedule)
-    once it flips to @register, via ``_R16_DEFER`` or a pre-pin window
-    head — then the stalest greens assuming this round's window lands
-    green (its 47 re-witnesses move to round 15 and its 3
-    first-witness names enter the ledger at round 15): the last r9
-    row (``boilerplate_sentence_removal``), then the r10 ledger head,
-    continues the rotation. Any r15 RED row outranks all of this and
+def r18_rotation(window: int = 50) -> list[str]:
+    """The proposed round-18 window under the steady-state cadence:
+    never-witnessed registrations at the head — the staged flip
+    batches (r24_staging/r29_staging were scheduled for round 16,
+    r25_staging/r30_staging for round 17; both deferred while the
+    optimization rounds froze the registry at 301) once they flip to
+    @register, via ``_R17_DEFER`` or a pre-pin window head — then the
+    stalest greens assuming this round's window lands green (its 50
+    names move to round 17 in the ledger): the r10 ledger remainder
+    continues the rotation. Any r17 RED row outranks all of this and
     goes to the very front instead (red beats rotation)."""
-    never = [n for n in _R16_DEFER if n in QUERY_REGISTRY]
-    after_r15 = dict(_DRIVER_GREEN)
-    # update() keeps existing positions for the 47 re-witnesses and
-    # appends the 3 first-witness names at the end in window order —
-    # the same shape next round's literal ledger edit will produce
-    after_r15.update(dict.fromkeys(_R15_WINDOW, 15))
-    order = {n: i for i, n in enumerate(after_r15)}
-    stale = sorted(after_r15, key=lambda n: (after_r15[n], order[n]))
+    never = [n for n in _R17_DEFER if n in QUERY_REGISTRY]
+    after_r17 = dict(_DRIVER_GREEN)
+    # update() keeps existing positions for re-witnesses — the same
+    # shape next round's literal ledger edit will produce
+    after_r17.update(dict.fromkeys(_R17_WINDOW, 17))
+    order = {n: i for i, n in enumerate(after_r17)}
+    stale = sorted(after_r17, key=lambda n: (after_r17[n], order[n]))
     return (never + stale)[:window]

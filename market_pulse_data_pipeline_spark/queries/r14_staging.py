@@ -346,8 +346,11 @@ def containment_excerpt_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # dense=True (r17): the md5-per-5-gram projection below is
+    # compute-dense, so the size-aware byte floor starved it
+    # (interleaved A/B: dense 2.349 vs sized 2.711 s min-of-4)
     src = (
-        fan_out(docs)
+        fan_out(docs, dense=True)
         .select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
         .filter(F.size("ws") >= _CE_N)
     )

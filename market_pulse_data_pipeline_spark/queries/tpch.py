@@ -794,6 +794,13 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(28,8)"),
         4,
     ).cast("decimal(18,4)")
+    # r17 A/B (VERDICT r16 item 6): the two-level min — groupBy
+    # (l_partkey, l_suppkey) partial min + join back, AQE free to
+    # broadcast the ~520k-row min table — measured 1.965 s vs this
+    # window's 1.268 s (interleaved min-of-5, sf0.1, identical rows).
+    # The per-key row count (~1.2 at sf) leaves the partial aggregate
+    # nothing to reduce, so agg+join pays the same fact exchange PLUS
+    # the aggregate build and join probe. REJECTED; window kept.
     w = Window.partitionBy("l_partkey", "l_suppkey")
     li = li.withColumn("ps_supplycost", F.min(unit).over(w))
     revenue_dec = (
