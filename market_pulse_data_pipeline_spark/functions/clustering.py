@@ -472,7 +472,22 @@ def within_cluster_pair_dots(
     cells regardless of cluster population. Ordering contract
     preserved: pairs are emitted with ``id_a > id_b`` exactly like the
     join condition. Superset + exact-filter equivalence pinned by
-    tests/test_clustering_kernels.py."""
+    tests/test_clustering_kernels.py.
+
+    PRECONDITION — bounded cluster population (ADVICE r16):
+    ``block_rows`` bounds the gram-matrix BLOCK, not the input — the
+    grouped Arrow pass still materializes one cluster's full
+    ``s x dim`` int64 matrix (plus pandas overhead) in a single Python
+    worker. The SemDeDup callers satisfy this by construction (k ∝ N
+    pins the AVERAGE population at ``_SS_POP``; the fixture max is the
+    same order), but the rule does not bound the MAX: a skewed
+    mega-cluster (s ~ 1e8 at 64 dims ≈ 50 GB) OOMs the worker where
+    the r15 self-join would merely have run long. Callers with
+    unbounded or adversarial cluster sizes must split hot clusters
+    first (salt the cluster key, or sub-cluster with a second k-means
+    level — the IVF escalation the semdedup docs describe) or fall
+    back to the exchange-heavy pair join for clusters above a row
+    threshold."""
     out_schema = "id_a long, id_b long, dot long, na long, nb long"
 
     empty = pd.DataFrame(

@@ -97,7 +97,18 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint rather than cache(): consumed 3x (pair gen,
     # marginals, basket total) — the blocks release when the DataFrame
     # is garbage-collected instead of pinning executor storage for the
-    # session lifetime (the r15 kmeans-fit discipline).
+    # session lifetime (the r15 kmeans-fit discipline). Tradeoff
+    # (ADVICE r16): localCheckpoint truncates lineage, so on a real
+    # cluster an executor loss after materialization fails the query
+    # where cached data would recompute; deployments that can lose
+    # executors mid-query should prefer reliable checkpointing
+    # (sc.setCheckpointDir + .checkpoint()) for this intermediate.
+    # r17 A/B (interleaved min-of-5, sf0.1, identical rows): eager cp
+    # 0.931 / lazy cp 0.978 / cache 0.985 / no materialization 0.942 —
+    # all within noise, so the strategy choice is about lifecycle, not
+    # speed; the r16 driver-side 0.48x on this query was the warm
+    # cross-pass cache the old bench protocol leaked plus host drift,
+    # both closed this round (bench clearCache).
     baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("l_orderkey")

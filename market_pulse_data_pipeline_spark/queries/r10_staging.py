@@ -167,7 +167,10 @@ def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the shingle rows once (r16): both the ownership
     # aggregate and the cut join consume sh, and uncheckpointed each
     # re-ran the whole scan -> window-md5 pipeline (32 bytes/shingle,
-    # the documented shuffle-width cap, bounds the footprint)
+    # the documented shuffle-width cap, bounds the footprint).
+    # Lineage tradeoff (ADVICE r16): see the basket_lift_pairs note —
+    # executor loss after materialization fails the query instead of
+    # recomputing; prefer reliable checkpointing where that matters.
     sh = sh.localCheckpoint(eager=True)
     own = sh.groupBy("h").agg(
         F.count_distinct("doc_id").alias("nd"),

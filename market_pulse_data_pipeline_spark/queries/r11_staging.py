@@ -234,7 +234,10 @@ def paragraph_simhash_near_dups(
     # localCheckpoint, not cache (ADVICE r15): both sides of the
     # pigeonhole self-join consume the signature table; checkpointed
     # blocks release when the DataFrame is garbage-collected instead of
-    # pinning executor storage for the session lifetime.
+    # pinning executor storage for the session lifetime. Lineage
+    # tradeoff (ADVICE r16): see the basket_lift_pairs note — an
+    # executor loss after materialization fails the query instead of
+    # recomputing; prefer reliable checkpointing where that matters.
     sig = (
         alldocs.mapInPandas(
             _sig_rows, "doc_id long, para_id long, sim long"

@@ -274,7 +274,12 @@ def bloom_decontaminate_portable(
     # list element-by-element over py4j (measured 0.56 s for 1041 longs
     # at construction time — r16); the parser ingests the same array in
     # milliseconds and constant folding collapses it to the identical
-    # single Literal before execution
+    # single Literal before execution. The literal form is only safe
+    # because _BL_WORD = 63 keeps bit 63 of every word clear — a word
+    # equal to Long.MIN_VALUE has no SQL long-literal spelling (ADVICE
+    # r16); the assert ties this line to that invariant so a future
+    # move to 64-bit packing fails loudly here, not in the parser.
+    assert all(w >= 0 for w in arr), "bloom word sets bit 63; see _BL_WORD"
     ba = F.expr(f"array({','.join(f'{w}L' for w in arr)})")
 
     # materialize the k probe positions as named columns so the
