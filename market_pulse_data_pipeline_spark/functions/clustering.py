@@ -108,6 +108,18 @@ def kmeans(
 
 SNAP_SCALE = 1_000_000
 
+# Ceiling on n_partitions x k x dim for the fused Lloyd update to
+# collect per-partition partials DIRECTLY and merge them on the driver
+# (r17): below it, the per-iteration groupBy(cluster, pos) shuffle
+# stage is pure fixed cost — the driver merge of a few thousand rows
+# replaces a whole second stage per iteration (measured 1.062 ->
+# 0.805 s over a 3-iteration fit at sf0.1, centroids bit-identical;
+# integer sums are combination-order-independent so WHERE the partials
+# merge cannot change the result). Above it — any real corpus, where
+# partition counts reach thousands — the groupBy pre-aggregation runs
+# exactly as before, keeping the driver collect bounded at k x dim.
+_DIRECT_MERGE_MAX_CELLS = 1 << 20
+
 
 def _trunc_div(s: int, n: int) -> int:
     """Integer division truncating toward zero — the semantics BOTH
@@ -414,24 +426,47 @@ def kmeans_snapped_fit(
         k = int(k_from_count(src.count()))  # cheap: checkpointed blocks
     init = src.orderBy(id_col).limit(k).collect()  # bounded: k vectors
     centroids = np.array([r["v"] for r in init], dtype=np.int64)
+    dim = centroids.shape[1]
     partial_schema = "cluster int, pos int, s long, n long"
+    # direct driver merge when the partials are small (see
+    # _DIRECT_MERGE_MAX_CELLS): skips the per-iteration groupBy shuffle
+    # stage; a probe failure (None) keeps the distributed merge
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        _probe_partitions,
+    )
+
+    n_parts = _probe_partitions(src)
+    direct = (
+        n_parts is not None
+        and n_parts * k * dim <= _DIRECT_MERGE_MAX_CELLS
+    )
     for _ in range(iters):
         # fused update (see _snapped_partial_sums): one Arrow pass
-        # assigns AND partially aggregates; the exchange then carries
-        # <= partitions x k x dim partial cells instead of N x dim
+        # assigns AND partially aggregates; what crosses to the merge
+        # is <= partitions x k x dim partial cells instead of N x dim
         # exploded rows
-        sums = (
-            src.select("v")
-            .mapInPandas(_snapped_partial_sums(centroids), partial_schema)
-            .groupBy("cluster", "pos")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )  # bounded: k*dim rows
+        partials = src.select("v").mapInPandas(
+            _snapped_partial_sums(centroids), partial_schema
+        )
         new_c = centroids.copy()
-        for r in sums:
-            new_c[r["cluster"], r["pos"]] = _trunc_div(
-                int(r["s"]), int(r["n"])
-            )
+        if direct:
+            acc: dict = {}
+            for r in partials.collect():  # bounded: the cell ceiling
+                key = (r["cluster"], r["pos"])
+                s, n = acc.get(key, (0, 0))
+                acc[key] = (s + r["s"], n + r["n"])
+            for (ci, pos), (s, n) in acc.items():
+                new_c[ci, pos] = _trunc_div(int(s), int(n))
+        else:
+            sums = (
+                partials.groupBy("cluster", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )  # bounded: k*dim rows
+            for r in sums:
+                new_c[r["cluster"], r["pos"]] = _trunc_div(
+                    int(r["s"]), int(r["n"])
+                )
         centroids = new_c
     if emit_n2:
         return (

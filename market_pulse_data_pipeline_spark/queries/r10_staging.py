@@ -164,23 +164,30 @@ def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i", "h"),
     )
-    # materialize the shingle rows once (r16): both the ownership
-    # aggregate and the cut join consume sh, and uncheckpointed each
-    # re-ran the whole scan -> window-md5 pipeline (32 bytes/shingle,
-    # the documented shuffle-width cap, bounds the footprint).
-    # Lineage tradeoff (ADVICE r16): see the basket_lift_pairs note —
-    # executor loss after materialization fails the query instead of
-    # recomputing; prefer reliable checkpointing where that matters.
-    sh = sh.localCheckpoint(eager=True)
-    own = sh.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("nd"),
-        F.min("doc_id").alias("owner"),
-    )
+    # Ownership as ONE digest-partitioned window (r17): the r16 form
+    # materialized sh (checkpoint), aggregated per-h ownership, and
+    # joined it back — an aggregate exchange plus a join that
+    # re-shuffled the checkpointed rows (UnknownPartitioning after a
+    # checkpoint defeats co-partitioning). min/max over the h window
+    # answers both questions in the same single exchange the aggregate
+    # needed anyway: a shingle is duplicated across >= 2 DISTINCT docs
+    # iff min(doc_id) != max(doc_id), and the keeper is min(doc_id) —
+    # exactly the former nd >= 2 filter + owner join (the old nd was
+    # only ever compared against 2). The window streams sorted runs
+    # and spills, so a 1000-doc boilerplate shingle costs disk, not
+    # memory; sh now has ONE consumer, so the checkpoint is gone too.
+    # A/B interleaved min-of-5 at sf0.1: 2.022 -> 1.850 s, rows
+    # byte-identical; oracle re-gated sf0.01 + sf0.1.
+    own_w = Window.partitionBy("h")
     # cut positions fan out ONLY from duplicated, non-owned shingles —
     # bounded by true duplication, never corpus size
     cuts = (
-        sh.join(own.filter(F.col("nd") >= 2), "h")
-        .filter(F.col("doc_id") != F.col("owner"))
+        sh.withColumn("owner", F.min("doc_id").over(own_w))
+        .withColumn("mx", F.max("doc_id").over(own_w))
+        .filter(
+            (F.col("mx") != F.col("owner"))
+            & (F.col("doc_id") != F.col("owner"))
+        )
         .select(
             "doc_id",
             F.explode(

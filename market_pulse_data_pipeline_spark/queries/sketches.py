@@ -91,9 +91,26 @@ _SQL_H60 = "('0x' || substring(md5({expr}), 1, 15))::BIGINT"
     "reaches the driver beyond k values.",
 )
 def kmv_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    from market_pulse_data_pipeline_spark.functions.dedup import (  # noqa: PLC0415
+        fan_out_by,
+    )
+
+    # r17: dedup the raw int key BEFORE hashing — md5 runs on the ~20k
+    # distinct partkeys instead of every lineitem row (30x fewer at
+    # sf0.1; the same ratio holds at any SF since lineitem repeats
+    # partkeys ~30x). distinct(h(x)) over distinct(x) is the same set
+    # as distinct(h(x)) over x (h deterministic); the second distinct
+    # keeps the oracle's DISTINCT-on-h semantics for the (negligible
+    # but contract-relevant) md5-collision case. fan_out_by spreads the
+    # single-split scan with the exchange the first distinct needs
+    # anyway. A/B interleaved min-of-5: 0.903 -> 0.735 s, identical
+    # rows.
+    li = fan_out_by(
+        t(spark, sf_dir, "lineitem").select("l_partkey"), "l_partkey"
+    )
     hashes = (
-        li.select(
+        li.distinct()
+        .select(
             portable_hash60(F.col("l_partkey").cast("string")).alias("h")
         )
         .distinct()

@@ -77,6 +77,25 @@ def test_fused_lloyd_update_matches_explode_groupby(spark):
     assert old == new
 
 
+def test_direct_merge_matches_grouped_merge(spark, monkeypatch):
+    # r17 pin: the size-bounded direct driver merge of the fused Lloyd
+    # partials must produce the same fit as the distributed
+    # groupBy(cluster, pos) merge it skips (int64 sums are
+    # combination-order-independent, so WHERE they merge cannot change
+    # the centroids — this makes that claim loud).
+    import market_pulse_data_pipeline_spark.functions.clustering as cl
+
+    emb = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    monkeypatch.setattr(cl, "_DIRECT_MERGE_MAX_CELLS", 0)  # force grouped
+    a_g, c_g = cl.kmeans_snapped_fit(emb, k=7, iters=2)
+    monkeypatch.setattr(cl, "_DIRECT_MERGE_MAX_CELLS", 1 << 20)
+    a_d, c_d = cl.kmeans_snapped_fit(emb, k=7, iters=2)
+    assert np.array_equal(c_g, c_d)
+    rows_g = {r["vec_id"]: r["cluster"] for r in a_g.collect()}
+    rows_d = {r["vec_id"]: r["cluster"] for r in a_d.collect()}
+    assert rows_g == rows_d
+
+
 def test_emit_n2_matches_assign_udf_plus_fold(spark):
     # r17 pin: the fused (assignment + n2) Arrow pass behind
     # kmeans_snapped_fit(emit_n2=True) must reproduce, row for row,

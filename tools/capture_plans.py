@@ -66,7 +66,17 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
 
     fragments: list[str] = []
-    orig_lc = DataFrame.localCheckpoint
+    # Spark 4 splits the public DataFrame into a dispatch base and the
+    # classic implementation subclass; instance method resolution finds
+    # the CLASSIC override first, so the spy must land there (patching
+    # only pyspark.sql.DataFrame silently captures nothing).
+    try:
+        from pyspark.sql.classic.dataframe import (  # noqa: PLC0415
+            DataFrame as _ClassicDF,
+        )
+    except ImportError:  # pragma: no cover - pre-4.0 layout
+        _ClassicDF = DataFrame
+    orig_lc = _ClassicDF.localCheckpoint
 
     def lc_spy(self, eager: bool = True):  # noqa: ANN001
         try:
@@ -75,7 +85,7 @@ def main() -> None:
             fragments.append(f"FRAGMENT EXPLAIN FAILED: {e!r}")
         return orig_lc(self, eager)
 
-    DataFrame.localCheckpoint = lc_spy
+    _ClassicDF.localCheckpoint = lc_spy
     try:
         for name in names:
             fragments.clear()
@@ -96,7 +106,7 @@ def main() -> None:
                 f.write("".join(parts))
             print(name, "->", path)
     finally:
-        DataFrame.localCheckpoint = orig_lc
+        _ClassicDF.localCheckpoint = orig_lc
 
 
 if __name__ == "__main__":
