@@ -381,8 +381,18 @@ def gazetteer_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["phrase", "tok", "off", "plen"],
     )
+    # df only for the gazetteer's own token vocabulary (r17): the
+    # anchor selection joins tdf INNER on tok, so non-phrase tokens can
+    # never survive it — filtering before the aggregate shrinks its
+    # state and shuffle from |corpus vocabulary| cells to |gazetteer
+    # vocabulary| (a million-phrase gazetteer is still MB-scale where
+    # a 100 TB corpus vocabulary is not). Local A/B: 1.318 -> 1.280 s
+    # min-of-5, identical rows; the win is the scale bound, the local
+    # delta just confirms it never regresses.
+    vocab = sorted({tok for p in _GZ_PHRASES for tok in p.split(" ")})
     tdf = (
         ws_docs.select("doc_id", F.explode("ws").alias("tok"))
+        .filter(F.col("tok").isin(vocab))
         .groupBy("tok")
         .agg(F.count_distinct("doc_id").alias("df"))
     )
