@@ -138,7 +138,8 @@ _R17_TOUCHED = [
     "eval_decontaminate_semantic", "containment_excerpt_dups",
     "minhash_lsh_near_dups", "eval_decontaminate_fuzzy_minhash",
     "gopher_repetition_filters", "embedding_kmeans_clusters",
-    "tpch_q9_product_profit",
+    "tpch_q9_product_profit", "kmv_distinct_partkeys",
+    "gazetteer_phrase_match",
 ]
 _R17_WINDOW = _R17_TOUCHED + [
     # stalest greens, oldest witness round first, ledger-insertion
@@ -159,8 +160,7 @@ _R17_WINDOW = _R17_TOUCHED + [
     "embedding_mean_pool_by_label", "sql_text_shared_dialect",
     "sql_registered_udf", "sql_lateral_top2_orders",
     "udtf_split_sentences", "incremental_agg_maintenance",
-    "calendar_gapfill_ffill", "pointer_swap_time_travel",
-    "join_strategy_independence",
+    "calendar_gapfill_ffill",
 ]
 
 # Round-16/17 registrations awaiting deferral per the round-4

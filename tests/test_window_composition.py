@@ -38,7 +38,8 @@ EXPECTED_WINDOW = [
     "eval_decontaminate_semantic", "containment_excerpt_dups",
     "minhash_lsh_near_dups", "eval_decontaminate_fuzzy_minhash",
     "gopher_repetition_filters", "embedding_kmeans_clusters",
-    "tpch_q9_product_profit",
+    "tpch_q9_product_profit", "kmv_distinct_partkeys",
+    "gazetteer_phrase_match",
     # stalest-green tail
     "boilerplate_sentence_removal",
     "cross_corpus_dedup_exact", "doc_chunking",
@@ -54,8 +55,7 @@ EXPECTED_WINDOW = [
     "embedding_mean_pool_by_label", "sql_text_shared_dialect",
     "sql_registered_udf", "sql_lateral_top2_orders",
     "udtf_split_sentences", "incremental_agg_maintenance",
-    "calendar_gapfill_ffill", "pointer_swap_time_travel",
-    "join_strategy_independence",
+    "calendar_gapfill_ffill",
 ]
 
 
